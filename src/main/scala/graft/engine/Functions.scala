@@ -74,6 +74,25 @@ object Functions {
   def validateInSet(c: Column, valid: Seq[String]): Column =
     when(c.isin(valid: _*), c).otherwise(lit(null))
 
+  // ── Exact (order-independent) money/avg arithmetic ──
+  // Doubles sum nondeterministically under parallel partial aggregation, and
+  // the test data produces true half-cent quotients where engines round
+  // differently — so all money SUM/AVG goes through exact DECIMAL / integer
+  // floor arithmetic. See queries/Core.scala call sites and tools/check.py.
+  def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  def decPct(c: Column): Column = c.cast("decimal(4,2)")
+  def sumMoney(c: Column): Column = round(sum(dec2(c)), 2).cast("double")
+  /** round_half_up(sum/cnt, scale) via floor((2T+n)/(2n)) on integer units. */
+  def avgMoney(c: Column, cnt: Column, scale: Int = 2): Column = {
+    val units = (sum(dec2(c)) * math.pow(10, scale).toLong).cast("long")
+    floor((units * 2 + cnt) / (cnt * 2)) / math.pow(10, scale)
+  }
+  /** Same for integer-valued sums (quantities, lengths, counts). */
+  def avgIntExact(s: Column, cnt: Column, scale: Int = 2): Column = {
+    val p = math.pow(10, scale).toLong
+    floor((s.cast("long") * (2 * p) + cnt) / (cnt * 2)) / p.toDouble
+  }
+
   // ── F16 stand-in: deterministic sentiment scoring ──
   // The reference runs a RoBERTa model (sentiment_analyzer.py:70-168); the
   // engine capability is a *pluggable scoring column* + threshold/label

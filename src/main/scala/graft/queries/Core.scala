@@ -23,40 +23,13 @@ object Core {
 
   /** Money/value columns are 2-decimal values stored as doubles. Summing
     * doubles is order-dependent (Spark's partial-agg merge order is
-    * nondeterministic), so every SUM/AVG over them goes through exact
-    * DECIMAL — associative, bit-stable at any partition count, and
-    * matching the oracle regardless of execution order. Inputs round-trip
-    * exactly (2-decimal values), so no precision is lost on the cast. */
-  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
-  private def decPct(c: Column): Column = c.cast("decimal(4,2)")
-  /** Exact SUM of a 2-decimal money column, rounded and surfaced as double. */
-  private def sumMoney(c: Column): Column = round(sum(dec2(c)), 2).cast("double")
-
-  /** Exact rounded AVG. A 2-decimal sum divided by a count lands EXACTLY on
-    * a half-cent boundary often (e.g. 68128011/18 cents = 3784889.5), where
-    * Spark's and DuckDB's double rounding legitimately disagree. So: do the
-    * round-half-up in integer space — floor((2T+n)/(2n)) over T=sum in
-    * 10^scale units — which is bit-deterministic in every engine.
-    * (floor of the double division is safe: quotient granularity 1/(2n) is
-    * far coarser than double ulp at these magnitudes.) */
-  private def avgMoney(c: Column, cnt: Column, scale: Int = 2): Column = {
-    val units = (sum(dec2(c)) * math.pow(10, scale).toLong).cast("long")
-    floor((units * 2 + cnt) / (cnt * 2)) / math.pow(10, scale)
-  }
-  /** Oracle-side twin of [[avgMoney]]. */
-  private def avgMoneySql(x: String, cnt: String, scale: Int = 2): String = {
-    val p = math.pow(10, scale).toLong
-    s"FLOOR((2*CAST(SUM(CAST($x AS DECIMAL(12,2)))*$p AS BIGINT) + $cnt) / (2*$cnt)) / $p.0"
-  }
-  /** Same exact rounded AVG for integer-valued sums (quantities, counts). */
-  private def avgIntExact(s: Column, cnt: Column, scale: Int = 2): Column = {
-    val p = math.pow(10, scale).toLong
-    floor((s.cast("long") * (2 * p) + cnt) / (cnt * 2)) / p.toDouble
-  }
-  private def avgIntExactSql(x: String, cnt: String, scale: Int = 2): String = {
-    val p = math.pow(10, scale).toLong
-    s"FLOOR((CAST(SUM($x) AS BIGINT)*${2 * p} + $cnt) / (2*$cnt)) / $p.0"
-  }
+    * nondeterministic), and a 2-decimal sum over a count lands EXACTLY on
+    * half-cent boundaries (e.g. 68128011/18 cents = 3784889.5) where
+    * Spark's and DuckDB's double rounding legitimately disagree. All money
+    * SUM/AVG therefore goes through the exact DECIMAL / integer-floor
+    * helpers — associative, bit-stable at any partition count. */
+  import graft.engine.Functions.{dec2, decPct, sumMoney, avgMoney, avgIntExact}
+  import OracleSql.{avgMoneySql, avgIntExactSql}
 
   // ── q01: pricing summary — scan + filter + groupBy w/ sum/avg/count (A2/A6)
   private def q01(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Functions => F, Silver, Tables}
+
+/** ETL-layer operator surface (SURVEY.md §2.1/§2.3/§2.8): latest-per-key
+  * dedup, SCD Type 2, the band/theta join, anti/semi joins, validation
+  * probes, union+dedup, JSON shredding, and the HTML-clean transform chain —
+  * each over the driver test tables with a DuckDB oracle.
+  */
+object Etl {
+
+  /** Snapshot split for the SCD2 scenario — orders before this date form the
+    * "current" dimension state; orders after it form the incoming batch. */
+  private val Scd2Split = "1998-01-01"
+
+  // ── q10: latest-version-per-key (A11 / DISTINCT ON): one newest event per
+  // user. Single shuffle on user_id; at 100 TB this is the canonical
+  // pre-dedup before any SCD2/upsert. ──
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    Silver.dedupLatest(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
+  private val q10Sql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ── q11: SCD Type 2 apply (J1/J7/U2). Current state = latest order per
+  // customer before the split; batch = latest order after it. Changed
+  // customers get their old row expired and a new current row; the
+  // null-rejecting != change predicate is the reference's letter. ──
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val latestBefore = Silver.dedupLatest(
+      o.filter(col("o_orderdate") < lit(Scd2Split).cast("timestamp")),
+      Seq("o_custkey"), Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+    val current = latestBefore.select(
+      col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"),
+      to_date(col("o_orderdate")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    val batch = Silver.dedupLatest(
+      o.filter(col("o_orderdate") >= lit(Scd2Split).cast("timestamp")),
+      Seq("o_custkey"), Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    Silver.scd2Apply(current, batch, "custkey", Seq("status", "price"),
+      to_date(lit(Scd2Split)))
+  }
+
+  private val q11Sql =
+    s"""WITH cur AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |         o_totalprice AS price, CAST(o_orderdate AS DATE) AS valid_from
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate < TIMESTAMP '$Scd2Split 00:00:00')
+      |  WHERE rn = 1),
+      |bat AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status, o_totalprice AS price
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate >= TIMESTAMP '$Scd2Split 00:00:00')
+      |  WHERE rn = 1),
+      |changed AS (
+      |  SELECT b.* FROM bat b LEFT JOIN cur c ON b.custkey = c.custkey
+      |  WHERE c.custkey IS NULL OR c.status != b.status OR c.price != b.price)
+      |SELECT c.custkey, c.status, c.price, c.valid_from,
+      |       DATE '$Scd2Split' AS valid_to, FALSE AS is_current
+      |FROM cur c WHERE EXISTS (SELECT 1 FROM changed g WHERE g.custkey = c.custkey)
+      |UNION ALL
+      |SELECT c.custkey, c.status, c.price, c.valid_from,
+      |       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      |FROM cur c WHERE NOT EXISTS (SELECT 1 FROM changed g WHERE g.custkey = c.custkey)
+      |UNION ALL
+      |SELECT g.custkey, g.status, g.price, DATE '$Scd2Split' AS valid_from,
+      |       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      |FROM changed g""".stripMargin
+
+  // ── q12: band/theta join (J4) — equi on linestatus + range on discount
+  // against a literal bucket dim; 5 rows → broadcast, range as post-filter,
+  // exactly how Catalyst plans the reference's sentiment-score bucketing. ──
+  private val buckets = Seq(
+    ("O", "low", 0.00, 0.05), ("O", "high", 0.05, 1.01),
+    ("F", "low", 0.00, 0.03), ("F", "mid", 0.03, 0.07), ("F", "high", 0.07, 1.01))
+
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = buckets.toDF("status", "label", "lo", "hi")
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(dim),
+        col("l_linestatus") === col("status") &&
+          col("l_discount") >= col("lo") && col("l_discount") < col("hi"),
+        "left")
+      .groupBy(col("l_linestatus"), col("label"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+  }
+
+  private val q12Sql = {
+    val values = buckets
+      .map { case (s, lb, lo, hi) => s"('$s', '$lb', $lo, $hi)" }
+      .mkString(", ")
+    s"""WITH dim(status, label, lo, hi) AS (VALUES $values)
+      |SELECT l.l_linestatus, d.label, COUNT(*) AS cnt, SUM(l.l_quantity) AS sum_qty
+      |FROM lineitem l LEFT JOIN dim d
+      |  ON l.l_linestatus = d.status AND l.l_discount >= d.lo AND l.l_discount < d.hi
+      |GROUP BY l.l_linestatus, d.label""".stripMargin
+  }
+
+  // ── q13: anti join (J6) — customers with no 1998 orders, by segment
+  // (the reference's orphan-cleanup shape: keys present in the dim but
+  // absent from the fact slice). ──
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1998)
+    c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        F.sumMoney(col("c_acctbal")).as("total_balance"))
+  }
+
+  private val q13Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  ${OracleSql.sumMoneySql("c_acctbal")} AS total_balance
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND year(o.o_orderdate) = 1998)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ── q14: semi join (J7) — customers with at least one 1998 order, by
+  // nation. left_semi avoids materializing the join fan-out. ──
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1998)
+    c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_active_customers"))
+  }
+
+  private val q14Sql =
+    """SELECT n.n_name AS nation, COUNT(*) AS n_active_customers
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND year(o.o_orderdate) = 1998)
+      |GROUP BY n.n_name""".stripMargin
+
+  // ── q15: validation left-join + null probe (J8) — orders whose customer
+  // is missing from a filtered "current" dim slice. ──
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val dim = Tables.customer(spark, dir).filter(col("c_acctbal") >= 5000)
+    Silver.missingFkCount(o, "o_custkey", dim, "c_custkey")
+  }
+
+  private val q15Sql =
+    """SELECT COUNT(*) AS n_fact,
+      |  SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_missing_fk
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 5000) d
+      |  ON o.o_custkey = d.c_custkey
+      |WHERE o.o_custkey IS NOT NULL""".stripMargin
+
+  // ── q16: union of overlapping extracts + full-row dedup (U1/A12) —
+  // cross-run incremental append then DISTINCT, the reference's re-crawl
+  // overlap behavior. ──
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "event_type", "value")
+    val a = e.filter(col("event_id") % 2 === 0 || col("event_id") % 3 === 0)
+    val b = e.filter(col("event_id") % 3 === 0 || col("event_id") % 5 === 0)
+    a.unionByName(b).distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
+        F.sumMoney(col("value")).as("sum_value"))
+  }
+
+  private val q16Sql =
+    s"""WITH merged AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |  WHERE event_id % 2 = 0 OR event_id % 3 = 0
+      |  UNION
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |  WHERE event_id % 3 = 0 OR event_id % 5 = 0)
+      |SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  ${OracleSql.sumMoneySql("value")} AS sum_value
+      |FROM merged GROUP BY event_type""".stripMargin
+
+  // ── q17: JSON field shredding (S2/F5) — extract a typed scalar from the
+  // props JSON blob, aggregate per type. get_json_object stays codegen'd. ──
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        F.avgIntExact(sum("k"), count(col("k"))).as("avg_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+        max("k").as("max_k"))
+  }
+
+  private val q17Sql =
+    s"""SELECT event_type, COUNT(*) AS n,
+      |  SUM(k) AS sum_k,
+      |  ${OracleSql.avgIntExactSql("k", "COUNT(k)")} AS avg_k,
+      |  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // ── q18: HTML clean chain (F1/F2/F15) — tag strip, entity unescape
+  // (codegen'd HtmlUnescape expression), whitespace collapse, empty→NULL,
+  // truncate-with-ellipsis preview. Input HTML is derived deterministically
+  // from documents.text so the oracle can replicate entity-by-entity. ──
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val html = concat(lit("<div class=\"post\"><p>"), col("text"),
+      lit("</p> <br/> &amp; tail&#33;</div>"))
+    d.select(col("doc_id"),
+        F.preview(F.cleanHtml(html), 100).as("preview"),
+        length(F.cleanHtml(html)).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q18Sql =
+    """WITH cleaned AS (
+      |  SELECT doc_id,
+      |    NULLIF(TRIM(regexp_replace(
+      |      replace(replace(
+      |        regexp_replace(
+      |          regexp_replace('<div class="post"><p>' || text || '</p> <br/> &amp; tail&#33;</div>',
+      |                         '<br\s*/?>', ' ', 'g'),
+      |          '<[^>]+>', '', 'g'),
+      |        '&amp;', '&'), '&#33;', '!'),
+      |      '\s+', ' ', 'g')), '') AS clean
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN length(clean) > 100 THEN substr(clean, 1, 100) || '...'
+      |       ELSE clean END AS preview,
+      |  length(clean) AS clean_len
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
+    QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
+    QueryDef("q12_band_join", q12, Some(q12Sql)),
+    QueryDef("q13_anti_join", q13, Some(q13Sql)),
+    QueryDef("q14_semi_join", q14, Some(q14Sql)),
+    QueryDef("q15_fk_validation", q15, Some(q15Sql)),
+    QueryDef("q16_union_dedup", q16, Some(q16Sql)),
+    QueryDef("q17_json_extract", q17, Some(q17Sql)),
+    QueryDef("q18_html_clean", q18, Some(q18Sql)))
+}

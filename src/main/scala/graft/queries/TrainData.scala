@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Training-data pipeline operators over `documents`/`embeddings` — the
+  * 100 TB-scale extensions: exact + near dedup (MinHash LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + bucketed ANN),
+  * language ID, quality scoring, token statistics and fingerprinting.
+  *
+  * Portability note: every hash used for dedup/LSH is built from `md5`
+  * (identical across Spark and DuckDB) and compared as hex STRINGS, so the
+  * oracle reproduces signatures byte-for-byte without engine-specific
+  * integer hash functions.
+  *
+  * Scale notes: all shingle/minhash pipelines are explode → groupBy(key)
+  * shuffles — linear in corpus size, partitioned by doc or signature key;
+  * the LSH band join is the standard quadratic-in-bucket candidate join,
+  * bounded by band-bucket size, never a full cross join.
+  */
+object TrainData {
+
+  private def tokens(c: Column): Column = split(c, " ")
+  /** Distinct word-bigram shingles, 0-based (element_at is 1-based). */
+  private def bigrams(t: Column): Column = array_distinct(
+    transform(sequence(lit(0), size(t) - 2),
+      i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+  /** One MinHash component: lexicographic min of salted md5 over a set. */
+  private def minhash(set: Column, salt: Int): Column =
+    array_min(transform(set, s => md5(concat(lit(s"$salt:"), s))))
+
+  // ── q20: exact dedup — content-hash groups (sha2 ≡ DuckDB sha256). ──
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_doc_id"))
+      .orderBy(col("content_hash"))
+      .limit(50)
+  }
+
+  private val q20Sql =
+    """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash LIMIT 50""".stripMargin
+
+  // ── q21: MinHash + LSH near-dup — bigram shingles, k=4 signature, band
+  // join on the first component; candidate pairs scored by signature
+  // agreement. ──
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sigs = d.select(col("doc_id"), bigrams(tokens(col("text"))).as("sg"))
+      .select(col("doc_id") +: (1 to 4).map(j => minhash(col("sg"), j).as(s"mh$j")): _*)
+    val a = sigs.select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
+    val matches = (1 to 4)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("a_mh1") === col("b_mh1") && col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        matches.as("n_sig_match"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  private val q21Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(sg, s -> md5('1:' || s)), 'min') AS mh1,
+      |    list_aggregate(list_transform(sg, s -> md5('2:' || s)), 'min') AS mh2,
+      |    list_aggregate(list_transform(sg, s -> md5('3:' || s)), 'min') AS mh3,
+      |    list_aggregate(list_transform(sg, s -> md5('4:' || s)), 'min') AS mh4
+      |  FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+      |   + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+      |   + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+      |   + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) AS n_sig_match
+      |FROM sigs a JOIN sigs b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+
+  // ── q22: SimHash fingerprint — 16 portable hash bits per token (high bit
+  // of each md5 hex nibble), majority vote per bit, composed to an int. ──
+  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { bit =>
+      sum(when(substring(col("h"), bit + 1, 1).isin(HighHex: _*), 1)
+        .otherwise(-1)).as(s"s$bit")
+    }
+    val simhash = (0 until 16)
+      .map(bit => when(col(s"s$bit") >= 0, 1 << bit).otherwise(0))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val q22Sql = {
+    val bitSums = (0 until 16).map { bit =>
+      s"SUM(CASE WHEN substr(h, ${bit + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$bit"
+    }.mkString(",\n      |    ")
+    val compose = (0 until 16)
+      .map(bit => s"CASE WHEN s$bit >= 0 THEN ${1 << bit} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, md5(t) AS h
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, $compose AS simhash
+      |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  // ── q23: exact n-gram Jaccard over a candidate window — shingle-level
+  // equi-join computes |A∩B|; |A∪B| = |A|+|B|−|A∩B|. Rational of small
+  // ints → bit-identical double in both engines. ──
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("doc_id") < 40)
+    val sh = d.select(col("doc_id"), bigrams(tokens(col("text"))).as("sg"))
+    val sizes = sh.select(col("doc_id"), size(col("sg")).as("n_sg"))
+    val ex = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sg", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sg", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") > 0.1)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q23Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id < 40)),
+      |sizes AS (SELECT doc_id, len(sg) AS n_sg FROM sh),
+      |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.n_inter,
+      |  i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes a ON i.doc_a = a.doc_id
+      |JOIN sizes b ON i.doc_b = b.doc_id
+      |WHERE i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) > 0.1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ── q24: brute-force cosine top-k — 5 probe vectors × full corpus,
+  // dot/norms in double with per-row sequential summation (order-stable in
+  // both engines), top-10 per probe with id tie-break. ──
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def normD(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("label").as("cand_label"))
+    val scored = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dotD(col("pv"), col("cv")) / (normD(col("pv")) * normD(col("cv"))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("cand_id"), col("cand_label"), col("cosine"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("probe_id", "rk")
+  }
+
+  private val q24Sql =
+    """WITH probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+      |cands AS (
+      |  SELECT vec_id AS cand_id, embedding AS cv, label AS cand_label FROM embeddings),
+      |scored AS (
+      |  SELECT probe_id, cand_id, cand_label,
+      |    list_aggregate(list_transform(range(1, len(pv) + 1),
+      |      i -> CAST(pv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(range(1, len(pv) + 1),
+      |         i -> CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(range(1, len(cv) + 1),
+      |           i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM probes JOIN cands ON probe_id != cand_id)
+      |SELECT probe_id, cand_id, cand_label, cosine, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |            ORDER BY cosine DESC, cand_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin
+
+  // ── q25: LSH-bucketed ANN (the scale path) — sign-quantize the first 8
+  // components into a bucket key; candidates join only within their bucket,
+  // bounding the pair blowup to bucket size instead of the full corpus. ──
+  private def signBucket(v: Column, nBits: Int): Column =
+    concat_ws("", (1 to nBits).map(i =>
+      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+      col("bucket").as("b_bucket"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("cosine", dotD(col("av"), col("bv")) / (normD(col("av")) * normD(col("bv"))))
+      .filter(col("cosine") > 0.2)
+      .select(col("bucket"), col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("bucket"), col("a_id"), col("b_id"))
+      .limit(300)
+  }
+
+  private val q25Sql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    concat_ws('',
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT bucket, a_id, b_id, cosine FROM pairs
+      |WHERE cosine > 0.2
+      |ORDER BY bucket, a_id, b_id LIMIT 300""".stripMargin
+
+  // ── q26: language ID (n-gram/stopword heuristic) — stopword hit ratio
+  // per doc, thresholded prediction, confusion counts vs the labeled lang. ──
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val nStop = size(filter(t, x => x.isin(Stopwords: _*)))
+    val scored = d.select(col("doc_id"), col("lang"),
+      nStop.as("n_stop"), size(t).as("n_tok"))
+      .withColumn("pred_en", col("n_stop") * 20 >= col("n_tok"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"),
+        sum("n_stop").as("total_stop"),
+        sum("n_tok").as("total_tok"))
+      .orderBy("lang")
+  }
+
+  private val q26Sql = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS n_stop,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END) AS n_pred_en,
+      |  SUM(n_stop) AS total_stop,
+      |  SUM(n_tok) AS total_tok
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ── q27: quality scoring — integer-only features (token count, distinct
+  // ratio, stopword count, char length) bucketed to a tier; per-source
+  // distribution. ──
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val feats = d.select(col("doc_id"), col("source"),
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_distinct"),
+      size(filter(t, x => x.isin(Stopwords: _*))).as("n_stop"),
+      col("n_chars"))
+    val tier = when(col("n_tok") >= 100 && col("n_distinct") * 3 >= col("n_tok"), "high")
+      .when(col("n_tok") >= 30, "medium")
+      .otherwise("low")
+    feats.withColumn("quality_tier", tier)
+      .groupBy("source", "quality_tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        sum("n_distinct").as("total_distinct"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source", "quality_tier")
+  }
+
+  private val q27Sql = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH feats AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS n_stop,
+      |    n_chars
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN n_tok >= 100 AND n_distinct * 3 >= n_tok THEN 'high'
+      |       WHEN n_tok >= 30 THEN 'medium' ELSE 'low' END AS quality_tier,
+      |  COUNT(*) AS n_docs, SUM(n_tok) AS total_tok,
+      |  SUM(n_distinct) AS total_distinct, MAX(n_chars) AS max_chars
+      |FROM feats GROUP BY 1, 2 ORDER BY source, quality_tier""".stripMargin
+  }
+
+  // ── q28: token counting — whitespace split vs a BPE-ish regex
+  // ([a-z]+ runs / digit runs / single non-space), global distribution. ──
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("bpe_tokens"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("bpe_tokens").as("total_bpe_tokens"),
+        max("ws_tokens").as("max_ws_tokens"))
+      .orderBy("source")
+  }
+
+  private val q28Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe_tokens,
+      |  MAX(len(string_split(text, ' '))) AS max_ws_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q29: document fingerprint — md5 over the sorted distinct token set
+  // (order-insensitive content identity), collision groups. ──
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("fingerprint"))
+      .limit(100)
+  }
+
+  private val q29Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY n_docs DESC, fingerprint LIMIT 100""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
+    QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
+    QueryDef("q22_simhash", q22, Some(q22Sql)),
+    QueryDef("q23_ngram_jaccard", q23, Some(q23Sql)),
+    QueryDef("q24_embedding_knn", q24, Some(q24Sql)),
+    QueryDef("q25_embedding_lsh", q25, Some(q25Sql)),
+    QueryDef("q26_lang_id", q26, Some(q26Sql)),
+    QueryDef("q27_quality_score", q27, Some(q27Sql)),
+    QueryDef("q28_token_count", q28, Some(q28Sql)),
+    QueryDef("q29_fingerprint", q29, Some(q29Sql)))
+}
