@@ -18,7 +18,9 @@ object Functions {
     val brToSpace = regexp_replace(c, "<br\\s*/?>", " ")
     val noTags    = regexp_replace(brToSpace, "<[^>]+>", "")
     val unescaped = HtmlUnescape(noTags)
-    val collapsed = trim(regexp_replace(unescaped, "\\s+", " "))
+    // \s in Java regex misses U+00A0 (which &nbsp; decodes to); Python's \s
+    // matches it, so include it explicitly for reference parity.
+    val collapsed = trim(regexp_replace(unescaped, "[\\s\\u00A0]+", " "))
     when(collapsed === "", lit(null)).otherwise(collapsed)
   }
 

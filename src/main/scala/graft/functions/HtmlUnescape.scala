@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object HtmlUnescape {
   private val named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ")
+    "apos" -> "'", "nbsp" -> "\u00a0")
 
   /** Static decode used by both interpreted eval and generated code. */
   def decode(s: UTF8String): UTF8String = {

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlUnescape
+
+class HtmlUnescapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run through a real column (not a foldable literal) so whole-stage
+    * codegen executes the generated path, not interpreted eval. */
+  private def decode(s: String): String =
+    Seq(s).toDF("v").select(HtmlUnescape($"v")).collect()(0).getString(0)
+
+  test("named entities") {
+    assert(decode("a &amp; b") == "a & b")
+    assert(decode("&lt;x&gt;") == "<x>")
+    assert(decode("&quot;q&quot; &apos;a&apos;") == "\"q\" 'a'")
+    assert(decode("a&nbsp;b") == "a\u00a0b") // html.unescape parity: U+00A0
+  }
+
+  test("numeric and hex entities") {
+    assert(decode("&#39;") == "'")
+    assert(decode("&#x27;") == "'")
+    assert(decode("&#X27;") == "'")
+    assert(decode("&#128169;") == new String(Character.toChars(128169)))
+  }
+
+  test("malformed entities pass through literally") {
+    assert(decode("a & b") == "a & b")                 // bare ampersand
+    assert(decode("&unknown;") == "&unknown;")         // unknown name
+    assert(decode("&amp") == "&amp")                   // missing semicolon
+    assert(decode("&#xZZ;") == "&#xZZ;")               // bad hex
+    assert(decode("&waytoolongentity;") == "&waytoolongentity;")
+  }
+
+  test("null propagates") {
+    val r = Seq((null: String)).toDF("v").select(HtmlUnescape($"v")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("no-entity fast path returns input unchanged") {
+    assert(decode("plain text with no entities") == "plain text with no entities")
+  }
+}
