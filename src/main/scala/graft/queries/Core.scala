@@ -303,13 +303,21 @@ object Core {
   private def q09(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
+    // 150k groups: decimal agg buffers >18 digits are variable-width and
+    // slow in the hash map — sum exact integer 10^-4-dollar units as LONG
+    // instead (fixed-width, codegen'd), then round half-up in integer space.
+    // Identical value to round(sum(decimal product), 2).
+    val cents = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val disc100 = (decPct(col("l_discount")) * 100).cast("long")
     val perOrder = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(
-        round(sum(dec2(col("l_extendedprice")) * (lit(1) - decPct(col("l_discount")))), 2)
-          .cast("double").as("total_engagement"),
+        sum(cents * (lit(100L) - disc100)).as("eng4"),
         sum("l_quantity").as("total_qty"),
         count(lit(1)).as("n_items"))
+      .withColumn("total_engagement",
+        floor((col("eng4") * 2 + 100) / 200) / 100.0)
+      .drop("eng4")
     val hours = F.hoursSince(lit(PinnedNow).cast("timestamp"), col("o_orderdate"))
     perOrder
       .withColumn("hours_since", hours)
@@ -328,7 +336,9 @@ object Core {
   private val q09Sql =
     s"""WITH per_order AS (
       |  SELECT o.o_orderkey, o.o_orderdate,
-      |    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_engagement,
+      |    FLOOR((SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)
+      |               * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2))*100 AS BIGINT))) * 2 + 100)
+      |          / 200) / 100.0 AS total_engagement,
       |    SUM(l.l_quantity) AS total_qty, COUNT(*) AS n_items
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |  GROUP BY 1, 2),

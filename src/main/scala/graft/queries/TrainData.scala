@@ -22,14 +22,24 @@ import graft.engine.Tables
   */
 object TrainData {
 
+  /** The per-doc shingle/hash derivations are CPU-bound (interpreted
+    * higher-order functions); a small single-file scan would pin them to
+    * one task, so spread the corpus across the cluster first. On a real
+    * lake the scan already has thousands of splits and this is a no-op
+    * cost-wise (one round-robin shuffle of doc_id+text). */
+  private def docsParallel(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
+  private def embParallel(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
   private def tokens(c: Column): Column = split(c, " ")
-  /** Distinct word-bigram shingles, 0-based (element_at is 1-based). */
-  private def bigrams(t: Column): Column = array_distinct(
+  /** Word-bigram shingles, 0-based (element_at is 1-based). */
+  private def bigramsAll(t: Column): Column =
     transform(sequence(lit(0), size(t) - 2),
-      i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
-  /** One MinHash component: lexicographic min of salted md5 over a set. */
-  private def minhash(set: Column, salt: Int): Column =
-    array_min(transform(set, s => md5(concat(lit(s"$salt:"), s))))
+      i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
+  /** Distinct shingle set (for set-cardinality math like Jaccard). */
+  private def bigrams(t: Column): Column = array_distinct(bigramsAll(t))
 
   // ── q20: exact dedup — content-hash groups (sha2 ≡ DuckDB sha256). ──
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -49,9 +59,17 @@ object TrainData {
   // join on the first component; candidate pairs scored by signature
   // agreement. ──
   private def q21(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val sigs = d.select(col("doc_id"), bigrams(tokens(col("text"))).as("sg"))
-      .select(col("doc_id") +: (1 to 4).map(j => minhash(col("sg"), j).as(s"mh$j")): _*)
+    val d = docsParallel(spark, dir)
+    // Signatures via explode → groupBy(min): md5 and min stay inside
+    // whole-stage codegen, unlike array_min(transform(...)) lambdas which
+    // evaluate interpreted per element. min over the multiset equals min
+    // over the distinct set, so no array_distinct needed. persist: both
+    // sides of the band self-join read the signatures — the standard
+    // materialize-signatures step at scale.
+    val ex = d.select(col("doc_id"), explode(bigramsAll(tokens(col("text")))).as("s"))
+    val mins = (1 to 4).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
+    val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
     val a = sigs.select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
     val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
     val matches = (1 to 4)
@@ -89,7 +107,7 @@ object TrainData {
   private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   private def q22(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docsParallel(spark, dir)
     val tok = d.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -129,9 +147,10 @@ object TrainData {
   // ints → bit-identical double in both engines. ──
   private def q23(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(col("doc_id") < 40)
-    val sh = d.select(col("doc_id"), bigrams(tokens(col("text"))).as("sg"))
-    val sizes = sh.select(col("doc_id"), size(col("sg")).as("n_sg"))
-    val ex = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ex = d.select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("s"))
+      .persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sg"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -175,7 +194,7 @@ object TrainData {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = embParallel(spark, dir)
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
@@ -219,7 +238,7 @@ object TrainData {
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   private def q25(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = embParallel(spark, dir)
       .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
