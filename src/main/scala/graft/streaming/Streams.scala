@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10 — the reference is
+  * batch-only with cross-run incrementality; these are the streaming
+  * analogs its daily/hourly rollups and crawl sessions map onto).
+  *
+  * All transforms take/return unbounded DataFrames: callers wire
+  * `spark.readStream...` sources and `writeStream` sinks. Watermarks bound
+  * state at scale; the stateful sessionizer keys by user so state shards
+  * across executors with the shuffle.
+  */
+object Streams {
+
+  /** Tumbling-window event rollup with late-data handling — the streaming
+    * analog of the hourly posting-pattern rollup (gold MV #5). State is
+    * dropped `watermarkDelay` past the window end. */
+  def windowedCounts(events: DataFrame,
+                     watermarkDelay: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Timestamp, lastTs: Timestamp,
+                                nEvents: Long, totalValue: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives within `gapMs` of the last one. Event-time
+    * timeouts keyed to the watermark make emission deterministic (a
+    * processing-time timeout would re-trigger on wall-clock); state is one
+    * small struct per open session, sharded by the group-key shuffle. The
+    * reference's crawl-run pagination loop is the batch analog of one
+    * session. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
+                  cur = Some(s.copy(lastTs = e.ts, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes lastTs + gap
+              state.setTimeoutTimestamp(s.lastTs.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Incremental append with key-dedup — the streaming analog of the
+    * reference's cross-run `id` upsert: keep first arrival per event id
+    * within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (Long, String, Array[Byte])*) = {
+    val data = rows.map { case (id, mt, bytes) =>
+      Row(id, mt, bytes, Row("synthetic", 100, 50, 1000L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2),
+      Multimodal.mediaSchema)
+  }
+
+  test("featurize emits the contracted schema with deterministic features") {
+    val df = media((1L, "image", "hello world".getBytes("UTF-8")),
+      (2L, "audio", Array[Byte](1, 2, 3)))
+    val out = Multimodal.featurize(df)
+    assert(out.schema == Multimodal.featureSchema)
+    val r = out.orderBy("media_id").collect()
+    assert(r(0).getAs[Int]("n_bytes") == 11)
+    assert(r(0).getAs[String]("content_digest") ==
+      // md5("hello world") — stable, engine-independent
+      "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    val f1 = r(0).getSeq[Float](r(0).fieldIndex("feature"))
+    assert(f1.length == 8 && math.abs(f1.sum - 1.0f) < 1e-6)
+    // determinism across runs
+    val again = Multimodal.featurize(df).orderBy("media_id").collect()
+    assert(again(0).getSeq[Float](again(0).fieldIndex("feature")) == f1)
+  }
+
+  test("featurize batches within partitions (batch boundary has no effect)") {
+    val rows = (1L to 100L).map(i => (i, "image", Array.fill(10)(i.toByte)))
+    val small = Multimodal.featurize(media(rows: _*), batchSize = 7).orderBy("media_id").collect()
+    val large = Multimodal.featurize(media(rows: _*), batchSize = 64).orderBy("media_id").collect()
+    assert(small.toSeq == large.toSeq)
+    assert(small.length == 100)
+  }
+
+  test("featurize handles null and empty payloads") {
+    val df = media((1L, "image", Array.emptyByteArray), (2L, "image", null))
+    val out = Multimodal.featurize(df).orderBy("media_id").collect()
+    assert(out.forall(_.getAs[Int]("n_bytes") == 0))
+    assert(out.forall(r => r.getSeq[Float](r.fieldIndex("feature")).length == 8))
+  }
+
+  test("sampleFrames fans each video into k covering slices") {
+    val bytes = (0 until 10).map(_.toByte).toArray
+    val df = media((1L, "video", bytes), (2L, "image", bytes))
+    val out = Multimodal.sampleFrames(df, k = 3).orderBy("media_id", "frame_index").collect()
+    assert(out.length == 3) // image rows excluded
+    val slices = out.map(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(slices.map(_.length).sum == 10) // slices cover the payload
+    assert(slices.flatten.toSeq == bytes.toSeq)
+  }
+
+  test("syntheticMedia builds the media schema from the test documents") {
+    val df = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    assert(df.schema == Multimodal.mediaSchema ||
+      df.schema.fieldNames.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(df.count() > 0)
+    val types = df.select("media_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+}

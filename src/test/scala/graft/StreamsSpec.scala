@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling windows and drops late data past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedCounts(in.toDF(), watermarkDelay = "10 minutes",
+        windowLen = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.00),
+        Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.00),
+        Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.00))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      in.addData(Event(4, ts("2024-01-01 13:00:00"), 1, "click", 4.00))
+      q.processAllAvailable()
+      // this event is far behind the watermark -> dropped
+      in.addData(Event(5, ts("2024-01-01 10:10:00"), 3, "click", 99.00))
+      q.processAllAvailable()
+      in.addData(Event(6, ts("2024-01-01 15:00:00"), 1, "click", 0.50))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.00)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 3.00)))
+      // the late row for 10:00 must NOT appear as an extra window emission
+      assert(!rows.exists { case (w, t, _, v) => w == "2024-01-01 10:00:00.0" && v == 99.00 })
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps first arrival per event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:02:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts("2024-01-01 10:03:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapMs = 10 * 60 * 1000L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // burst for user 1 and a lone event for user 2
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(3, ts("2024-01-01 10:07:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      // a much later event: splits user 1's session in-function AND pushes
+      // the watermark past user 2's timeout (10:17)
+      in.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Streams.Session].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString,
+          s.n_events, s.total_value)).toSet
+      assert(sessions.contains(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L, 3.0)))
+      assert(sessions.contains(
+        (2L, "2024-01-01 10:07:00.0", "2024-01-01 10:07:00.0", 1L, 5.0)))
+      assert(sessions.size == 2) // user 1's second session still open
+    } finally q.stop()
+  }
+}
