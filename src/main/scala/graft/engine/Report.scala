@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Notifier-stage aggregates (reference: src/notifier/discord_notifier.py —
+  * summary stats, language distribution, top-5 positive/negative toots and
+  * the negative-sentiment alert predicate), as pure DataFrames/values with
+  * no webhook side effects.
+  */
+object Report {
+
+  final case class Summary(nToots: Long, nAccounts: Long, totalEngagement: Long,
+                           maxEngagement: Long, minCreatedAt: java.sql.Timestamp,
+                           maxCreatedAt: java.sql.Timestamp)
+
+  /** discord_notifier.py:79-111 — scalar run summary. */
+  def summary(fact: DataFrame): Summary = {
+    val r: Row = fact.agg(
+      count(lit(1)).as("n"),
+      countDistinct("account_key").as("na"),
+      coalesce(sum("total_engagement"), lit(0L)).as("te"),
+      coalesce(max("total_engagement"), lit(0L)).as("me"),
+      min("created_at").as("minc"),
+      max("created_at").as("maxc")).collect()(0)
+    Summary(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getTimestamp(4), r.getTimestamp(5))
+  }
+
+  /** discord_notifier.py:115-121 — top language distribution. */
+  def languageDistribution(fact: DataFrame, topN: Int = 5): DataFrame =
+    fact.filter(col("language").isNotNull)
+      .groupBy("language").agg(count(lit(1)).as("n_toots"))
+      .orderBy(col("n_toots").desc, col("language"))
+      .limit(topN)
+
+  /** discord_notifier.py:96-100 — sentiment counts. */
+  def sentimentCounts(fact: DataFrame): DataFrame =
+    fact.groupBy(coalesce(col("sentiment_label"), lit("Unscored")).as("sentiment"))
+      .agg(count(lit(1)).as("n_toots"))
+
+  /** discord_notifier.py:379-384,463-468 — top-k by sentiment polarity
+    * (sort desc + head(k), planned as TakeOrderedAndProject). */
+  def topBySentiment(fact: DataFrame, label: String, k: Int = 5): DataFrame =
+    fact.filter(lower(col("sentiment_label")) === label.toLowerCase)
+      .orderBy(col("sentiment_score").desc, col("toot_id"))
+      .limit(k)
+      .select("toot_id", "sentiment_score", "total_engagement", "language")
+
+  /** discord_notifier.py:154-166 — alert when negative toots outnumber
+    * positive + neutral combined. */
+  def negativeAlert(fact: DataFrame): Boolean = {
+    val r = fact.agg(
+      sum(when(col("sentiment_label") === "Negative", 1L).otherwise(0L)),
+      sum(when(col("sentiment_label") =!= "Negative" || col("sentiment_label").isNull, 1L)
+        .otherwise(0L))).collect()(0)
+    r.getLong(0) > r.getLong(1)
+  }
+}

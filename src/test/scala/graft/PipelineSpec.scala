@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.engine.{Pipeline, Star}
+
+/** End-to-end lake pipeline: two incremental runs exercising bronze upsert,
+  * SCD2 history accumulation, fact rebuild, gold refresh and the report. */
+class PipelineSpec extends SparkSpec {
+
+  private val rawSchema = StructType(Seq(
+    "id", "in_reply_to_id", "in_reply_to_account_id", "spoiler_text",
+    "visibility", "language", "uri", "url", "content", "reblog", "account",
+    "media_attachments", "mentions", "tags", "emojis", "quote", "card",
+    "poll", "quote_approval", "application", "account_id",
+    "account_username", "account_display_name").map(StructField(_, StringType))
+    ++ Seq("replies_count", "reblogs_count", "favourites_count", "quotes_count")
+      .map(StructField(_, LongType))
+    ++ Seq(StructField("sensitive", BooleanType),
+      StructField("created_at", TimestampType),
+      StructField("edited_at", TimestampType)))
+
+  private def toot(id: String, acct: String, followers: Long, replies: Long,
+                   reblogs: Long, createdAt: String,
+                   tags: String = """[{"name":"ai"}]""",
+                   lang: String = "en"): Row =
+    Row.fromSeq(Seq(id, null, null, null, "public", lang, "u", "u",
+      s"<p>content of $id</p>", null,
+      s"""{"followers_count": $followers, "following_count": 10, "statuses_count": 5, "bot": false, "created_at": "2020-01-01T00:00:00"}""",
+      null, null, tags, null, null, null, null, null, null,
+      acct, s"user-$acct", s"User $acct",
+      replies, reblogs, 2L, 1L, java.lang.Boolean.FALSE,
+      Timestamp.valueOf(createdAt), null))
+
+  private def df(rows: Row*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), rawSchema)
+
+  test("two incremental runs: upsert, SCD2 history, gold refresh, report") {
+    val lake = Files.createTempDirectory("graft-lake").toString
+    val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-03 00:00:00")
+
+    // run 1: two toots from two accounts
+    val r1 = Pipeline.run(spark,
+      df(toot("t1", "a1", 500, 3, 2, "2024-01-01 10:00:00"),
+        toot("t2", "a2", 50000, 1, 0, "2024-01-01 12:00:00")),
+      lake, t1, "run-1")
+    assert(r1.bronzeRows == 2 && r1.factRows == 2)
+    assert(r1.goldTables("daily_engagement_summary") == 1) // one date
+    assert(r1.summary.nToots == 2)
+    assert(!r1.negativeAlert)
+
+    // run 2: t1 re-crawled with higher counts (upsert), a1's followers grew
+    // past the 10k tier boundary (SCD2 change), plus one new toot
+    val r2 = Pipeline.run(spark,
+      df(toot("t1", "a1", 20000, 10, 5, "2024-01-01 10:00:00"),
+        toot("t3", "a3", 9, 0, 0, "2024-01-02 09:00:00")),
+      lake, t2, "run-2")
+
+    // bronze: t1 upserted (not duplicated), t2 retained, t3 appended
+    assert(r2.bronzeRows == 3)
+    val bronze = spark.read.parquet(s"$lake/bronze")
+    val t1row = bronze.filter(bronze("id") === "t1").collect()(0)
+    assert(t1row.getAs[Long]("replies_count") == 10L)
+    assert(t1row.getAs[String]("pipeline_run_id") == "run-2")
+
+    // dim_account: a1 has history (expired Micro row + current Mid row)
+    val acc = spark.read.parquet(s"$lake/silver/dim_account")
+    val a1 = acc.filter(acc("account_id") === "a1").collect()
+    assert(a1.length == 2)
+    val (cur, old) = a1.partition(_.getAs[Boolean]("is_current"))
+    assert(cur.length == 1 && cur(0).getAs[Long]("account_followers_count") == 20000L
+      && cur(0).getAs[String]("influence_tier") == "Mid")
+    assert(old(0).getAs[Timestamp]("valid_to") == t2
+      && old(0).getAs[String]("influence_tier") == "Micro")
+    // exactly one current row per account
+    assert(acc.filter(acc("is_current")).count() == 3)
+
+    // fact joins the CURRENT account version
+    val fact = spark.read.parquet(s"$lake/silver/fact")
+    assert(r2.factRows == 3)
+    val t1fact = fact.filter(fact("toot_id") === "t1").collect()(0)
+    assert(t1fact.getAs[Long]("account_key") ==
+      cur(0).getAs[Long]("account_key"))
+    assert(t1fact.getAs[Long]("total_engagement") == 10L + 5L + 2L + 1L)
+
+    // gold refreshed over both dates
+    assert(r2.goldTables("daily_engagement_summary") == 2)
+    assert(r2.goldTables("hashtag_performance") >= 1) // "ai" tagged 3 toots
+    val viral = spark.read.parquet(s"$lake/gold/viral_content")
+    assert(viral.count() == r2.goldTables("viral_content"))
+
+    // report reflects the merged lake
+    assert(r2.summary.nToots == 3)
+    assert(r2.summary.totalEngagement ==
+      fact.agg(org.apache.spark.sql.functions.sum("total_engagement"))
+        .collect()(0).getLong(0))
+  }
+
+  test("sentiment band join leaves sub-0.5 scores unmatched (seed quirk kept)") {
+    import org.apache.spark.sql.functions._
+    val lake = Files.createTempDirectory("graft-lake2").toString
+    val rows = (1 to 8).map(i =>
+      toot(s"x$i", s"acc$i", 100, 1, 1, "2024-01-01 10:00:00"))
+    Pipeline.run(spark, df(rows: _*), lake,
+      Timestamp.valueOf("2024-01-02 00:00:00"), "r1")
+    val fact = spark.read.parquet(s"$lake/silver/fact")
+    // Neutral label rows (score < .75) always match the Neutral [0,1.01)
+    // bucket; Positive/Negative rows match their >= .75 buckets.
+    val mism = fact.filter(col("sentiment_key").isNull).count()
+    assert(mism == 0) // stand-in scorer labels guarantee in-bucket scores
+    val dimSent = spark.read.parquet(s"$lake/silver/dim_sentiment")
+    assert(dimSent.count() == 5)
+  }
+}
