@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Functions => F, Tables}
+
+/** Profiling / reporting operator surface: per-column null counts (A4),
+  * scalar summary stats (A2/A5), threshold-label scoring (F16 shape), and
+  * the calendar-dimension build (F7, silver dim_date).
+  */
+object Profile {
+
+  // ── q30: data-quality null profile (A4) — apply the quality rules, then
+  // count the nulls they introduce, one pass, single row. ──
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("v_shift", F.nullIfNegative(col("value") - 20.0))
+      .withColumn("etype_cap", F.nullIfLongerThan(col("event_type"), 4))
+    e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v_shift").isNull, 1L).otherwise(0L)).as("null_v_shift"),
+      sum(when(col("etype_cap").isNull, 1L).otherwise(0L)).as("null_etype_cap"),
+      countDistinct("event_type").as("n_event_types"))
+  }
+
+  private val q30Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN CASE WHEN value - 20.0 < 0 THEN NULL ELSE value - 20.0 END IS NULL
+      |      THEN 1 ELSE 0 END) AS null_v_shift,
+      |  SUM(CASE WHEN CASE WHEN length(event_type) > 4 THEN NULL ELSE event_type END IS NULL
+      |      THEN 1 ELSE 0 END) AS null_etype_cap,
+      |  COUNT(DISTINCT event_type) AS n_event_types
+      |FROM events""".stripMargin
+
+  // ── q31: pluggable score + threshold labels (F16 shape) + top-k per
+  // label (O2). Portable deterministic score from integer arithmetic. ──
+  private def score(nChars: org.apache.spark.sql.Column) =
+    pmod(nChars * lit(2654435761L), lit(1000L)) / lit(1000.0)
+
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("score", score(col("n_chars")))
+      .withColumn("label",
+        F.sentimentLabel(col("score"), positiveIf = col("n_chars") % 2 === 0))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label").orderBy(col("score").desc, col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("label"), col("rk").cast("int").as("rk"), col("doc_id"),
+        col("score"), col("lang"))
+      .orderBy("label", "rk")
+  }
+
+  private val q31Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, ((n_chars * 2654435761) % 1000) / 1000.0 AS score,
+      |    CASE WHEN ((n_chars * 2654435761) % 1000) / 1000.0 < 0.75 THEN 'Neutral'
+      |         WHEN n_chars % 2 = 0 THEN 'Positive' ELSE 'Negative' END AS label
+      |  FROM documents)
+      |SELECT label, CAST(rk AS INT) AS rk, doc_id, score, lang FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      |            ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY label, rk""".stripMargin
+
+  // ── q32: scalar run-summary (A2/A5, the notifier stats): one row of
+  // min/max/count/sum over the fact slice. ──
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct("o_custkey").as("n_customers"),
+      F.sumMoney(col("o_totalprice")).as("total_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"),
+      min(to_date(col("o_orderdate"))).as("first_date"),
+      max(to_date(col("o_orderdate"))).as("last_date"))
+  }
+
+  private val q32Sql =
+    s"""SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  ${OracleSql.sumMoneySql("o_totalprice")} AS total_price,
+      |  ROUND(MAX(o_totalprice), 2) AS max_price,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_date,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders""".stripMargin
+
+  // ── q33: calendar dimension build (F7 / silver dim_date) — full
+  // date-part derivation with PG DOW semantics over observed dates. ──
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(to_date(col("o_orderdate")).as("full_date")).distinct()
+      .select(
+        F.dateKey(col("full_date")).as("date_key"),
+        col("full_date"),
+        year(col("full_date")).as("year"),
+        quarter(col("full_date")).as("quarter"),
+        month(col("full_date")).as("month"),
+        weekofyear(col("full_date")).as("week"),
+        F.dow0(col("full_date")).as("day_of_week"),
+        F.dayName(col("full_date")).as("day_name"),
+        F.monthName(col("full_date")).as("month_name"),
+        F.isWeekend(col("full_date")).as("is_weekend"))
+      .orderBy("date_key")
+  }
+
+  private val q33Sql =
+    """SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key, full_date,
+      |  CAST(year(full_date) AS INT) AS year,
+      |  CAST(quarter(full_date) AS INT) AS quarter,
+      |  CAST(month(full_date) AS INT) AS month,
+      |  CAST(weekofyear(full_date) AS INT) AS week,
+      |  CAST(dayofweek(full_date) AS INT) AS day_of_week,
+      |  dayname(full_date) AS day_name,
+      |  monthname(full_date) AS month_name,
+      |  dayofweek(full_date) IN (0, 6) AS is_weekend
+      |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
+      |ORDER BY date_key""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_null_profile", q30, Some(q30Sql)),
+    QueryDef("q31_score_labels", q31, Some(q31Sql)),
+    QueryDef("q32_summary_stats", q32, Some(q32Sql)),
+    QueryDef("q33_date_dim", q33, Some(q33Sql)))
+}

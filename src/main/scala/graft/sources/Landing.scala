@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Schemas
+
+/** Source/sink surface (SURVEY.md §2.1). The REST crawl itself is an
+  * ingest-job concern (S1); the engine's contract starts at landed files.
+  */
+object Landing {
+
+  /** S1/S2 — read landed raw-toot JSON (one object per line) with the
+    * pinned explicit schema; malformed records surface in
+    * `_corrupt_record` instead of failing the batch (the reference's
+    * safe_* coercions return NULL on bad fields the same way). */
+  def readRawJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawToot.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** S4 — CSV fallback sink (main.py:127-129 writes the batch to CSV when
+    * the bronze load fails). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S8 — ordered DDL executor: run every .sql file under `dir` in
+    * filename order (model_executor.py:32-137; ordering by name at :80).
+    * Statements are split on ';' at line ends, comments dropped. */
+  def applyModels(spark: SparkSession, dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
+    files.flatMap { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val statements = text.split(";")
+        .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
+        .filter(_.nonEmpty)
+      statements.map { s => spark.sql(s); s"${f.getName}: OK" }
+    }.toSeq
+  }
+
+  /** S9 — stats probes over a loaded layer: row count, ingestion
+    * high-water mark, distinct run count (bronze_loader.py:190-224). */
+  def layerStats(df: DataFrame): (Long, java.sql.Timestamp, Long) = {
+    val r = df.agg(
+      count(lit(1)),
+      max(col("ingestion_timestamp")),
+      countDistinct(col("pipeline_run_id"))).collect()(0)
+    (r.getLong(0), r.getTimestamp(1), r.getLong(2))
+  }
+}

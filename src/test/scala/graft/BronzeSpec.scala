@@ -8,17 +8,7 @@ import graft.engine.Bronze
 /** Bronze transform chain over literal raw-toot rows (FIXTURES.md §B1). */
 class BronzeSpec extends SparkSpec {
 
-  private val rawSchema = StructType(Seq(
-    "id", "in_reply_to_id", "in_reply_to_account_id", "spoiler_text",
-    "visibility", "language", "uri", "url", "content", "reblog", "account",
-    "media_attachments", "mentions", "tags", "emojis", "quote", "card",
-    "poll", "quote_approval", "application", "account_id",
-    "account_username", "account_display_name").map(StructField(_, StringType))
-    ++ Seq("replies_count", "reblogs_count", "favourites_count", "quotes_count")
-      .map(StructField(_, LongType))
-    ++ Seq(StructField("sensitive", BooleanType),
-      StructField("created_at", TimestampType),
-      StructField("edited_at", TimestampType)))
+  private val rawSchema = graft.engine.Schemas.rawToot
 
   private def mkRow(id: String,
                     content: String = "<p>Hello<br>world &amp; more</p>",

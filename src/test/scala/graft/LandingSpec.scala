@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Landing
+
+class LandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readRawJson pins the explicit schema and isolates corrupt records") {
+    val dir = Files.createTempDirectory("graft-raw").toString
+    val good = """{"id":"t1","content":"<p>hi</p>","replies_count":3,"sensitive":false,"created_at":"2024-01-01T10:00:00.000Z","language":"en"}"""
+    val bad = """{"id":"t2", BROKEN"""
+    Files.write(java.nio.file.Paths.get(dir, "page1.json"),
+      (good + "\n" + bad).getBytes("UTF-8"))
+    val df = Landing.readRawJson(spark, dir)
+    assert(df.schema.fieldNames.contains("_corrupt_record"))
+    assert(df.schema("replies_count").dataType.typeName == "long")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val ok = rows.find(_.getAs[String]("id") == "t1").get
+    assert(ok.getAs[Long]("replies_count") == 3L && ok.getAs[String]("language") == "en")
+    val corrupt = rows.find(r => r.getAs[String]("_corrupt_record") != null).get
+    assert(corrupt.getAs[String]("id") == null)
+  }
+
+  test("writeCsv round-trips with header") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    Landing.writeCsv(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq == Seq("k", "v") && back.count() == 2)
+  }
+
+  test("applyModels runs .sql files in filename order") {
+    val dir = Files.createTempDirectory("graft-ddl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "02_second.sql"),
+      "-- derives from the first model\nCREATE OR REPLACE TEMP VIEW m2 AS SELECT x * 2 AS y FROM m1;".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "01_first.sql"),
+      "CREATE OR REPLACE TEMP VIEW m1 AS SELECT 21 AS x;".getBytes)
+    val results = Landing.applyModels(spark, dir)
+    assert(results == Seq("01_first.sql: OK", "02_second.sql: OK"))
+    assert(spark.table("m2").collect()(0).getInt(0) == 42)
+  }
+
+  test("layerStats reports count, high-water mark, run count") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "r1"),
+      ("b", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "r2"),
+      ("c", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "r1")
+    ).toDF("id", "ingestion_timestamp", "pipeline_run_id")
+    val (n, hwm, runs) = Landing.layerStats(df)
+    assert(n == 3 && hwm == java.sql.Timestamp.valueOf("2024-01-02 00:00:00") && runs == 2)
+  }
+}

@@ -10,17 +10,7 @@ import graft.engine.{Pipeline, Star}
   * SCD2 history accumulation, fact rebuild, gold refresh and the report. */
 class PipelineSpec extends SparkSpec {
 
-  private val rawSchema = StructType(Seq(
-    "id", "in_reply_to_id", "in_reply_to_account_id", "spoiler_text",
-    "visibility", "language", "uri", "url", "content", "reblog", "account",
-    "media_attachments", "mentions", "tags", "emojis", "quote", "card",
-    "poll", "quote_approval", "application", "account_id",
-    "account_username", "account_display_name").map(StructField(_, StringType))
-    ++ Seq("replies_count", "reblogs_count", "favourites_count", "quotes_count")
-      .map(StructField(_, LongType))
-    ++ Seq(StructField("sensitive", BooleanType),
-      StructField("created_at", TimestampType),
-      StructField("edited_at", TimestampType)))
+  private val rawSchema = graft.engine.Schemas.rawToot
 
   private def toot(id: String, acct: String, followers: Long, replies: Long,
                    reblogs: Long, createdAt: String,
