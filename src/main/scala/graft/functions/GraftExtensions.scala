@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — registers graft's custom Catalyst
+  * expressions as SQL functions so `spark.sql("SELECT html_unescape(c)")`
+  * works alongside the Column API. Wire at build time with
+  * `.withExtensions(new GraftExtensions)` or
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`,
+  * or onto an already-running session with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      new FunctionIdentifier("html_unescape"),
+      new ExpressionInfo(classOf[HtmlUnescapeExpr].getName, "html_unescape"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "html_unescape expects exactly 1 argument")
+        HtmlUnescapeExpr(children.head)
+      }))
+
+  /** Register into a live session's function registry (extensions given to
+    * the builder only apply at first session creation). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

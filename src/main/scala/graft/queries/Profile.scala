@@ -116,9 +116,57 @@ object Profile {
       |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
       |ORDER BY date_key""".stripMargin
 
+  // ── q34: rollup (GROUPING SETS) — subtotal hierarchy year→quarter with
+  // grouping_id distinguishing total rows; integer measures stay exact. ──
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+        col("o_orderkey"))
+      .rollup("y", "q")
+      .agg(count(lit(1)).as("n_orders"), grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("y"), col("q"))
+  }
+
+  private val q34Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  COUNT(*) AS n_orders,
+      |  CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(quarter(o_orderdate)) AS INT) AS gid
+      |FROM orders
+      |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+      |ORDER BY gid, y, q""".stripMargin
+
+  // ── q35: window frame — running engagement total per customer in order
+  // date order (ROWS UNBOUNDED PRECEDING), exact integer money units. ──
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 100)
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), cents.as("cents"))
+      .withColumn("running_cents", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        (col("running_cents") / 100.0).as("running_total"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  private val q35Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+      |    AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
     QueryDef("q32_summary_stats", q32, Some(q32Sql)),
-    QueryDef("q33_date_dim", q33, Some(q33Sql)))
+    QueryDef("q33_date_dim", q33, Some(q33Sql)),
+    QueryDef("q34_rollup", q34, Some(q34Sql)),
+    QueryDef("q35_running_total", q35, Some(q35Sql)))
 }
