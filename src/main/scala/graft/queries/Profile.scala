@@ -162,11 +162,37 @@ object Profile {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  // ── q36: multimodal feature stats — drives the binary-column
+  // featurization (mapPartitions batched "decode") end-to-end; the oracle
+  // reproduces payload size and digest because the synthetic payloads are
+  // the ASCII text bytes. ──
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.engine.Multimodal.syntheticMedia(spark, dir)
+    graft.engine.Multimodal.featurize(media)
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        countDistinct("content_digest").as("n_distinct_payloads"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("media_type")
+  }
+
+  private val q36Sql =
+    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  COUNT(*) AS n_media,
+      |  SUM(length(text)) AS total_bytes,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
+      |  MAX(length(text)) AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
     QueryDef("q32_summary_stats", q32, Some(q32Sql)),
     QueryDef("q33_date_dim", q33, Some(q33Sql)),
     QueryDef("q34_rollup", q34, Some(q34Sql)),
-    QueryDef("q35_running_total", q35, Some(q35Sql)))
+    QueryDef("q35_running_total", q35, Some(q35Sql)),
+    QueryDef("q36_multimodal_stats", q36, Some(q36Sql)))
 }
