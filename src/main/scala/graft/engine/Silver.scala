@@ -84,6 +84,27 @@ object Silver {
       .unionByName(newRows.select(order.map(col): _*))
   }
 
+  /** Skew-safe aggregation: pre-aggregate on (key, salt) so one hot key
+    * spreads over `buckets` reducers, then combine partials per key. Only
+    * valid for decomposable aggregates (sum/count/min/max — pass the
+    * partial-combine expressions for the second phase). At 100 TB a single
+    * viral key would otherwise pin one reducer; AQE skew handling covers
+    * joins, this covers aggregations. */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+                partial: Seq[(String, Column)],
+                combine: Seq[(String, Column => Column)],
+                buckets: Int = 16): DataFrame = {
+    require(partial.map(_._1) == combine.map(_._1), "phase column names must align")
+    val salted = df.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(combine.head._2(col(combine.head._1)).as(combine.head._1),
+        combine.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+  }
+
   /** J8 — referential validation probe: count of fact rows whose FK is
     * non-null but missing from the dimension. Reference: silver_etl.py:452-459. */
   def missingFkCount(fact: DataFrame, factKey: String, dim: DataFrame,

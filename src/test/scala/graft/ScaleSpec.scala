@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.Silver
+
+/** Scale-pattern checks: salted aggregation equivalence, and bucketed
+  * tables joining without a shuffle (the co-location path for big joins). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals direct aggregation on skewed keys") {
+    // 90% of rows share one hot key
+    val rows = (1 to 2000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = Silver.saltedAgg(df, Seq("k"),
+      partial = Seq("s" -> sum(col("v")), "n" -> count(lit(1)), "m" -> max(col("v"))),
+      combine = Seq("s" -> (c => sum(c)), "n" -> (c => sum(c)), "m" -> (c => max(c))),
+      buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val db = "graft_bucket_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    try {
+      val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+      val right = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "rv")
+      left.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable(s"$db.lhs")
+      right.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable(s"$db.rhs")
+      val joined = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
+        case _ =>
+          spark.sql(s"SET spark.sql.autoBroadcastJoinThreshold=-1")
+          spark.table(s"$db.lhs").join(spark.table(s"$db.rhs"), "k")
+      }
+      val plan = joined.queryExecution.executedPlan.toString
+      // SortMergeJoin reading bucketed scans directly — no shuffle exchange
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        plan.take(800))
+      assert(joined.count() == 1000)
+      spark.sql(s"SET spark.sql.autoBroadcastJoinThreshold=10485760")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
+  test("avgMoney matches a BigDecimal reference over randomized inputs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val cents = List.fill(200)(rnd.nextInt(2000000))
+      val df = cents.map(_ / 100.0).toDF("v")
+      val got = df.agg(graft.engine.Functions.avgMoney($"v", count(lit(1))))
+        .collect()(0).getDouble(0)
+      val want = (cents.map(BigDecimal(_)).sum / 100 / cents.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"got $got want $want")
+    }
+  }
+}
