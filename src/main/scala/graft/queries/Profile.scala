@@ -187,6 +187,41 @@ object Profile {
       |  MAX(length(text)) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
+  // ── q37: exact percentiles — Spark `percentile` and DuckDB
+  // `quantile_cont` share linear interpolation; over integer-valued
+  // quantities the results are bit-identical. ──
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99)").as("p99_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q37Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_quantity, 0.99) AS p99_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ── q38: approximate distinct (HLL++) — the opt-in perf variant of
+  // COUNT(DISTINCT) for 100 TB cardinalities. Sketches are
+  // engine-specific, so no SQL oracle (driver records a rows-only check);
+  // ProfileSpec bounds the estimate against the exact count instead. ──
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
@@ -194,5 +229,7 @@ object Profile {
     QueryDef("q33_date_dim", q33, Some(q33Sql)),
     QueryDef("q34_rollup", q34, Some(q34Sql)),
     QueryDef("q35_running_total", q35, Some(q35Sql)),
-    QueryDef("q36_multimodal_stats", q36, Some(q36Sql)))
+    QueryDef("q36_multimodal_stats", q36, Some(q36Sql)),
+    QueryDef("q37_percentiles", q37, Some(q37Sql)),
+    QueryDef("q38_approx_distinct", q38, None))
 }
