@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{Gold, Report}
+
+/** Gold queries over hand-computed fixtures (FIXTURES.md §B4): mode ties,
+  * LAG first-row NULL, HAVING boundary, viral threshold boundary, empty
+  * tag exclusion — plus the notifier aggregates. */
+class GoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // toot_id, content_key, date_key, account_key, sentiment_key, created_at,
+  // replies, reblogs, favs, quotes, total_engagement, score, label, language
+  private def fact(rows: (String, Long, Int, Long, Long, String, Long, Long,
+      Long, Long, Long, Double, String, String)*): DataFrame =
+    rows.toSeq.toDF("toot_id", "content_key", "date_key", "account_key",
+      "sentiment_key", "created_at_s", "replies_count", "reblogs_count",
+      "favourites_count", "quotes_count", "total_engagement",
+      "sentiment_score", "sentiment_label", "language")
+      .withColumn("created_at", col("created_at_s").cast("timestamp"))
+      .drop("created_at_s")
+
+  private val dimDate = Seq(
+    (20240101, "2024-01-01", 2024, 1, 1, "Monday", false),
+    (20240102, "2024-01-02", 2024, 1, 1, "Tuesday", false))
+    .toDF("date_key", "full_date_s", "year", "quarter", "month", "day_name", "is_weekend")
+    .withColumn("full_date", col("full_date_s").cast("date")).drop("full_date_s")
+
+  test("dailySummary: counts, conditional sentiment counts, mode language") {
+    // day 1: two 'en' one 'fr' -> top_language en; 2 positive, 1 negative
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 1, 1, 1, 0, 3, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 2, 2, 0, 4, 0.8, "Positive", "en"),
+      ("t3", 3L, 20240101, 11L, 2L, "2024-01-01 03:00:00", 5, 0, 0, 0, 5, 0.9, "Negative", "fr"))
+    val r = Gold.dailySummary(f, dimDate).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("total_toots") == 3)
+    assert(row.getAs[Long]("unique_accounts") == 2)
+    assert(row.getAs[Long]("total_engagement") == 12)
+    assert(row.getAs[Long]("positive_count") == 2 && row.getAs[Long]("negative_count") == 1)
+    assert(row.getAs[String]("top_language") == "en")
+    assert(row.getAs[Double]("positive_pct") == 66.67)
+  }
+
+  test("sentimentTrends: first row per label has NULL pct change") {
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 2, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240102, 10L, 1L, "2024-01-02 01:00:00", 0, 0, 0, 0, 4, 0.9, "Positive", "en"),
+      ("t3", 3L, 20240102, 10L, 1L, "2024-01-02 02:00:00", 0, 0, 0, 0, 6, 0.9, "Positive", "en"))
+    val r = Gold.sentimentTrends(f, dimDate).orderBy("full_date").collect()
+    assert(r.length == 2)
+    assert(r(0).isNullAt(r(0).fieldIndex("prev_count")))
+    assert(r(0).isNullAt(r(0).fieldIndex("count_change_pct")))
+    assert(r(1).getAs[Long]("prev_count") == 1)
+    assert(r(1).getAs[Double]("count_change_pct") == 100.0) // 1 -> 2 toots
+  }
+
+  test("hashtagPerformance: HAVING >= 2 boundary and empty tags excluded") {
+    val dimContent = Seq(
+      (1L, "ai,ml"), (2L, "ai"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("content_key", "tag_names")
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 5, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"),
+      ("t3", 3L, 20240101, 10L, 1L, "2024-01-01 03:00:00", 0, 0, 0, 0, 9, 0.9, "Positive", "en"),
+      ("t4", 4L, 20240101, 10L, 1L, "2024-01-01 04:00:00", 0, 0, 0, 0, 9, 0.9, "Positive", "en"))
+    val r = Gold.hashtagPerformance(f, dimContent).collect()
+    // "ai" has exactly 2 mentions (boundary: kept); "ml" only 1 (dropped);
+    // empty/null tag rows contribute nothing
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("hashtag") == "ai")
+    assert(r(0).getAs[Long]("mention_count") == 2)
+    assert(r(0).getAs[Long]("total_engagement") == 12)
+  }
+
+  test("viralContent: total_engagement = 10 excluded by the > 10 filter") {
+    val dimContent = Seq((1L, "p1", "Original"), (2L, "p2", "Original"))
+      .toDF("content_key", "content_preview", "content_type")
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 5, 5, 0, 0, 10, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 5, 5, 1, 0, 11, 0.9, "Positive", "en"))
+    val now = ts("2024-01-02 01:00:00")
+    val r = Gold.viralContent(f, dimContent, now).collect()
+    assert(r.length == 1 && r(0).getAs[String]("toot_id") == "t2")
+    assert(r(0).getAs[Double]("hours_since_post") == 24.0)
+    // (11*0.4 + 5*0.4 + 0*0.2)/24 = 6.4/24 = 0.266667
+    assert(r(0).getAs[Double]("virality_score") == 0.266667)
+  }
+
+  test("topContent ranks with tie-break and hourly ranks over aggregate") {
+    val dimContent = Seq((1L, "p1", "Original"), (2L, "p2", "Reply"))
+      .toDF("content_key", "content_preview", "content_type")
+    val dimAcc = Seq((10L, "alice", "Micro", true))
+      .toDF("account_key", "account_username", "influence_tier", "is_current")
+    val f = fact(
+      ("tb", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"),
+      ("ta", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"))
+    val r = Gold.topContent(f, dimContent, dimAcc).collect()
+    // equal engagement -> toot_id ascending tie-break
+    assert(r.map(_.getAs[String]("toot_id")).toSeq == Seq("ta", "tb"))
+    assert(r.map(_.getAs[Int]("engagement_rank")).toSeq == Seq(1, 2))
+
+    val h = Gold.hourlyPatterns(f, dimDate).collect()
+    assert(h.length == 2 && h.forall(_.getAs[Long]("toot_count") == 1))
+  }
+
+  test("report: top-k by polarity, language distribution, negative alert") {
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 1, 0.95, "Negative", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 2, 0.85, "Negative", "en"),
+      ("t3", 3L, 20240101, 11L, 1L, "2024-01-01 03:00:00", 0, 0, 0, 0, 3, 0.99, "Positive", "fr"))
+    val top = Report.topBySentiment(f, "negative", k = 1).collect()
+    assert(top.length == 1 && top(0).getAs[String]("toot_id") == "t1")
+    val langs = Report.languageDistribution(f).collect()
+    assert(langs(0).getAs[String]("language") == "en" && langs(0).getAs[Long]("n_toots") == 2)
+    assert(Report.negativeAlert(f)) // 2 negative > 1 other
+    val s = Report.summary(f)
+    assert(s.nToots == 3 && s.nAccounts == 2 && s.totalEngagement == 6)
+  }
+}
