@@ -254,6 +254,31 @@ object Etl {
       |  length(clean) AS clean_len
       |FROM cleaned ORDER BY doc_id""".stripMargin
 
+  // ── q39: as-of join — each event matched to the customer's most recent
+  // order at event time (union-and-carry-forward operator; right side
+  // pre-deduped per (key, time) for determinism). Oracle uses DuckDB's
+  // native ASOF LEFT JOIN. ──
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val o = Silver.dedupLatest(Tables.orders(spark, dir),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.operators.AsofJoin(e, o, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  private val q39Sql =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+      |        ORDER BY o_orderkey DESC) rn FROM orders) WHERE rn = 1),
+      |l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT l.event_id, l.user_id, l.ts, r.o_orderkey, r.o_totalprice
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -263,5 +288,6 @@ object Etl {
     QueryDef("q15_fk_validation", q15, Some(q15Sql)),
     QueryDef("q16_union_dedup", q16, Some(q16Sql)),
     QueryDef("q17_json_extract", q17, Some(q17Sql)),
-    QueryDef("q18_html_clean", q18, Some(q18Sql)))
+    QueryDef("q18_html_clean", q18, Some(q18Sql)),
+    QueryDef("q39_asof_join", q39, Some(q39Sql)))
 }
