@@ -279,6 +279,37 @@ object Etl {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // ── q40: interval/range join — every 20th event opens a 2-hour
+  // "campaign window"; count same-user events landing inside each window,
+  // via the binned equi-join (never a cross product). ──
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = e.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("win_id"), col("user_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+    graft.operators.IntervalJoin(e, w, "user_id", "ts", "win_start", "win_end",
+        binSeconds = 7200)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        F.sumMoney(col("value")).as("total_value"))
+      .orderBy("win_id")
+  }
+
+  private val q40Sql =
+    s"""WITH w AS (
+      |  SELECT event_id AS win_id, user_id, CAST(ts AS TIMESTAMP) AS win_start,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS win_end
+      |  FROM events WHERE event_id % 20 = 0),
+      |l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT w.win_id, COUNT(*) AS n_events, MIN(l.event_id) AS first_event,
+      |  ${OracleSql.sumMoneySql("l.value")} AS total_value
+      |FROM l JOIN w ON l.user_id = w.user_id
+      |  AND l.ts >= w.win_start AND l.ts < w.win_end
+      |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -289,5 +320,6 @@ object Etl {
     QueryDef("q16_union_dedup", q16, Some(q16Sql)),
     QueryDef("q17_json_extract", q17, Some(q17Sql)),
     QueryDef("q18_html_clean", q18, Some(q18Sql)),
-    QueryDef("q39_asof_join", q39, Some(q39Sql)))
+    QueryDef("q39_asof_join", q39, Some(q39Sql)),
+    QueryDef("q40_range_join", q40, Some(q40Sql)))
 }
