@@ -7,7 +7,7 @@ object Bench {
     // Two reps, min taken: rep 1 pays JIT compilation of the hot codegen
     // loops (the sf0.001 warmup is too small to trigger C2), rep 2 is the
     // steady state a long-running cluster job actually sees.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

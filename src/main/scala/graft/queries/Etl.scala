@@ -310,6 +310,51 @@ object Etl {
       |  AND l.ts >= w.win_start AND l.ts < w.win_end
       |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin
 
+  // ── q41: batch sessionization — gap > 30 min starts a new session;
+  // session id = running count of gap-starts per user (lag + cumulative
+  // sum over one window partition), then per-session rollup. The batch
+  // analog of streaming/Streams.sessionize. ──
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val q41Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |            ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -321,5 +366,6 @@ object Etl {
     QueryDef("q17_json_extract", q17, Some(q17Sql)),
     QueryDef("q18_html_clean", q18, Some(q18Sql)),
     QueryDef("q39_asof_join", q39, Some(q39Sql)),
-    QueryDef("q40_range_join", q40, Some(q40Sql)))
+    QueryDef("q40_range_join", q40, Some(q40Sql)),
+    QueryDef("q41_sessionize", q41, Some(q41Sql)))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-regression checks: the physical plans that matter at 100 TB must
+  * keep their shape — filters pushed into scans, pruned read schemas,
+  * broadcast dims, bounded top-k, and never a nested-loop/cartesian join
+  * in the scalable operators. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    // executedPlan before AQE finalization still shows join strategies;
+    // run a cheap action so AQE-resolved plans are final where present.
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("q01: ship-date filter reaches the parquet scan; schema pruned") {
+    val s = q("q01_pricing_summary").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), s)
+    // only the 7 needed columns read, not all 11
+    assert(!s.contains("l_orderkey") && !s.contains("l_partkey"), s)
+  }
+
+  test("q04: dim joins broadcast; no shuffle for nation/region") {
+    val s = planString(q("q04_account_influence"))
+    assert(s.contains("BroadcastHashJoin"), s.take(600))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s.take(600))
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString(q("q03_top_orders"))
+    assert(s.contains("TakeOrderedAndProject"), s.take(600))
+  }
+
+  test("q12: band join is a broadcast hash join on the equi key") {
+    val s = planString(q("q12_band_join"))
+    assert(s.contains("BroadcastHashJoin"), s.take(600))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(600))
+  }
+
+  test("q21/q40: LSH band join and interval join never nested-loop") {
+    Seq("q21_minhash_lsh", "q40_range_join").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${s.take(800)}")
+    }
+  }
+
+  test("q39: as-of join is one window pass, no join operator at all") {
+    val s = planString(q("q39_asof_join"))
+    assert(s.contains("Window"), s.take(600))
+    assert(!s.contains("Join"), s.take(800))
+  }
+
+  test("bronze transform chain is narrow: no exchange before the id dedup") {
+    import java.sql.Timestamp
+    val raw = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.engine.Schemas.rawToot)
+    val plan = graft.engine.Bronze.transform(raw,
+      Timestamp.valueOf("2024-01-01 00:00:00"), "r")
+      .queryExecution.optimizedPlan.toString
+    // exactly one Aggregate/shuffle-inducing op (the dropDuplicates)
+    assert(plan.split("Aggregate").length - 1 <= 1, plan.take(800))
+  }
+}
