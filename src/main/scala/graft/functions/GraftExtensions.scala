@@ -24,7 +24,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "html_unescape expects exactly 1 argument")
         HtmlUnescapeExpr(children.head)
-      }))
+      }),
+      (
+        new FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "cosine_similarity expects exactly 2 arguments")
+          CosineSimilarityExpr(children.head, children(1))
+        }))
 
   /** Register into a live session's function registry (extensions given to
     * the builder only apply at first session creation). */

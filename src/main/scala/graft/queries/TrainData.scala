@@ -184,14 +184,12 @@ object TrainData {
       |WHERE i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) > 0.1
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  // ── q24: brute-force cosine top-k — 5 probe vectors × full corpus,
-  // dot/norms in double with per-row sequential summation (order-stable in
-  // both engines), top-10 per probe with id tie-break. ──
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-  private def normD(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  // ── q24: brute-force cosine top-k — 5 probe vectors × full corpus via
+  // the codegen'd CosineSimilarity expression (identical left-to-right
+  // double accumulation to the oracle's list_aggregate), top-10 per probe
+  // with id tie-break. ──
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val e = embParallel(spark, dir)
@@ -200,7 +198,7 @@ object TrainData {
     val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       col("label").as("cand_label"))
     val scored = probes.join(cands, col("probe_id") =!= col("cand_id"))
-      .withColumn("cosine", dotD(col("pv"), col("cv")) / (normD(col("pv")) * normD(col("cv"))))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -244,7 +242,7 @@ object TrainData {
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
       col("bucket").as("b_bucket"))
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
-      .withColumn("cosine", dotD(col("av"), col("bv")) / (normD(col("av")) * normD(col("bv"))))
+      .withColumn("cosine", cosine(col("av"), col("bv")))
       .filter(col("cosine") > 0.2)
       .select(col("bucket"), col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("bucket"), col("a_id"), col("b_id"))
