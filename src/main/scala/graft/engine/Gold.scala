@@ -30,7 +30,9 @@ object Gold {
         sum(when(col("sentiment_label") === "Positive", 1).otherwise(0)).as("positive_count"),
         sum(when(col("sentiment_label") === "Negative", 1).otherwise(0)).as("negative_count"),
         sum(when(col("sentiment_label") === "Neutral", 1).otherwise(0)).as("neutral_count"),
-        mode(col("language")).as("top_language"))
+        // deterministic=true pins tie-breaks (plain mode picks arbitrarily
+        // among equally-frequent values across runs)
+        mode(col("language"), deterministic = true).as("top_language"))
       .withColumn("positive_pct",
         round(lit(100.0) * col("positive_count") /
           nullif(col("total_toots").cast("double"), lit(0.0)), 2))

@@ -91,4 +91,10 @@ object Streams {
   def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
+
+  /** Stream–static enrichment: join the unbounded stream against a static
+    * dimension (the bronze→dim lookup shape). The static side broadcasts
+    * per micro-batch; no state is kept. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

@@ -59,6 +59,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins the stream to a static broadcast dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrich(in.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enr").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
