@@ -222,6 +222,56 @@ object Profile {
       .orderBy("o_orderstatus")
   }
 
+  // ── q42: pivot — status columns per order-year (wide reshape); exact
+  // integer-cents sums surfaced as doubles. Oracle via conditional
+  // aggregation, the relational equivalent. ──
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+    o.groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("cents"))
+      .select(col("y"),
+        (coalesce(col("F"), lit(0L)) / 100.0).as("f_total"),
+        (coalesce(col("O"), lit(0L)) / 100.0).as("o_total"),
+        (coalesce(col("P"), lit(0L)) / 100.0).as("p_total"))
+      .orderBy("y")
+  }
+
+  private val q42Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) END), 0) / 100.0 AS f_total,
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) END), 0) / 100.0 AS o_total,
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) END), 0) / 100.0 AS p_total
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
+
+  // ── q43: EXCEPT / INTERSECT — customers active in 1997 but not 1998,
+  // and in both years (set semantics, dedup included). ──
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def activeIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+    val churned = activeIn(1997).except(activeIn(1998))
+      .withColumn("cohort", lit("churned_98"))
+    val retained = activeIn(1997).intersect(activeIn(1998))
+      .withColumn("cohort", lit("retained_98"))
+    churned.unionByName(retained)
+      .groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      .orderBy("cohort")
+  }
+
+  private val q43Sql =
+    """WITH a97 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |a98 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998),
+      |u AS (
+      |  SELECT custkey, 'churned_98' AS cohort FROM (SELECT * FROM a97 EXCEPT SELECT * FROM a98)
+      |  UNION ALL
+      |  SELECT custkey, 'retained_98' AS cohort FROM (SELECT * FROM a97 INTERSECT SELECT * FROM a98))
+      |SELECT cohort, COUNT(*) AS n_customers FROM u GROUP BY cohort ORDER BY cohort""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
@@ -231,5 +281,7 @@ object Profile {
     QueryDef("q35_running_total", q35, Some(q35Sql)),
     QueryDef("q36_multimodal_stats", q36, Some(q36Sql)),
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
-    QueryDef("q38_approx_distinct", q38, None))
+    QueryDef("q38_approx_distinct", q38, None),
+    QueryDef("q42_pivot", q42, Some(q42Sql)),
+    QueryDef("q43_set_ops", q43, Some(q43Sql)))
 }
