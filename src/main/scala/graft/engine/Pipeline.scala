@@ -30,13 +30,19 @@ object Pipeline {
   /** Overwrite `path` with `df` even when `df` reads from `path`: write a
     * new snapshot beside it, then swap directories. (Parquet cannot
     * overwrite its own input mid-read; table formats solve this with
-    * transactions — this is the path-based equivalent.) */
-  private[engine] def overwriteParquet(df: DataFrame, path: String): Unit = {
+    * transactions — this is the path-based equivalent.) Pass
+    * `partitionCols` for the big time-keyed tables so downstream date
+    * filters prune whole directories (the Parquet analog of the
+    * reference's created_at/date_key btree indexes). */
+  private[engine] def overwriteParquet(df: DataFrame, path: String,
+                                       partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
     val dst = new Path(path)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
   }
@@ -77,7 +83,10 @@ object Pipeline {
     val dimAcc = spark.read.parquet(dimAccPath)
     val dimContent = spark.read.parquet(s"$lake/silver/dim_content")
     val dimSent = spark.read.parquet(s"$lake/silver/dim_sentiment")
-    overwriteParquet(Star.factEngagement(bronze, dimAcc, dimSent), s"$lake/silver/fact")
+    // the fact is the 100 TB table: partition by date_key so gold's
+    // date-dim joins and any time-range filter prune whole directories
+    overwriteParquet(Star.factEngagement(bronze, dimAcc, dimSent),
+      s"$lake/silver/fact", partitionCols = Seq("date_key"))
     val fact = spark.read.parquet(s"$lake/silver/fact")
 
     // stage 5: gold refresh — full recompute, overwrite (E3)
