@@ -66,9 +66,13 @@ object TrainData {
     // over the distinct set, so no array_distinct needed. persist: both
     // sides of the band self-join read the signatures — the standard
     // materialize-signatures step at scale.
+    // ONE md5 per shingle, split into four 8-hex-char components (the
+    // standard split-a-wide-hash trick) instead of four salted hashes —
+    // 4x less hashing on both the engine and oracle sides.
     val ex = d.select(col("doc_id"), explode(bigramsAll(tokens(col("text")))).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
     val mins = (1 to 4).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
     val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
     val a = sigs.select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
     val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
@@ -89,10 +93,10 @@ object TrainData {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
       |sigs AS (
       |  SELECT doc_id,
-      |    list_aggregate(list_transform(sg, s -> md5('1:' || s)), 'min') AS mh1,
-      |    list_aggregate(list_transform(sg, s -> md5('2:' || s)), 'min') AS mh2,
-      |    list_aggregate(list_transform(sg, s -> md5('3:' || s)), 'min') AS mh3,
-      |    list_aggregate(list_transform(sg, s -> md5('4:' || s)), 'min') AS mh4
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 1, 8)), 'min') AS mh1,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 9, 8)), 'min') AS mh2,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 17, 8)), 'min') AS mh3,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 25, 8)), 'min') AS mh4
       |  FROM sh)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
