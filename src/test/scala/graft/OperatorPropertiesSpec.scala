@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{AsofJoin, IntervalJoin}
+
+/** Randomized equivalence: the scalable as-of and interval join operators
+  * must agree with brute-force reference implementations on arbitrary
+  * key/time layouts (duplicate left timestamps, empty keys, boundary
+  * collisions included). */
+class OperatorPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(1234L + i)))
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val asofGen = for {
+    lefts <- Gen.listOfN(25, for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 100L)
+    } yield (k, t))
+    rights <- Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      t <- Gen.choose(0L, 100L)
+    } yield (k, t))
+  } yield (lefts, rights)
+
+  test("asof join equals brute force on random layouts") {
+    samples(asofGen, 8).foreach { case (lefts, rights) =>
+      // dedup right per (key, time) as the operator contract requires
+      val rightsD = rights.groupBy(identity).keys.toSeq
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "t", "lid")
+      val r = rightsD.map { case (k, t, rid) => (k, ts(t), rid) }
+        .toDF("k", "rt", "rid")
+      val got = AsofJoin(l, r, "k", "t", "rt", Seq("rid"))
+        .collect()
+        .map(row => row.getLong(row.fieldIndex("lid")) ->
+          (if (row.isNullAt(row.fieldIndex("rid"))) None
+           else Some(row.getLong(row.fieldIndex("rid"))))).toMap
+      val want = lefts.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rightsD.filter(x => x._1 == k && x._2 <= t)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.maxBy(x => (x._2, x._3))._3))
+      }.toMap
+      // where several right rows share the max time the operator may pick
+      // any of them (contract: caller pre-dedups per key+time); compare on
+      // the matched TIME instead of id for those
+      val timeOf = rightsD.map(x => x._3 -> x._2).toMap
+      got.keys.foreach { lid =>
+        (got(lid), want(lid)) match {
+          case (None, None) =>
+          case (Some(g), Some(w)) => assert(timeOf(g) == timeOf(w),
+            s"lid=$lid got rid=$g@${timeOf(g)} want rid=$w@${timeOf(w)}")
+          case other => fail(s"lid=$lid mismatch: $other")
+        }
+      }
+    }
+  }
+
+  private val intervalGen = for {
+    points <- Gen.listOfN(20, for {
+      k <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0L, 200L)
+    } yield (k, t))
+    wins <- Gen.listOfN(8, for {
+      k <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0L, 180L)
+      len <- Gen.choose(1L, 60L)
+    } yield (k, s, s + len))
+  } yield (points, wins)
+
+  test("interval join equals brute force on random layouts") {
+    samples(intervalGen, 8).foreach { case (points, wins) =>
+      val l = points.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "t", "pid")
+      val r = wins.zipWithIndex.map { case ((k, s, e), i) => (k, ts(s), ts(e), i.toLong) }
+        .toDF("k", "s", "e", "wid")
+      // deliberately small bins so intervals span several buckets
+      val got = IntervalJoin(l, r, "k", "t", "s", "e", binSeconds = 600)
+        .select("pid", "wid").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        ((pk, pt), pi) <- points.zipWithIndex
+        ((wk, ws, we), wi) <- wins.zipWithIndex
+        if pk == wk && pt >= ws && pt < we
+      } yield (pi.toLong, wi.toLong)).toSet
+      assert(got == want)
+    }
+  }
+}
