@@ -196,11 +196,13 @@ object TrainData {
     graft.functions.CosineSimilarity(a, b)
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
-    val e = embParallel(spark, dir)
-    val probes = e.filter(col("vec_id") < 5)
+    // probes: 5 rows — filter pushes into the scan, no repartition needed;
+    // only the candidate side spreads for the per-pair kernel work
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("label").as("cand_label"))
+    val cands = embParallel(spark, dir)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("label").as("cand_label"))
     val scored = probes.join(cands, col("probe_id") =!= col("cand_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
     import org.apache.spark.sql.expressions.Window
