@@ -397,6 +397,45 @@ object TrainData {
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY n_docs DESC, fingerprint LIMIT 100""".stripMargin
 
+  // ── q44: PII/URL scrubbing — regex removal of emails and URLs (training
+  // corpora hygiene). Sensitive spans are injected deterministically so
+  // the oracle can reproduce the scrub byte-for-byte; regexes are in the
+  // Java∩RE2 common subset. ──
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dirty = when(col("doc_id") % 5 === 0,
+      concat(lit("contact me.1@example.com or https://ex.io/p?q=1 "), col("text")))
+      .otherwise(col("text"))
+    val noUrl = regexp_replace(dirty, "https?://[^ ]+", "<URL>")
+    val clean = regexp_replace(noUrl, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>")
+    d.select(col("doc_id"), clean.as("clean"),
+        (length(dirty) - length(clean)).as("removed_chars"))
+      .groupBy((col("doc_id") % 5 === 0).as("was_dirty"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("removed_chars").as("total_removed"),
+        sum(when(col("clean").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email_hits"),
+        sum(when(col("clean").contains("<URL>"), 1L).otherwise(0L)).as("n_url_hits"))
+      .orderBy("was_dirty")
+  }
+
+  private val q44Sql =
+    """WITH scrub AS (
+      |  SELECT doc_id, doc_id % 5 = 0 AS was_dirty,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN 'contact me.1@example.com or https://ex.io/p?q=1 ' || text
+      |         ELSE text END AS dirty
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, was_dirty, dirty,
+      |    regexp_replace(regexp_replace(dirty, 'https?://[^ ]+', '<URL>', 'g'),
+      |                   '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS clean
+      |  FROM scrub)
+      |SELECT was_dirty, COUNT(*) AS n_docs,
+      |  SUM(length(dirty) - length(clean)) AS total_removed,
+      |  SUM(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END) AS n_email_hits,
+      |  SUM(CASE WHEN contains(clean, '<URL>') THEN 1 ELSE 0 END) AS n_url_hits
+      |FROM cleaned GROUP BY was_dirty ORDER BY was_dirty""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -407,5 +446,6 @@ object TrainData {
     QueryDef("q26_lang_id", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_token_count", q28, Some(q28Sql)),
-    QueryDef("q29_fingerprint", q29, Some(q29Sql)))
+    QueryDef("q29_fingerprint", q29, Some(q29Sql)),
+    QueryDef("q44_pii_scrub", q44, Some(q44Sql)))
 }
