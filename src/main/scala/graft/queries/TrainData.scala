@@ -436,6 +436,26 @@ object TrainData {
       |  SUM(CASE WHEN contains(clean, '<URL>') THEN 1 ELSE 0 END) AS n_url_hits
       |FROM cleaned GROUP BY was_dirty ORDER BY was_dirty""".stripMargin
 
+  // ── q45: deterministic hash sampling — reproducible ~1/8 corpus sample
+  // keyed on content hash (same rows selected on every run, every engine,
+  // any partitioning — unlike seeded RNG sampling, which is
+  // engine-specific). The standard way to carve stable train/eval slices. ──
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("in_sample", substring(md5(col("text")), 1, 1).isin("0", "1"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("in_sample"), col("doc_id"))).as("first_sampled_doc"))
+      .orderBy("lang")
+  }
+
+  private val q45Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END) AS n_sampled,
+      |  MIN(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN doc_id END) AS first_sampled_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -447,5 +467,6 @@ object TrainData {
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_token_count", q28, Some(q28Sql)),
     QueryDef("q29_fingerprint", q29, Some(q29Sql)),
-    QueryDef("q44_pii_scrub", q44, Some(q44Sql)))
+    QueryDef("q44_pii_scrub", q44, Some(q44Sql)),
+    QueryDef("q45_hash_sample", q45, Some(q45Sql)))
 }

@@ -93,6 +93,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 0.13)
   }
 
+  test("dateKey and epoch helpers") {
+    val r = Seq("2024-03-05").toDF("d")
+      .select(F.dateKey(to_date($"d")),
+        F.hoursSince(lit("2024-03-06 00:00:00").cast("timestamp"),
+          to_date($"d").cast("timestamp")),
+        F.daysSince(lit("2024-03-07 00:00:00").cast("timestamp"),
+          to_date($"d").cast("timestamp")))
+      .collect()(0)
+    assert(r.getInt(0) == 20240305)
+    assert(r.getDouble(1) == 24.0)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("pctOf guards zero totals with NULL") {
+    val r = Seq((3L, 4L), (3L, 0L)).toDF("p", "t")
+      .select(F.pctOf($"p", $"t")).collect()
+    assert(r(0).getDouble(0) == 75.0 && r(1).isNullAt(0))
+  }
+
+  test("csvExplode lowercases and splits members") {
+    val r = Seq("A,b,C").toDF("v").select(F.csvExplode($"v"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("a", "b", "c"))
+  }
+
   test("sentiment stand-in is deterministic and label thresholds hold") {
     val r1 = one(F.standInScore(lit("hello world")))
     val r2 = one(F.standInScore(lit("hello world")))

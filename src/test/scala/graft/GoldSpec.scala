@@ -109,6 +109,35 @@ class GoldSpec extends SparkSpec {
     assert(h.length == 2 && h.forall(_.getAs[Long]("toot_count") == 1))
   }
 
+  test("accountInfluence aggregates only current dim versions") {
+    val dimAcc = Seq(
+      (10L, "a1", "alice", "Micro", 100L, true),
+      (11L, "a1", "alice", "Micro", 50L, false), // expired version: excluded
+      (12L, "a2", "bob", "Mid", 20000L, true))
+      .toDF("account_key", "account_id", "account_username", "influence_tier",
+        "account_followers_count", "is_current")
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 1, 1, 1, 0, 3, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 5, 0.8, "Negative", "en"),
+      ("t3", 3L, 20240101, 11L, 1L, "2024-01-01 03:00:00", 0, 0, 0, 0, 9, 0.9, "Positive", "en"))
+    val r = Gold.accountInfluence(f, dimAcc).collect()
+    // only a1's current key (10) aggregates; the expired key 11 drops out
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("account_key") == 10L)
+    assert(r(0).getAs[Long]("total_toots") == 2)
+    assert(r(0).getAs[Long]("total_engagement") == 8)
+    assert(r(0).getAs[Long]("positive_toots") == 1 && r(0).getAs[Long]("negative_toots") == 1)
+  }
+
+  test("report sentimentCounts buckets unscored rows") {
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 1, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 1, 0.9, null, "en"))
+    val counts = Report.sentimentCounts(f).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("Positive" -> 1L, "Unscored" -> 1L))
+  }
+
   test("report: top-k by polarity, language distribution, negative alert") {
     val f = fact(
       ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 1, 0.95, "Negative", "en"),
