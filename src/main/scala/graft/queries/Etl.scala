@@ -168,7 +168,7 @@ object Etl {
 
   private val q15Sql =
     """SELECT COUNT(*) AS n_fact,
-      |  SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_missing_fk
+      |  CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_fk
       |FROM orders o
       |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 5000) d
       |  ON o.o_custkey = d.c_custkey
@@ -213,9 +213,9 @@ object Etl {
 
   private val q17Sql =
     s"""SELECT event_type, COUNT(*) AS n,
-      |  SUM(k) AS sum_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
       |  ${OracleSql.avgIntExactSql("k", "COUNT(k)")} AS avg_k,
-      |  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_k,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
       |  MAX(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
@@ -251,7 +251,7 @@ object Etl {
       |SELECT doc_id,
       |  CASE WHEN length(clean) > 100 THEN substr(clean, 1, 100) || '...'
       |       ELSE clean END AS preview,
-      |  length(clean) AS clean_len
+      |  CAST(length(clean) AS INTEGER) AS clean_len
       |FROM cleaned ORDER BY doc_id""".stripMargin
 
   // ── q39: as-of join — each event matched to the customer's most recent
@@ -345,9 +345,9 @@ object Etl {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
       |sessions AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
       |            ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM marked)
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,

@@ -25,10 +25,10 @@ object Profile {
 
   private val q30Sql =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN CASE WHEN value - 20.0 < 0 THEN NULL ELSE value - 20.0 END IS NULL
-      |      THEN 1 ELSE 0 END) AS null_v_shift,
-      |  SUM(CASE WHEN CASE WHEN length(event_type) > 4 THEN NULL ELSE event_type END IS NULL
-      |      THEN 1 ELSE 0 END) AS null_etype_cap,
+      |  CAST(SUM(CASE WHEN CASE WHEN value - 20.0 < 0 THEN NULL ELSE value - 20.0 END IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS null_v_shift,
+      |  CAST(SUM(CASE WHEN CASE WHEN length(event_type) > 4 THEN NULL ELSE event_type END IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS null_etype_cap,
       |  COUNT(DISTINCT event_type) AS n_event_types
       |FROM events""".stripMargin
 
@@ -182,9 +182,9 @@ object Profile {
     """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  COUNT(*) AS n_media,
-      |  SUM(length(text)) AS total_bytes,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
       |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-      |  MAX(length(text)) AS max_bytes
+      |  CAST(MAX(length(text)) AS INTEGER) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
   // ── q37: exact percentiles — Spark `percentile` and DuckDB

@@ -308,9 +308,9 @@ object TrainData {
       |    len(string_split(text, ' ')) AS n_tok
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END) AS n_pred_en,
-      |  SUM(n_stop) AS total_stop,
-      |  SUM(n_tok) AS total_tok
+      |  CAST(SUM(CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+      |  CAST(SUM(n_stop) AS BIGINT) AS total_stop,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -349,8 +349,8 @@ object TrainData {
       |SELECT source,
       |  CASE WHEN n_tok >= 100 AND n_distinct * 3 >= n_tok THEN 'high'
       |       WHEN n_tok >= 30 THEN 'medium' ELSE 'low' END AS quality_tier,
-      |  COUNT(*) AS n_docs, SUM(n_tok) AS total_tok,
-      |  SUM(n_distinct) AS total_distinct, MAX(n_chars) AS max_chars
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  CAST(SUM(n_distinct) AS BIGINT) AS total_distinct, MAX(n_chars) AS max_chars
       |FROM feats GROUP BY 1, 2 ORDER BY source, quality_tier""".stripMargin
   }
 
@@ -373,9 +373,9 @@ object TrainData {
 
   private val q28Sql =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text, ' '))) AS total_ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe_tokens,
-      |  MAX(len(string_split(text, ' '))) AS max_ws_tokens
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(MAX(len(string_split(text, ' '))) AS INTEGER) AS max_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ── q29: document fingerprint — md5 over the sorted distinct token set
@@ -431,9 +431,9 @@ object TrainData {
       |                   '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS clean
       |  FROM scrub)
       |SELECT was_dirty, COUNT(*) AS n_docs,
-      |  SUM(length(dirty) - length(clean)) AS total_removed,
-      |  SUM(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END) AS n_email_hits,
-      |  SUM(CASE WHEN contains(clean, '<URL>') THEN 1 ELSE 0 END) AS n_url_hits
+      |  CAST(SUM(length(dirty) - length(clean)) AS BIGINT) AS total_removed,
+      |  CAST(SUM(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_hits,
+      |  CAST(SUM(CASE WHEN contains(clean, '<URL>') THEN 1 ELSE 0 END) AS BIGINT) AS n_url_hits
       |FROM cleaned GROUP BY was_dirty ORDER BY was_dirty""".stripMargin
 
   // ── q45: deterministic hash sampling — reproducible ~1/8 corpus sample
@@ -452,7 +452,7 @@ object TrainData {
 
   private val q45Sql =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       |  MIN(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN doc_id END) AS first_sampled_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -6,6 +6,12 @@ sf dir) and compares against the parquet dumped by `graft.Verify` —
 column-name-sorted, row-sorted, value-by-value (exact; floats exact too,
 since the engine is expected to produce bit-identical rounded doubles).
 
+Also TYPE-sensitive (round-1 lesson): the driver's hash gate tags values with
+their logical type, so a DuckDB HUGEINT (bare integer SUM) vs Spark BIGINT
+mismatch hash-fails even when every value is equal. We compare the DuckDB
+relation types of the oracle against the types DuckDB infers reading the
+Spark parquet, column-name-sorted, and fail on any difference.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
@@ -34,15 +40,15 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols, gtypes = list(got.columns), [str(t) for t in got.types]
             grows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failed.append(name); continue
         try:
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
+            want = con.sql(sql)
+            wcols, wtypes = list(want.columns), [str(t) for t in want.types]
             wrows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
@@ -51,6 +57,13 @@ def main(sf_dir, out_dir):
         wc, wr = norm(wrows, wcols)
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
+            failed.append(name); continue
+        gt = dict(zip(gcols, gtypes))
+        wt = dict(zip(wcols, wtypes))
+        badty = [(c, gt[c], wt[c]) for c in gc if gt[c] != wt[c]]
+        if badty:
+            det = ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in badty)
+            print(f"FAIL {name}: types differ ({det})")
             failed.append(name); continue
         if len(gr) != len(wr):
             print(f"FAIL {name}: rowcount spark={len(gr)} oracle={len(wr)}")
