@@ -104,7 +104,12 @@ object Bronze {
       .withColumn("pipeline_run_id", lit(runId))
       .withColumn("data_version", lit(dataVersion))
 
-    // 6. dedup keep-first on id (within-batch)
-    scored.dropDuplicates("id")
+    // 6. dedup keep-first on id (within-batch): "first" = scan order,
+    //    captured as a row id BEFORE the dedup shuffle so the kept row is
+    //    the earliest-scanned one (pandas keep='first',
+    //    data_quality.py:57-62) rather than dropDuplicates' arbitrary pick.
+    scored.withColumn("__scan_order", monotonically_increasing_id())
+      .transform(df => Silver.dedupLatest(df, Seq("id"), Seq(col("__scan_order").asc)))
+      .drop("__scan_order")
   }
 }

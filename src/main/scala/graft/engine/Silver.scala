@@ -89,14 +89,21 @@ object Silver {
     * valid for decomposable aggregates (sum/count/min/max — pass the
     * partial-combine expressions for the second phase). At 100 TB a single
     * viral key would otherwise pin one reducer; AQE skew handling covers
-    * joins, this covers aggregations. */
+    * joins, this covers aggregations.
+    *
+    * The salt is derived from row CONTENT (xxhash64 of every column), not
+    * from partition/row position: positional salts change when a failed
+    * shuffle-map task is recomputed, duplicating or dropping phase-1
+    * partials (the SPARK-23207 failure class) — content hashing keeps the
+    * salt stable across retries while still spreading a hot key whenever
+    * its rows differ in any non-key column. */
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 partial: Seq[(String, Column)],
                 combine: Seq[(String, Column => Column)],
                 buckets: Int = 16): DataFrame = {
     require(partial.map(_._1) == combine.map(_._1), "phase column names must align")
-    val salted = df.withColumn("__salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head._2.as(partial.head._1),
         partial.tail.map { case (n, c) => c.as(n) }: _*)

@@ -15,13 +15,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * is implemented as a codegen'd `UnaryExpression` calling a static decoder.
   *
   * Supports the named entities the reference's data actually contains
-  * (`&amp; &lt; &gt; &quot; &#39; &nbsp; &apos;`) plus all numeric forms
-  * (`&#123;`, `&#x1F4A9;`), mirroring `html.unescape` for that subset.
+  * (`&amp; &lt; &gt; &quot; &#39; &nbsp; &apos;`, plus the semicolon-less
+  * legacy forms of those that HTML5 allows) and all numeric forms
+  * (`&#123;`, `&#x1F4A9;`) with `html.unescape`'s replacement rules:
+  * C1 refs (`&#128;`\u2013`&#159;`) map through the HTML5 windows-1252 table,
+  * surrogates/out-of-range \u2192 U+FFFD, disallowed control/noncharacter
+  * codepoints are dropped.
   */
 object HtmlUnescape {
   private val named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> "\u00a0")
+
+  /** HTML5 legacy entities that also match WITHOUT a trailing semicolon
+    * (CPython `html._html5` keys sans ';' \u2229 our subset; `apos` is
+    * semicolon-only in HTML5). Longest-match order. */
+  private val legacyNoSemi: Seq[(String, String)] = Seq(
+    "quot" -> "\"", "nbsp" -> "\u00a0", "amp" -> "&", "lt" -> "<", "gt" -> ">")
+
+  /** Numeric charrefs html.unescape rewrites rather than decoding directly
+    * (CPython `html._invalid_charrefs`): NUL\u2192U+FFFD, 0x0D\u2192CR, and the
+    * 0x80\u20130x9F block through the HTML5 windows-1252 mapping. */
+  private val invalidCharrefs: Map[Int, String] = Map(
+    0x00 -> "\ufffd", 0x0d -> "\r",
+    0x80 -> "\u20ac", 0x81 -> "\u0081", 0x82 -> "\u201a", 0x83 -> "\u0192",
+    0x84 -> "\u201e", 0x85 -> "\u2026", 0x86 -> "\u2020", 0x87 -> "\u2021",
+    0x88 -> "\u02c6", 0x89 -> "\u2030", 0x8a -> "\u0160", 0x8b -> "\u2039",
+    0x8c -> "\u0152", 0x8d -> "\u008d", 0x8e -> "\u017d", 0x8f -> "\u008f",
+    0x90 -> "\u0090", 0x91 -> "\u2018", 0x92 -> "\u2019", 0x93 -> "\u201c",
+    0x94 -> "\u201d", 0x95 -> "\u2022", 0x96 -> "\u2013", 0x97 -> "\u2014",
+    0x98 -> "\u02dc", 0x99 -> "\u2122", 0x9a -> "\u0161", 0x9b -> "\u203a",
+    0x9c -> "\u0153", 0x9d -> "\u009d", 0x9e -> "\u017e", 0x9f -> "\u0178")
+
+  /** Codepoints html.unescape drops entirely (`html._invalid_codepoints`):
+    * C0 controls (minus HT/LF/FF/CR), DEL+C1 handled above via charrefs but
+    * also dropped when reached by hex value, FDD0\u2013FDEF, and the
+    * xFFFE/xFFFF-suffixed noncharacters of every plane. */
+  private def isInvalidCodepoint(cp: Int): Boolean =
+    (cp >= 0x01 && cp <= 0x08) || (cp >= 0x0e && cp <= 0x1f) ||
+    (cp >= 0x7f && cp <= 0x9f) || (cp >= 0xfdd0 && cp <= 0xfdef) ||
+    (cp & 0xfffe) == 0xfffe
+
+  private def decodeNumeric(cp: Int): String =
+    invalidCharrefs.get(cp) match {
+      case Some(r) => r
+      case None =>
+        if (cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) "\ufffd"
+        else if (isInvalidCodepoint(cp)) ""
+        else String.valueOf(Character.toChars(cp))
+    }
 
   /** Static decode used by both interpreted eval and generated code. */
   def decode(s: UTF8String): UTF8String = {
@@ -34,19 +76,25 @@ object HtmlUnescape {
       if (c == '&') {
         val semi = str.indexOf(';', i + 1)
         // entity bodies are short; anything overly long is literal text
-        if (semi > i + 1 && semi - i <= 10) {
-          val body = str.substring(i + 1, semi)
-          val repl: String =
+        val repl: String =
+          if (semi > i + 1 && semi - i <= 10) {
+            val body = str.substring(i + 1, semi)
             if (body.startsWith("#x") || body.startsWith("#X")) {
-              try String.valueOf(Character.toChars(Integer.parseInt(body.substring(2), 16)))
+              try decodeNumeric(Integer.parseInt(body.substring(2), 16))
               catch { case _: Exception => null }
             } else if (body.startsWith("#")) {
-              try String.valueOf(Character.toChars(Integer.parseInt(body.substring(1))))
+              try decodeNumeric(Integer.parseInt(body.substring(1)))
               catch { case _: Exception => null }
             } else named.getOrElse(body, null)
-          if (repl != null) { out.append(repl); i = semi + 1 }
-          else { out.append(c); i += 1 }
-        } else { out.append(c); i += 1 }
+          } else null
+        if (repl != null) { out.append(repl); i = semi + 1 }
+        else {
+          // html.unescape also matches legacy entities with no semicolon
+          legacyNoSemi.find { case (n, _) => str.startsWith(n, i + 1) } match {
+            case Some((n, r)) => out.append(r); i += n.length + 1
+            case None => out.append(c); i += 1
+          }
+        }
       } else { out.append(c); i += 1 }
     }
     UTF8String.fromString(out.toString)

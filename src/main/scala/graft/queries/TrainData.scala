@@ -34,10 +34,15 @@ object TrainData {
     Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
   private def tokens(c: Column): Column = split(c, " ")
-  /** Word-bigram shingles, 0-based (element_at is 1-based). */
-  private def bigramsAll(t: Column): Column =
-    transform(sequence(lit(0), size(t) - 2),
-      i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
+  /** Word-bigram shingles, 0-based (element_at is 1-based). Guarded for
+    * single-token docs: sequence(0, -1) would DESCEND to [0,-1] and
+    * element_at(t, 0) throws — such docs have no bigrams (DuckDB's
+    * range(1, len(t)) is empty there, so the oracle already agrees). */
+  private def bigramsAll(t: Column): Column = {
+    val idx = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(lit(Array.empty[Int]))
+    transform(idx, i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
+  }
   /** Distinct shingle set (for set-cardinality math like Jaccard). */
   private def bigrams(t: Column): Column = array_distinct(bigramsAll(t))
 

@@ -87,10 +87,13 @@ object Streams {
 
   /** Incremental append with key-dedup — the streaming analog of the
     * reference's cross-run `id` upsert: keep first arrival per event id
-    * within the watermark horizon. */
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` (not
+    * plain `dropDuplicates("event_id")`) so per-id state is actually
+    * EVICTED once the watermark passes — a bare key-only dedup never ages
+    * state out and grows without bound on a real stream. */
   def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream–static enrichment: join the unbounded stream against a static
     * dimension (the bronze→dim lookup shape). The static side broadcasts

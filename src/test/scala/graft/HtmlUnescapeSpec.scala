@@ -28,9 +28,24 @@ class HtmlUnescapeSpec extends SparkSpec {
   test("malformed entities pass through literally") {
     assert(decode("a & b") == "a & b")                 // bare ampersand
     assert(decode("&unknown;") == "&unknown;")         // unknown name
-    assert(decode("&amp") == "&amp")                   // missing semicolon
     assert(decode("&#xZZ;") == "&#xZZ;")               // bad hex
     assert(decode("&waytoolongentity;") == "&waytoolongentity;")
+  }
+
+  test("semicolon-less legacy entities decode (html.unescape parity)") {
+    assert(decode("&amp") == "&")       // HTML5 legacy form
+    assert(decode("&ampx;") == "&x;")   // longest legacy prefix, rest literal
+    assert(decode("fish &gt chips") == "fish > chips")
+    assert(decode("&apos") == "&apos")  // apos is semicolon-only in HTML5
+  }
+
+  test("C1 numeric refs map through the windows-1252 table") {
+    assert(decode("&#147;quoted&#148;") == "“quoted”")
+    assert(decode("&#133;") == "…") // ellipsis
+    assert(decode("&#129;") == "") // unmapped C1 → raw control kept
+    assert(decode("&#0;") == "�")   // NUL → replacement char
+    assert(decode("&#55296;") == "�") // surrogate → replacement char
+    assert(decode("&#2;") == "")         // disallowed C0 control → dropped
   }
 
   test("null propagates") {
