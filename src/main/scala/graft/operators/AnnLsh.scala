@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-table sign-hyperplane LSH for approximate-nearest-neighbor
+  * candidate generation over an embedding column — the bucketed scale
+  * path next to the brute-force cosine baseline.
+  *
+  * Scale design:
+  *   - Each of `tables` hash tables quantizes a DISJOINT block of `bits`
+  *     vector components to sign bits (axis-aligned hyperplanes), giving
+  *     2^bits buckets per table. With bits=16 the expected bucket holds
+  *     N/65536 vectors — within-bucket pairing is (N/65536)² per bucket,
+  *     not the (N/256)² an 8-bit single table degrades to.
+  *   - Recall lost to the narrower buckets is bought back with the OR
+  *     over `tables` independent tables (standard multi-probe/multi-table
+  *     LSH); `n_tables` (how many tables bucketed the pair together) is
+  *     returned as a collision-strength signal for re-ranking.
+  *   - Buckets larger than `maxBucket` (dense hubs — e.g. the all-zeros
+  *     sign pattern of near-origin vectors) are dropped before pairing,
+  *     bounding the worst bucket's fan-out; the size probe is a groupBy
+  *     count, skew-safe via map-side partial aggregation, and the bucket
+  *     list stays distributed (linear in corpus, not broadcastable).
+  */
+object AnnLsh {
+
+  /** Sign-bit bucket over 1-based components [lo, lo+bits). */
+  private def signBucket(v: Column, lo: Int, bits: Int): Column =
+    concat_ws("", (lo until lo + bits).map(i =>
+      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Candidate pairs (`a_id` < `b_id`) with `n_tables` = number of hash
+    * tables that bucketed the pair together (1..tables). Requires
+    * embedding dim ≥ tables*bits. */
+  def candidates(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding", tables: Int = 4,
+                 bits: Int = 16, maxBucket: Int = 128): DataFrame = {
+    val keyed = (0 until tables).map { t =>
+      emb.select(col(idCol), lit(t).as("tbl"),
+        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
+    }.reduce(_ unionByName _)
+    val small = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("tbl", "bucket")
+    val kept = keyed.join(small, Seq("tbl", "bucket"))
+    kept.select(col("tbl"), col("bucket"), col(idCol).as("a_id"))
+      .join(kept.select(col("tbl"), col("bucket"), col(idCol).as("b_id")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(countDistinct("tbl").as("n_tables"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate candidate generation — the
+  * 100 TB-scale extension of the reference's exact-id dedup
+  * (reference: src/transformer/data_quality.py:57-62 dedups ids only).
+  *
+  * Scale design:
+  *   - Signatures are built explode → groupBy(min): md5 and min stay in
+  *     whole-stage codegen, one shuffle, linear in total shingle count.
+  *     min over the shingle multiset equals min over the distinct set, so
+  *     no array_distinct is needed on this path.
+  *   - ONE md5 per shingle is split into four 8-hex-char components (the
+  *     split-a-wide-hash trick) instead of four salted hashes — 4× less
+  *     hashing on both the engine and the oracle side.
+  *   - Banding is 2 bands × 2 components (OR-of-ANDs): a pair is a
+  *     candidate iff it agrees on BOTH components of EITHER band. A
+  *     single-component band would bucket every doc sharing one
+  *     boilerplate min-shingle; requiring two simultaneous component
+  *     matches shrinks false-positive buckets quadratically at equal
+  *     recall for truly-similar (≥ ~0.7 Jaccard) pairs.
+  *   - Skew cap: band buckets larger than `maxBucket` are DROPPED before
+  *     pairing. One shared boilerplate shingle ⇒ one mega-bucket ⇒
+  *     quadratic pair fan-out on a skewed key; an oversized bucket is
+  *     boilerplate by construction and carries no near-dup signal. The
+  *     size probe is a groupBy count — map-side partial aggregation makes
+  *     it skew-safe — and the bucket list stays distributed (it is linear
+  *     in corpus size, NOT broadcastable at 100 TB).
+  */
+object MinHashLsh {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word-bigram shingles, 0-based (element_at is 1-based). Guarded for
+    * single-token docs: sequence(0, -1) would DESCEND to [0,-1] and
+    * element_at(t, 0) throws — such docs simply have no bigrams. */
+  def bigramsAll(t: Column): Column = {
+    val idx = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(lit(Array.empty[Int]))
+    transform(idx, i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
+  }
+
+  /** Distinct shingle set (for set-cardinality math like Jaccard). */
+  def bigrams(t: Column): Column = array_distinct(bigramsAll(t))
+
+  /** k=4 MinHash signature per id: `idCol, mh1..mh4`. Docs with no
+    * bigrams (empty/one-token text) produce no signature row. */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(bigramsAll(tokens(col(textCol)))).as("s"))
+      .select(col(idCol), md5(col("s")).as("h"))
+    val mins = (1 to 4).map(j =>
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
+    ex.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** One row per (band, doc): band 1 keys on mh1||mh2, band 2 on mh3||mh4. */
+  private def banded(sigs: DataFrame, idCol: String): DataFrame = {
+    val base = sigs.select(col(idCol) +: (1 to 4).map(j => col(s"mh$j")): _*)
+    base.withColumn("band", lit(1)).withColumn("bk", concat(col("mh1"), col("mh2")))
+      .unionByName(
+        base.withColumn("band", lit(2)).withColumn("bk", concat(col("mh3"), col("mh4"))))
+  }
+
+  /** Candidate pairs (`doc_a` < `doc_b`, deduped across bands) with the
+    * signature-agreement score `n_sig_match` ∈ 2..4. Buckets larger than
+    * `maxBucket` contribute no pairs (see scale notes above). */
+  def candidates(sigs: DataFrame, idCol: String = "doc_id",
+                 maxBucket: Int = 64): DataFrame = {
+    val bd = banded(sigs, idCol)
+    val small = bd.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bk")
+    val kept = bd.join(small, Seq("band", "bk"))
+    def side(p: String) = kept.select(
+      Seq(col("band"), col("bk"), col(idCol).as(s"${p}_id")) ++
+        (1 to 4).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
+    val score = (1 to 4)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    side("a").join(side("b"), Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        score.as("n_sig_match"))
+      .distinct()
+  }
+}

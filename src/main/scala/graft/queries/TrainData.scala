@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.operators.{AnnLsh, MinHashLsh}
 
 /** Training-data pipeline operators over `documents`/`embeddings` — the
   * 100 TB-scale extensions: exact + near dedup (MinHash LSH, SimHash,
@@ -34,17 +35,6 @@ object TrainData {
     Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
   private def tokens(c: Column): Column = split(c, " ")
-  /** Word-bigram shingles, 0-based (element_at is 1-based). Guarded for
-    * single-token docs: sequence(0, -1) would DESCEND to [0,-1] and
-    * element_at(t, 0) throws — such docs have no bigrams (DuckDB's
-    * range(1, len(t)) is empty there, so the oracle already agrees). */
-  private def bigramsAll(t: Column): Column = {
-    val idx = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(lit(Array.empty[Int]))
-    transform(idx, i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
-  }
-  /** Distinct shingle set (for set-cardinality math like Jaccard). */
-  private def bigrams(t: Column): Column = array_distinct(bigramsAll(t))
 
   // ── q20: exact dedup — content-hash groups (sha2 ≡ DuckDB sha256). ──
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -60,39 +50,24 @@ object TrainData {
       |  MIN(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY 1 ORDER BY content_hash LIMIT 50""".stripMargin
 
-  // ── q21: MinHash + LSH near-dup — bigram shingles, k=4 signature, band
-  // join on the first component; candidate pairs scored by signature
-  // agreement. ──
+  // ── q21: MinHash + LSH near-dup — bigram shingles, k=4 signature, 2
+  // bands × 2 components, per-bucket size cap; candidate pairs scored by
+  // signature agreement. Scale rationale in operators/MinHashLsh.scala. ──
   private def q21(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsParallel(spark, dir)
-    // Signatures via explode → groupBy(min): md5 and min stay inside
-    // whole-stage codegen, unlike array_min(transform(...)) lambdas which
-    // evaluate interpreted per element. min over the multiset equals min
-    // over the distinct set, so no array_distinct needed. persist: both
-    // sides of the band self-join read the signatures — the standard
-    // materialize-signatures step at scale.
-    // ONE md5 per shingle, split into four 8-hex-char components (the
-    // standard split-a-wide-hash trick) instead of four salted hashes —
-    // 4x less hashing on both the engine and oracle sides.
-    val ex = d.select(col("doc_id"), explode(bigramsAll(tokens(col("text")))).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
-    val mins = (1 to 4).map(j =>
-      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
-    val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
-    val a = sigs.select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
-    val matches = (1 to 4)
-      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    a.join(b, col("a_mh1") === col("b_mh1") && col("a_doc_id") < col("b_doc_id"))
-      .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
-        matches.as("n_sig_match"))
+    // persist: the banded self-join reads the signatures from both sides —
+    // the standard materialize-signatures step at scale.
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).persist()
+    MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .orderBy(col("doc_a"), col("doc_b"))
       .limit(200)
   }
 
-  private val q21Sql =
-    """WITH sh AS (
+  private val LshMaxBucket = 64
+
+  /** Shared oracle CTEs: shingles → signatures → banded rows → size-capped
+    * buckets → candidate pairs, mirroring [[MinHashLsh]] exactly. */
+  private val lshCandidateCtes =
+    s"""sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
@@ -102,13 +77,26 @@ object TrainData {
       |    list_aggregate(list_transform(sg, s -> substr(md5(s), 9, 8)), 'min') AS mh2,
       |    list_aggregate(list_transform(sg, s -> substr(md5(s), 17, 8)), 'min') AS mh3,
       |    list_aggregate(list_transform(sg, s -> substr(md5(s), 25, 8)), 'min') AS mh4
-      |  FROM sh)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
-      |   + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
-      |   + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
-      |   + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) AS n_sig_match
-      |FROM sigs a JOIN sigs b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+      |  FROM sh WHERE len(sg) > 0),
+      |banded AS (
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 || mh2 AS bk FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 || mh4 AS bk FROM sigs),
+      |kept AS (
+      |  SELECT * FROM banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) AS n_sig_match
+      |  FROM kept a JOIN kept b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val q21Sql =
+    s"""WITH $lshCandidateCtes
+      |SELECT doc_a, doc_b, n_sig_match FROM cand
       |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
 
   // ── q22: SimHash fingerprint — 16 portable hash bits per token (high bit
@@ -151,19 +139,25 @@ object TrainData {
       |FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  // ── q23: exact n-gram Jaccard over a candidate window — shingle-level
-  // equi-join computes |A∩B|; |A∪B| = |A|+|B|−|A∩B|. Rational of small
-  // ints → bit-identical double in both engines. ──
+  // ── q23: exact n-gram Jaccard re-rank over the LSH candidate pairs —
+  // the production near-dup shape: q21's banded candidates bound the pair
+  // set (linear via bucket cap), then an exact shingle-level equi-join
+  // computes |A∩B| per candidate; |A∪B| = |A|+|B|−|A∩B|. Rational of
+  // small ints → bit-identical double in both engines. ──
   private def q23(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).filter(col("doc_id") < 40)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val ex = d.select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("s"))
-      .persist()
+    val d = docsParallel(spark, dir)
+    val sigs = MinHashLsh.signatures(d).persist()
+    val cand = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
+      .select("doc_a", "doc_b")
+    val ex = d.select(col("doc_id"),
+      explode(MinHashLsh.bigrams(MinHashLsh.tokens(col("text")))).as("s")).persist()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sg"))
-    val inter = ex.as("x").join(ex.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // |A∩B| per candidate pair: fan A's shingles over the pair list, then
+    // match B's on (doc, shingle) — two hash joins, no all-pairs blowup.
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sg", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sg", "n_b"), "doc_b")
@@ -171,19 +165,18 @@ object TrainData {
       .filter(col("jaccard") > 0.1)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
+      .limit(200)
   }
 
   private val q23Sql =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |        WHERE doc_id < 40)),
+    s"""WITH $lshCandidateCtes,
       |sizes AS (SELECT doc_id, len(sg) AS n_sg FROM sh),
       |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
       |inter AS (
-      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
-      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) c
+      |  JOIN ex x ON x.doc_id = c.doc_a
+      |  JOIN ex y ON y.doc_id = c.doc_b AND y.s = x.s
       |  GROUP BY 1, 2)
       |SELECT i.doc_a, i.doc_b, i.n_inter,
       |  i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) AS jaccard
@@ -191,7 +184,7 @@ object TrainData {
       |JOIN sizes a ON i.doc_a = a.doc_id
       |JOIN sizes b ON i.doc_b = b.doc_id
       |WHERE i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) > 0.1
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
 
   // ── q24: brute-force cosine top-k — 5 probe vectors × full corpus via
   // the codegen'd CosineSimilarity expression (identical left-to-right
@@ -239,52 +232,53 @@ object TrainData {
       |  FROM scored)
       |WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin
 
-  // ── q25: LSH-bucketed ANN (the scale path) — sign-quantize the first 8
-  // components into a bucket key; candidates join only within their bucket,
-  // bounding the pair blowup to bucket size instead of the full corpus. ──
-  private def signBucket(v: Column, nBits: Int): Column =
-    concat_ws("", (1 to nBits).map(i =>
-      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  // ── q25: multi-table sign-LSH ANN (the scale path) — 4 tables × 16
+  // sign bits over disjoint dim blocks, per-bucket size cap, candidates
+  // re-ranked by exact cosine. n_tables = collision strength. Scale
+  // rationale in operators/AnnLsh.scala. ──
+  private val AnnTables = 4
+  private val AnnBits = 16
+  private val AnnMaxBucket = 128
 
   private def q25(spark: SparkSession, dir: String): DataFrame = {
-    val e = embParallel(spark, dir)
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
-      col("bucket").as("b_bucket"))
-    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+    val e = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    AnnLsh.candidates(e, tables = AnnTables, bits = AnnBits, maxBucket = AnnMaxBucket)
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")), "b_id")
       .withColumn("cosine", cosine(col("av"), col("bv")))
-      .filter(col("cosine") > 0.2)
-      .select(col("bucket"), col("a_id"), col("b_id"), col("cosine"))
-      .orderBy(col("bucket"), col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_tables"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
       .limit(300)
   }
 
-  private val q25Sql =
-    """WITH v AS (
-      |  SELECT vec_id, embedding,
-      |    concat_ws('',
-      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-      |  FROM embeddings),
+  private val q25Sql = {
+    def bitsSql(lo: Int) = (lo until lo + AnnBits).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val keyed = (0 until AnnTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bitsSql(t * AnnBits + 1)} AS bucket FROM embeddings")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH keyed AS (
+      |  $keyed),
+      |kept AS (
+      |  SELECT * FROM keyed
+      |  QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= $AnnMaxBucket),
       |pairs AS (
-      |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
-      |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-      |    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
-      |       * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
-      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
-      |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      |SELECT bucket, a_id, b_id, cosine FROM pairs
-      |WHERE cosine > 0.2
-      |ORDER BY bucket, a_id, b_id LIMIT 300""".stripMargin
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, COUNT(DISTINCT a.tbl) AS n_tables
+      |  FROM kept a JOIN kept b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.n_tables,
+      |  list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum')
+      |  / (sqrt(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+      |       i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(range(1, len(eb.embedding) + 1),
+      |         i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
+      |FROM pairs p
+      |JOIN embeddings ea ON p.a_id = ea.vec_id
+      |JOIN embeddings eb ON p.b_id = eb.vec_id
+      |ORDER BY a_id, b_id LIMIT 300""".stripMargin
+  }
 
   // ── q26: language ID (n-gram/stopword heuristic) — stopword hit ratio
   // per doc, thresholded prediction, confusion counts vs the labeled lang. ──

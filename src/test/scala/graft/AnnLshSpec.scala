@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AnnLsh
+
+class AnnLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64-dim vector from 4 sign blocks of 16 ('A' = +1s, 'B' = -1s). */
+  private def vec(blocks: String): Array[Float] =
+    blocks.toSeq.flatMap {
+      case 'A' => Array.fill(16)(1.0f).toSeq
+      case _   => Array.fill(16)(-1.0f).toSeq
+    }.toArray
+
+  private def emb(rows: Seq[(Long, String)]) =
+    rows.map { case (id, b) => (id, vec(b)) }.toDF("vec_id", "embedding")
+
+  test("pairs collide per-table on disjoint dim blocks; n_tables counts tables") {
+    val e = emb(Seq(1L -> "AAAA", 2L -> "AAAA", 3L -> "BABB", 4L -> "BBBB"))
+    val got = AnnLsh.candidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2): all four blocks equal; (1,3)/(2,3): block 2 only;
+    // (3,4): blocks 1,3,4; (1,4)/(2,4): none.
+    assert(got == Set((1L, 2L, 4L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 3L)))
+  }
+
+  test("oversized buckets are dropped before pairing") {
+    // 10 identical-sign vectors → every table has one 10-member bucket.
+    val e = emb((1L to 10L).map(_ -> "AAAA"))
+    assert(AnnLsh.candidates(e, maxBucket = 5).count() == 0)
+    assert(AnnLsh.candidates(e, maxBucket = 10).count() == 45)
+  }
+
+  test("candidate plan has no cartesian product") {
+    val e = emb(Seq(1L -> "AAAA", 2L -> "ABAB"))
+    val plan = AnnLsh.candidates(e).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+}
