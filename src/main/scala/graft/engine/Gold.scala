@@ -37,22 +37,43 @@ object Gold {
         round(lit(100.0) * col("positive_count") /
           nullif(col("total_toots").cast("double"), lit(0.0)), 2))
 
-  /** #2 mv_top_performing_content (02:56-91) — rank + LIMIT 1000. */
-  def topContent(fact: DataFrame, dimContent: DataFrame, dimAcc: DataFrame): DataFrame = {
+  /** #2 mv_top_performing_content (02:56-91) — rank + LIMIT 1000, with
+    * the bronze read-back preview (`LEFT(COALESCE(content_clean, content),
+    * 200)`, 02:59) and `engagement_rate` (`ROUND(100.0 * engagement /
+    * NULLIF(followers, 0), 4)`, 02:77).
+    *
+    * Scale shape: top-1000 is taken FIRST (TakeOrdered — no global sort),
+    * then bronze is semi-joined down to those 1000 ids via a broadcast
+    * before the preview join, so the full-corpus bronze table is scanned
+    * once with no shuffle — the reference joins all of bronze before its
+    * LIMIT, which a 100 TB bronze cannot afford. */
+  def topContent(fact: DataFrame, dimContent: DataFrame, dimAcc: DataFrame,
+                 bronze: DataFrame): DataFrame = {
     val w = Window.orderBy(col("total_engagement").desc, col("toot_id"))
-    fact
-      .join(broadcast(dimContent
-        .select("content_key", "content_preview", "content_type")),
+    val top = fact
+      .orderBy(col("total_engagement").desc, col("toot_id"))
+      .limit(1000)
+    val preview = bronze.select(col("id").as("toot_id"),
+      substring(coalesce(col("content_clean"), col("content")), 1, 200)
+        .as("content_preview"))
+      .join(broadcast(top.select("toot_id")), Seq("toot_id"), "left_semi")
+    top
+      .join(broadcast(dimContent.select("content_key", "content_type")),
         Seq("content_key"), "left")
       .join(broadcast(dimAcc.filter(col("is_current"))
-        .select("account_key", "account_username", "influence_tier")),
+        .select(col("account_key"), col("account_username"), col("influence_tier"),
+          col("account_followers_count").as("account_followers"))),
         Seq("account_key"), "left")
+      .join(broadcast(preview), Seq("toot_id"), "left")
+      .withColumn("engagement_rate",
+        round(lit(100.0) * col("total_engagement") /
+          nullif(col("account_followers").cast("double"), lit(0.0)), 4))
       .select(col("toot_id"), col("content_preview"), col("content_type"),
         col("account_username"), col("influence_tier"),
+        col("account_followers"), col("engagement_rate"),
         col("total_engagement"), col("replies_count"), col("reblogs_count"),
         col("favourites_count"), col("sentiment_label"))
       .orderBy(col("total_engagement").desc, col("toot_id"))
-      .limit(1000)
       .withColumn("engagement_rank", row_number().over(w))
   }
 

@@ -20,7 +20,8 @@ object Pipeline {
 
   final case class RunResult(bronzeRows: Long, factRows: Long,
                              goldTables: Map[String, Long],
-                             summary: Report.Summary, negativeAlert: Boolean)
+                             summary: Report.Summary,
+                             negativeAlert: Report.SentimentAlert)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -92,7 +93,7 @@ object Pipeline {
     // stage 5: gold refresh — full recompute, overwrite (E3)
     val gold = Map[String, DataFrame](
       "daily_engagement_summary" -> Gold.dailySummary(fact, dimDate),
-      "top_performing_content" -> Gold.topContent(fact, dimContent, dimAcc),
+      "top_performing_content" -> Gold.topContent(fact, dimContent, dimAcc, bronze),
       "account_influence" -> Gold.accountInfluence(fact, dimAcc),
       "hashtag_performance" -> Gold.hashtagPerformance(fact, dimContent),
       "hourly_patterns" -> Gold.hourlyPatterns(fact, dimDate),

@@ -47,13 +47,27 @@ object Report {
       .limit(k)
       .select("toot_id", "sentiment_score", "total_engagement", "language")
 
-  /** discord_notifier.py:154-166 — alert when negative toots outnumber
-    * positive + neutral combined. */
-  def negativeAlert(fact: DataFrame): Boolean = {
+  final case class SentimentAlert(triggered: Boolean, negative: Long,
+                                  positive: Long, neutral: Long,
+                                  percentage: Double)
+
+  /** discord_notifier.py:144-166 — alert when Negative toots outnumber
+    * Positive + Neutral combined. Unscored (NULL-label) rows are EXCLUDED
+    * from the comparison (the reference's counts dict drops falsy labels)
+    * but INCLUDED in the percentage denominator (`negative / len(df)`);
+    * `round(x, 2)` in Python is half-even on the double. */
+  def negativeAlert(fact: DataFrame): SentimentAlert = {
     val r = fact.agg(
+      count(lit(1)),
       sum(when(col("sentiment_label") === "Negative", 1L).otherwise(0L)),
-      sum(when(col("sentiment_label") =!= "Negative" || col("sentiment_label").isNull, 1L)
-        .otherwise(0L))).collect()(0)
-    r.getLong(0) > r.getLong(1)
+      sum(when(col("sentiment_label") === "Positive", 1L).otherwise(0L)),
+      sum(when(col("sentiment_label") === "Neutral", 1L).otherwise(0L))).collect()(0)
+    val n = r.getLong(0)
+    def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (neg, pos, neu) = (cnt(1), cnt(2), cnt(3))
+    val pct = if (n == 0) 0.0
+      else BigDecimal(neg * 100.0 / n)
+        .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    SentimentAlert(neg > pos + neu, neg, pos, neu, pct)
   }
 }

@@ -93,20 +93,47 @@ class GoldSpec extends SparkSpec {
   }
 
   test("topContent ranks with tie-break and hourly ranks over aggregate") {
-    val dimContent = Seq((1L, "p1", "Original"), (2L, "p2", "Reply"))
-      .toDF("content_key", "content_preview", "content_type")
-    val dimAcc = Seq((10L, "alice", "Micro", true))
-      .toDF("account_key", "account_username", "influence_tier", "is_current")
+    val dimContent = Seq((1L, "Original"), (2L, "Reply"))
+      .toDF("content_key", "content_type")
+    val dimAcc = Seq((10L, "alice", "Micro", 400L, true))
+      .toDF("account_key", "account_username", "influence_tier",
+        "account_followers_count", "is_current")
+    val bronze = Seq(
+      ("ta", "clean a", "<p>raw a</p>"),
+      ("tb", null, "x" * 250)) // preview falls back to content, LEFT(…, 200)
+      .toDF("id", "content_clean", "content")
     val f = fact(
       ("tb", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"),
       ("ta", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"))
-    val r = Gold.topContent(f, dimContent, dimAcc).collect()
+    val r = Gold.topContent(f, dimContent, dimAcc, bronze).collect()
     // equal engagement -> toot_id ascending tie-break
     assert(r.map(_.getAs[String]("toot_id")).toSeq == Seq("ta", "tb"))
     assert(r.map(_.getAs[Int]("engagement_rank")).toSeq == Seq(1, 2))
+    // bronze read-back preview: COALESCE(content_clean, content) LEFT 200
+    assert(r(0).getAs[String]("content_preview") == "clean a")
+    assert(r(1).getAs[String]("content_preview") == "x" * 200)
+    // engagement_rate = ROUND(100.0 * 7 / 400, 4)
+    assert(r.forall(_.getAs[Double]("engagement_rate") == 1.75))
 
     val h = Gold.hourlyPatterns(f, dimDate).collect()
     assert(h.length == 2 && h.forall(_.getAs[Long]("toot_count") == 1))
+  }
+
+  test("topContent engagement_rate is NULL for zero/unknown followers") {
+    val dimContent = Seq((1L, "Original")).toDF("content_key", "content_type")
+    val dimAcc = Seq((10L, "alice", "Nano", 0L, true))
+      .toDF("account_key", "account_username", "influence_tier",
+        "account_followers_count", "is_current")
+    val bronze = Seq(("t1", "c", "c")).toDF("id", "content_clean", "content")
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"),
+      ("t2", 1L, 20240101, 99L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 3, 0.9, "Positive", "en"))
+    val r = Gold.topContent(f, dimContent, dimAcc, bronze).collect()
+    // NULLIF(0 followers) and a dangling account_key both yield NULL rate
+    assert(r.forall(_.isNullAt(r(0).fieldIndex("engagement_rate"))))
+    // t2 has no bronze row: preview NULL, row still present
+    assert(r(1).getAs[String]("toot_id") == "t2" &&
+      r(1).isNullAt(r(1).fieldIndex("content_preview")))
   }
 
   test("accountInfluence aggregates only current dim versions") {
@@ -147,8 +174,27 @@ class GoldSpec extends SparkSpec {
     assert(top.length == 1 && top(0).getAs[String]("toot_id") == "t1")
     val langs = Report.languageDistribution(f).collect()
     assert(langs(0).getAs[String]("language") == "en" && langs(0).getAs[Long]("n_toots") == 2)
-    assert(Report.negativeAlert(f)) // 2 negative > 1 other
+    val alert = Report.negativeAlert(f)
+    assert(alert.triggered) // 2 negative > 1 positive + 0 neutral
+    assert(alert == Report.SentimentAlert(true, 2, 1, 0, 66.67))
     val s = Report.summary(f)
     assert(s.nToots == 3 && s.nAccounts == 2 && s.totalEngagement == 6)
+  }
+
+  test("negativeAlert excludes unscored rows from the comparison, not the pct") {
+    // 2 Negative vs 1 Positive + 0 Neutral + 2 unscored: the reference
+    // compares against Positive+Neutral ONLY (counts dict drops falsy
+    // labels) → triggered; percentage is negative/len(df) = 2/5.
+    val f = fact(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 1, 0.95, "Negative", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 2, 0.85, "Negative", "en"),
+      ("t3", 3L, 20240101, 11L, 1L, "2024-01-01 03:00:00", 0, 0, 0, 0, 3, 0.99, "Positive", "fr"),
+      ("t4", 4L, 20240101, 11L, 1L, "2024-01-01 04:00:00", 0, 0, 0, 0, 3, 0.99, null, "fr"),
+      ("t5", 5L, 20240101, 11L, 1L, "2024-01-01 05:00:00", 0, 0, 0, 0, 3, 0.99, null, "fr"))
+    val alert = Report.negativeAlert(f)
+    assert(alert == Report.SentimentAlert(true, 2, 1, 0, 40.0))
+    // a NULL-heavy corpus must NOT trigger on "not negative" counting
+    val quiet = Report.negativeAlert(f.filter(col("toot_id") =!= "t2"))
+    assert(!quiet.triggered && quiet.percentage == 25.0)
   }
 }

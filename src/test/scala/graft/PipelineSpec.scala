@@ -40,7 +40,7 @@ class PipelineSpec extends SparkSpec {
     assert(r1.bronzeRows == 2 && r1.factRows == 2)
     assert(r1.goldTables("daily_engagement_summary") == 1) // one date
     assert(r1.summary.nToots == 2)
-    assert(!r1.negativeAlert)
+    assert(!r1.negativeAlert.triggered)
 
     // run 2: t1 re-crawled with higher counts (upsert), a1's followers grew
     // past the 10k tier boundary (SCD2 change), plus one new toot
