@@ -355,6 +355,39 @@ object Etl {
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // ── q47: keep-FIRST dedup (A12) — the deterministic variant of the
+  // bronze within-batch keep='first': earliest row per key under a total
+  // order (ts, event_id), via the same dedupLatest window machinery with
+  // an ascending sort. ──
+  private def q47(spark: SparkSession, dir: String): DataFrame =
+    Silver.dedupLatest(Tables.events(spark, dir), Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+
+  private val q47Sql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ── q48: layer stats probe (S9) — row count, event-time high-water
+  // mark, distinct partition count in ONE aggregation pass
+  // (bronze_loader.py:190-224); the timestamp surfaces as epoch micros
+  // for engine-portable comparison. ──
+  private def q48(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Landing.layerStatsDf(Tables.events(spark, dir),
+        hwmCol = "ts", runCol = "event_type")
+      .select(col("n_rows"), unix_micros(col("high_water")).as("high_water_us"),
+        col("n_runs"))
+
+  private val q48Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS high_water_us,
+      |  COUNT(DISTINCT event_type) AS n_runs
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -367,5 +400,7 @@ object Etl {
     QueryDef("q18_html_clean", q18, Some(q18Sql)),
     QueryDef("q39_asof_join", q39, Some(q39Sql)),
     QueryDef("q40_range_join", q40, Some(q40Sql)),
-    QueryDef("q41_sessionize", q41, Some(q41Sql)))
+    QueryDef("q41_sessionize", q41, Some(q41Sql)),
+    QueryDef("q47_keep_first", q47, Some(q47Sql)),
+    QueryDef("q48_layer_stats", q48, Some(q48Sql)))
 }

@@ -272,6 +272,28 @@ object Profile {
       |  SELECT custkey, 'retained_98' AS cohort FROM (SELECT * FROM a97 INTERSECT SELECT * FROM a98))
       |SELECT cohort, COUNT(*) AS n_customers FROM u GROUP BY cohort ORDER BY cohort""".stripMargin
 
+  // ── q46: CSV split→count (F12) — a CSV field is derived
+  // deterministically from document tokens (doc_id % 4 leading tokens;
+  // % 4 == 0 yields the empty string, exercising the NULL/empty→0 guard),
+  // then the member-count distribution is aggregated. ──
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val csv = concat_ws(",",
+      slice(split(col("text"), " "), lit(1), (col("doc_id") % 4).cast("int")))
+    d.select(F.csvCount(csv).as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_docs"))
+      .orderBy("n_members")
+  }
+
+  private val q46Sql =
+    """SELECT n_members, COUNT(*) AS n_docs FROM (
+      |  SELECT CASE WHEN csv IS NULL OR trim(csv) = '' THEN 0
+      |              ELSE CAST(len(string_split(csv, ',')) AS INTEGER) END AS n_members
+      |  FROM (SELECT array_to_string(
+      |          string_split(text, ' ')[1:CAST(doc_id % 4 AS INT)], ',') AS csv
+      |        FROM documents))
+      |GROUP BY n_members ORDER BY n_members""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
@@ -283,5 +305,6 @@ object Profile {
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
     QueryDef("q38_approx_distinct", q38, None),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
-    QueryDef("q43_set_ops", q43, Some(q43Sql)))
+    QueryDef("q43_set_ops", q43, Some(q43Sql)),
+    QueryDef("q46_csv_count", q46, Some(q46Sql)))
 }

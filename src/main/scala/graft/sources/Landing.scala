@@ -41,13 +41,37 @@ object Landing {
     }.toSeq
   }
 
-  /** S9 — stats probes over a loaded layer: row count, ingestion
-    * high-water mark, distinct run count (bronze_loader.py:190-224). */
+  /** S9 — stats probes over a loaded layer as a one-row DataFrame: row
+    * count, high-water mark of `hwmCol`, distinct count of `runCol`
+    * (bronze_loader.py:190-224). */
+  def layerStatsDf(df: DataFrame, hwmCol: String = "ingestion_timestamp",
+                   runCol: String = "pipeline_run_id"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      max(col(hwmCol)).as("high_water"),
+      countDistinct(col(runCol)).as("n_runs"))
+
+  /** S9 — the same probes as driver-side scalars. */
   def layerStats(df: DataFrame): (Long, java.sql.Timestamp, Long) = {
-    val r = df.agg(
-      count(lit(1)),
-      max(col("ingestion_timestamp")),
-      countDistinct(col("pipeline_run_id"))).collect()(0)
+    val r = layerStatsDf(df).collect()(0)
     (r.getLong(0), r.getTimestamp(1), r.getLong(2))
+  }
+
+  /** S9 — catalog verification probe: schema existence, per-table
+    * existence and row counts, the `spark.catalog` analog of the
+    * reference's information_schema + relation-size checks
+    * (model_executor.py:139-194, gold_refresh.py:138-176). Missing
+    * tables report row_count = -1 (the reference prints them as absent
+    * rather than failing). `expectedTables` is config-sized, so the
+    * driver-side loop is bounded. */
+  def catalogStats(spark: SparkSession, database: String,
+                   expectedTables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val schemaExists = spark.catalog.databaseExists(database)
+    expectedTables.map { t =>
+      val tableExists = schemaExists && spark.catalog.tableExists(s"$database.$t")
+      val rows = if (tableExists) spark.table(s"$database.$t").count() else -1L
+      (t, schemaExists, tableExists, rows)
+    }.toDF("table_name", "schema_exists", "table_exists", "row_count")
   }
 }

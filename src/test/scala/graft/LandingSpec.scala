@@ -50,4 +50,23 @@ class LandingSpec extends SparkSpec {
     val (n, hwm, runs) = Landing.layerStats(df)
     assert(n == 3 && hwm == java.sql.Timestamp.valueOf("2024-01-02 00:00:00") && runs == 2)
   }
+
+  test("catalogStats verifies schema/table existence and row counts") {
+    val wh = Files.createTempDirectory("graft-cat").toString
+    val db = "graft_cat_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    try {
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable(s"$db.present")
+      val got = Landing.catalogStats(spark, db, Seq("present", "absent"))
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(("present", true, true, 3L), ("absent", true, false, -1L)))
+      val missing = Landing.catalogStats(spark, "graft_no_such_db", Seq("t"))
+        .collect()(0)
+      assert(!missing.getBoolean(1) && !missing.getBoolean(2) && missing.getLong(3) == -1L)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }
