@@ -100,4 +100,21 @@ object Streams {
     * per micro-batch; no state is kept. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Durable parquet sink with exactly-once restart semantics — the
+    * streaming analog of the reference's bronze bulk append. The
+    * checkpoint persists source offsets plus the file-sink commit log
+    * (`_spark_metadata`), so a restarted query resumes AFTER the last
+    * committed micro-batch: no re-emission, no gaps, across process
+    * restarts. Partition by a low-cardinality time-derived column at
+    * scale (same guidance as the batch fact table). */
+  def toParquet(df: DataFrame, path: String, checkpoint: String,
+                partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
 }

@@ -77,6 +77,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toParquet file sink recovers from the checkpoint without re-emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (out, cp) = (s"$base/out", s"$base/cp")
+    val in = MemoryStream[Event]
+    def stream = in.toDF().select(col("event_id"), col("event_type"), col("value"))
+
+    val q1 = Streams.toParquet(stream, out, cp)
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // simulate a crash/restart: a NEW query over the same checkpoint must
+    // resume after batch 0 — the 3 committed rows are not emitted again.
+    in.addData(
+      Event(4, ts("2024-01-01 10:03:00"), 2, "view", 4.0),
+      Event(5, ts("2024-01-01 10:04:00"), 3, "click", 5.0))
+    val q2 = Streams.toParquet(stream, out, cp)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // exactly-once: no dups, no gaps
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
