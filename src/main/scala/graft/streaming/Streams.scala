@@ -101,6 +101,25 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming upsert into a parquet layer via foreachBatch — the
+    * streaming analog of the reference's cross-run ON CONFLICT bronze
+    * load (bronze_loader.py:143-188), reusing the batch merge
+    * ([[graft.engine.Pipeline.upsertBronze]]: union → keep latest per id
+    * → swap-rewrite). Restart safety comes from idempotence rather than
+    * the file-sink commit log: replaying a committed micro-batch after a
+    * crash re-merges the same rows and converges to the same layer state
+    * — the standard foreachBatch exactly-once contract. Rows need `id`
+    * and `ingestion_timestamp` columns. */
+  def upsertSink(batches: DataFrame, lake: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.engine.Pipeline.upsertBronze(batch.sparkSession, batch.toDF(), lake)
+        ()
+      }
+      .start()
+
   /** Durable parquet sink with exactly-once restart semantics — the
     * streaming analog of the reference's bronze bulk append. The
     * checkpoint persists source offsets plus the file-sink commit log

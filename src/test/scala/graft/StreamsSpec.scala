@@ -106,6 +106,24 @@ class StreamsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // exactly-once: no dups, no gaps
   }
 
+  test("upsertSink merges each micro-batch keeping the latest row per id") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val q = Streams.upsertSink(
+      in.toDF().toDF("id", "ingestion_timestamp", "v"), base, s"$base/cp")
+    try {
+      in.addData(("a", ts("2024-01-01 10:00:00"), 1.0), ("b", ts("2024-01-01 10:00:00"), 2.0))
+      q.processAllAvailable()
+      // re-crawl batch: newer version of a, plus a new id
+      in.addData(("a", ts("2024-01-01 11:00:00"), 9.0), ("c", ts("2024-01-01 11:00:00"), 3.0))
+      q.processAllAvailable()
+      val layer = spark.read.parquet(s"$base/bronze")
+        .select("id", "v").as[(String, Double)].collect().toSet
+      assert(layer == Set(("a", 9.0), ("b", 2.0), ("c", 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
