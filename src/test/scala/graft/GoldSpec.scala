@@ -105,7 +105,12 @@ class GoldSpec extends SparkSpec {
     val f = fact(
       ("tb", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"),
       ("ta", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0, 0, 0, 0, 7, 0.9, "Positive", "en"))
-    val r = Gold.topContent(f, dimContent, dimAcc, bronze).collect()
+    val df = Gold.topContent(f, dimContent, dimAcc, bronze)
+    // bronze is pruned to the top-k ids via a broadcast LEFT SEMI before
+    // the preview join — the full bronze scan must never shuffle here
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    val r = df.collect()
     // equal engagement -> toot_id ascending tie-break
     assert(r.map(_.getAs[String]("toot_id")).toSeq == Seq("ta", "tb"))
     assert(r.map(_.getAs[Int]("engagement_rank")).toSeq == Seq(1, 2))

@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q23/q25: candidate re-rank pipelines never nested-loop") {
+    Seq("q23_ngram_jaccard", "q25_embedding_lsh").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${s.take(800)}")
+    }
+  }
+
   test("q39: as-of join is one window pass, no join operator at all") {
     val s = planString(q("q39_asof_join"))
     assert(s.contains("Window"), s.take(600))
