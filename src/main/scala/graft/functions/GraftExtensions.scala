@@ -31,6 +31,13 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 2, "cosine_similarity expects exactly 2 arguments")
           CosineSimilarityExpr(children.head, children(1))
+        }),
+      (
+        new FunctionIdentifier("word_bigrams"),
+        new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "word_bigrams expects exactly 1 argument")
+          WordBigramsExpr(children.head)
         }))
 
   /** Register into a live session's function registry (extensions given to

@@ -31,26 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  def tokens(c: Column): Column = split(c, " ")
-
-  /** Word-bigram shingles, 0-based (element_at is 1-based). Guarded for
-    * single-token docs: sequence(0, -1) would DESCEND to [0,-1] and
-    * element_at(t, 0) throws — such docs simply have no bigrams. */
-  def bigramsAll(t: Column): Column = {
-    val idx = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(lit(Array.empty[Int]))
-    transform(idx, i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))
-  }
+  /** All word-bigram shingles of a text column — the codegen'd
+    * [[graft.functions.WordBigrams]] expression (an interpreted
+    * higher-order `transform` lambda here was measured 5-10× slower in
+    * the signature hot loop). 0/1-token docs yield an empty array. */
+  def bigramsAll(text: Column): Column = graft.functions.WordBigrams(text)
 
   /** Distinct shingle set (for set-cardinality math like Jaccard). */
-  def bigrams(t: Column): Column = array_distinct(bigramsAll(t))
+  def bigrams(text: Column): Column = array_distinct(bigramsAll(text))
 
   /** k=4 MinHash signature per id: `idCol, mh1..mh4`. Docs with no
     * bigrams (empty/one-token text) produce no signature row. */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val ex = docs
-      .select(col(idCol), explode(bigramsAll(tokens(col(textCol)))).as("s"))
+      .select(col(idCol), explode(bigramsAll(col(textCol))).as("s"))
       .select(col(idCol), md5(col("s")).as("h"))
     val mins = (1 to 4).map(j =>
       min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))

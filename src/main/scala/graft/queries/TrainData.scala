@@ -150,7 +150,7 @@ object TrainData {
     val cand = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .select("doc_a", "doc_b")
     val ex = d.select(col("doc_id"),
-      explode(MinHashLsh.bigrams(MinHashLsh.tokens(col("text")))).as("s")).persist()
+      explode(MinHashLsh.bigrams(col("text"))).as("s")).persist()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sg"))
     // |A∩B| per candidate pair: fan A's shingles over the pair list, then
     // match B's on (doc, shingle) — two hash joins, no all-pairs blowup.
