@@ -287,7 +287,10 @@ object TrainData {
   private def q26(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val t = tokens(col("text"))
-    val nStop = size(filter(t, x => x.isin(Stopwords: _*)))
+    // codegen'd one-pass stopword probe (an interpreted filter-lambda
+    // here is the same hot-loop tax word_bigrams removed — see
+    // functions/TokenSetCount.scala)
+    val nStop = graft.functions.TokenSetCount(col("text"), Stopwords)
     val scored = d.select(col("doc_id"), col("lang"),
       nStop.as("n_stop"), size(t).as("n_tok"))
       .withColumn("pred_en", col("n_stop") * 20 >= col("n_tok"))
@@ -322,7 +325,7 @@ object TrainData {
     val feats = d.select(col("doc_id"), col("source"),
       size(t).as("n_tok"),
       size(array_distinct(t)).as("n_distinct"),
-      size(filter(t, x => x.isin(Stopwords: _*))).as("n_stop"),
+      graft.functions.TokenSetCount(col("text"), Stopwords).as("n_stop"),
       col("n_chars"))
     val tier = when(col("n_tok") >= 100 && col("n_distinct") * 3 >= col("n_tok"), "high")
       .when(col("n_tok") >= 30, "medium")
