@@ -92,4 +92,42 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  // signature components from a tiny alphabet so band collisions (and
+  // oversized buckets at small caps) actually occur
+  private val sigGen = Gen.listOfN(30, for {
+    m1 <- Gen.oneOf("x1", "x2", "x3")
+    m2 <- Gen.oneOf("y1", "y2")
+    m3 <- Gen.oneOf("z1", "z2", "z3")
+    m4 <- Gen.oneOf("w1", "w2")
+  } yield (m1, m2, m3, m4))
+
+  test("LSH candidates equal brute-force banded pairing, capped and uncapped") {
+    import graft.operators.MinHashLsh
+    samples(sigGen, 6).foreach { sigs =>
+      val rows = sigs.zipWithIndex.map { case ((m1, m2, m3, m4), i) =>
+        (i.toLong, m1, m2, m3, m4)
+      }
+      val df = rows.toDF("doc_id", "mh1", "mh2", "mh3", "mh4")
+      val sigOf = rows.map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+      def brute(maxBucket: Int): Set[(Long, Long, Int)] = {
+        val banded = rows.flatMap { case (id, m1, m2, m3, m4) =>
+          Seq((1, m1 + m2, id), (2, m3 + m4, id)) }
+        banded.groupBy(b => (b._1, b._2)).values
+          .filter(_.size <= maxBucket)
+          .flatMap { members =>
+            val ids = members.map(_._3).sorted
+            for { a <- ids; b <- ids if a < b } yield (a, b)
+          }.toSet[(Long, Long)]
+          .map { case (a, b) =>
+            (a, b, sigOf(a).zip(sigOf(b)).count { case (x, y) => x == y })
+          }
+      }
+      Seq(5, 1000).foreach { cap =>
+        val got = MinHashLsh.candidates(df, maxBucket = cap).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == brute(cap), s"maxBucket=$cap")
+      }
+    }
+  }
 }
