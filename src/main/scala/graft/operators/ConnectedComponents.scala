@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * step that turns near-dup candidate PAIRS ([[MinHashLsh]]/[[AnnLsh]])
+  * into duplicate GROUPS with a canonical keeper per group.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), which
+  * converges in O(log n) rounds on any graph — unlike plain min-label
+  * propagation whose round count is the graph DIAMETER (a 100M-node
+  * chain would need 100M shuffles; boilerplate near-dup clusters can
+  * chain badly). Each round is two groupBy-min + join passes over the
+  * edge list: no driver-side graph state, nothing collected, edge count
+  * never grows beyond O(E).
+  *
+  *   large-star: every node links its LARGER neighbors to its smallest
+  *   neighbor-or-self — long tails fold toward local minima.
+  *   small-star: edges oriented big→small; every node links its smaller
+  *   neighbors and itself to the minimum — stars flatten to depth 1.
+  *
+  * Convergence is checked per round with a count of changed edges (an
+  * O(rounds) sequence of actions, standard for iterative DataFrame
+  * algorithms); `maxIter` bounds the worst case.
+  */
+object ConnectedComponents {
+
+  /** Returns `(node, comp)` for every node appearing in `edges`, where
+    * `comp` is the smallest node id in the node's component. Self-loops
+    * are ignored; edges may appear in any orientation or multiplicity. */
+  def apply(edges: DataFrame, srcCol: String, dstCol: String,
+            maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): each round derives from the last, so
+    // an uncut LINEAGE doubles per iteration and the planner itself OOMs
+    // long before the data does — truncating the plan per round is the
+    // standard contract for iterative DataFrame algorithms.
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Cheap order-independent multiset signature: rounds that actually
+    // changed the edge set almost surely change it, so the expensive
+    // exact exceptAll comparison only ever runs on the final (converged)
+    // round — the signature alone never declares convergence.
+    def signature(df: DataFrame) = df
+      .agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), // no ANSI overflow
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)")))
+      .collect()(0)
+
+    var iter = 0
+    var converged = false
+    var eSig = signature(e)
+    while (iter < maxIter && !converged) {
+      // ── large-star: symmetrize; m(u) = min(N(u) ∪ {u}); for every
+      // neighbor v > u emit (v, m). ──
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // checkpointed: consumed twice below (small-star min + emit join)
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // ── small-star: edges already oriented u > v; m(u) = min(N(u) ∪
+      // {u}) over the smaller neighbors; link every smaller neighbor and
+      // u itself to m. ──
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ss = ls.join(mins2, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(mins2.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // both sides are distinct sets: equal counts (from the signature)
+      // + empty one-sided difference ⟹ equal sets
+      val ssSig = signature(ss)
+      converged = ssSig == eSig && ss.exceptAll(e).isEmpty
+      e = ss
+      eSig = ssSig
+      iter += 1
+    }
+
+    // At the fixpoint every edge is (node → its component minimum); the
+    // minima themselves are their own component.
+    val roots = e.select(col("v").as("node")).distinct()
+      .join(e.select(col("u").as("node")).distinct(), Seq("node"), "left_anti")
+    e.select(col("u").as("node"), col("v").as("comp"))
+      .unionByName(roots.select(col("node"), col("node").as("comp")))
+      .distinct()
+  }
+}

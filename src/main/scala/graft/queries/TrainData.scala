@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AnnLsh, MinHashLsh}
+import graft.operators.{AnnLsh, ConnectedComponents, MinHashLsh}
 
 /** Training-data pipeline operators over `documents`/`embeddings` — the
   * 100 TB-scale extensions: exact + near dedup (MinHash LSH, SimHash,
@@ -458,6 +458,38 @@ object TrainData {
       |  MIN(CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN doc_id END) AS first_sampled_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q49: near-dup CLUSTERS — the dedup decision step: LSH candidate
+  // pairs (strong agreement only) → connected components → one keeper
+  // (the minimum doc_id = the component label) per duplicate group.
+  // O(log n)-round star contraction, no driver-side graph state; the
+  // oracle reproduces components via a recursive-CTE transitive closure
+  // (fine at oracle scale, quadratic in cluster size — the engine-side
+  // algorithm is the one that survives 100 TB). ──
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).persist()
+    val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
+      .filter(col("n_sig_match") >= 3)
+      .select("doc_a", "doc_b")
+    ConnectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("comp").as("keeper_doc"))
+      .agg(count(lit(1)).as("cluster_size"), max("node").as("max_doc"))
+      .orderBy("keeper_doc")
+  }
+
+  private val q49Sql =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+      |SELECT comp AS keeper_doc, COUNT(*) AS cluster_size, MAX(node) AS max_doc
+      |FROM comps GROUP BY comp ORDER BY keeper_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -470,5 +502,6 @@ object TrainData {
     QueryDef("q28_token_count", q28, Some(q28Sql)),
     QueryDef("q29_fingerprint", q29, Some(q29Sql)),
     QueryDef("q44_pii_scrub", q44, Some(q44Sql)),
-    QueryDef("q45_hash_sample", q45, Some(q45Sql)))
+    QueryDef("q45_hash_sample", q45, Some(q45Sql)),
+    QueryDef("q49_neardup_clusters", q49, Some(q49Sql)))
 }

@@ -130,4 +130,37 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // sparse random graphs over few nodes → a mix of chains, small cliques
+  // and isolated pairs; dense enough that multi-hop components form
+  private val edgeGen = Gen.listOfN(18, for {
+    a <- Gen.choose(0L, 14L)
+    b <- Gen.choose(0L, 14L)
+  } yield (a, b))
+
+  test("connected components equal brute-force union-find on random graphs") {
+    import graft.operators.ConnectedComponents
+    samples(edgeGen, 6).foreach { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      whenever(edges.nonEmpty) {
+        val got = ConnectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // brute force union-find with min-id roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(n => n -> find(n)).toMap
+        assert(got == want)
+      }
+    }
+  }
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 }
