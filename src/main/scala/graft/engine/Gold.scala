@@ -37,6 +37,30 @@ object Gold {
         round(lit(100.0) * col("positive_count") /
           nullif(col("total_toots").cast("double"), lit(0.0)), 2))
 
+  /** Partition-level incremental refresh of [[dailySummary]]: recompute
+    * ONLY the date partitions touched by `delta` (a new/re-crawled fact
+    * batch) and splice them into the existing MV.
+    *
+    * The reference refreshes by full recompute (`REFRESH MATERIALIZED
+    * VIEW`, gold_refresh.py). At 100 TB a daily run touches a handful of
+    * date_keys out of thousands — recomputing 3 partitions instead of
+    * 3000 turns the refresh from a full-fact shuffle into a pruned scan:
+    * the `date_key` semi-join filter pushes into the date-partitioned
+    * fact parquet (directory pruning, see Pipeline's partitionBy), and
+    * the MV rows for untouched dates are identical by construction
+    * because the aggregation is keyed by date.
+    *
+    * `fact` must be the FULL fact table (the delta's dates may contain
+    * rows from earlier loads); `existing` is the current MV state. */
+  def dailySummaryIncremental(existing: DataFrame, fact: DataFrame,
+                              delta: DataFrame, dimDate: DataFrame): DataFrame = {
+    val touched = delta.select("date_key").distinct()
+    val recomputed = dailySummary(
+      fact.join(broadcast(touched), Seq("date_key"), "left_semi"), dimDate)
+    existing.join(broadcast(touched), Seq("date_key"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** #2 mv_top_performing_content (02:56-91) — rank + LIMIT 1000, with
     * the bronze read-back preview (`LEFT(COALESCE(content_clean, content),
     * 200)`, 02:59) and `engagement_rate` (`ROUND(100.0 * engagement /

@@ -92,6 +92,28 @@ class GoldSpec extends SparkSpec {
     assert(r(0).getAs[Double]("virality_score") == 0.266667)
   }
 
+  test("dailySummaryIncremental equals full recompute, untouched dates untouched") {
+    val day1 = Seq(
+      ("t1", 1L, 20240101, 10L, 1L, "2024-01-01 01:00:00", 1L, 1L, 1L, 0L, 3L, 0.9, "Positive", "en"),
+      ("t2", 2L, 20240101, 10L, 1L, "2024-01-01 02:00:00", 0L, 2L, 2L, 0L, 4L, 0.8, "Positive", "en"),
+      ("t3", 3L, 20240102, 11L, 2L, "2024-01-02 03:00:00", 5L, 0L, 0L, 0L, 5L, 0.9, "Negative", "fr"))
+    // re-crawl delta: one MORE row for day 2 (its partition must merge
+    // with the earlier day-2 row, not replace it) — day 1 untouched
+    val deltaRows = Seq(
+      ("t4", 4L, 20240102, 12L, 1L, "2024-01-02 04:00:00", 0L, 0L, 7L, 0L, 7L, 0.9, "Positive", "en"))
+    val full = fact((day1 ++ deltaRows): _*)
+    val mv1 = Gold.dailySummary(fact(day1: _*), dimDate)
+    val delta = fact(deltaRows: _*)
+
+    val incr = Gold.dailySummaryIncremental(mv1, full, delta, dimDate)
+    val want = Gold.dailySummary(full, dimDate)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(incr) == rows(want))
+    // day-2 stats actually merged old + new rows
+    val d2 = incr.filter(col("date_key") === 20240102).collect()(0)
+    assert(d2.getAs[Long]("total_toots") == 2 && d2.getAs[Long]("total_engagement") == 12)
+  }
+
   test("topContent ranks with tie-break and hourly ranks over aggregate") {
     val dimContent = Seq((1L, "Original"), (2L, "Reply"))
       .toDF("content_key", "content_type")
