@@ -38,6 +38,13 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 1, "word_bigrams expects exactly 1 argument")
           WordBigramsExpr(children.head)
+        }),
+      (
+        new FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "minhash_sig expects exactly 1 argument")
+          MinHashSigExpr(children.head)
         }))
 
   /** Register into a live session's function registry (extensions given to

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * (reference: src/transformer/data_quality.py:57-62 dedups ids only).
   *
   * Scale design:
-  *   - Signatures are built explode → groupBy(min): md5 and min stay in
-  *     whole-stage codegen, one shuffle, linear in total shingle count.
-  *     min over the shingle multiset equals min over the distinct set, so
-  *     no array_distinct is needed on this path.
+  *   - Signatures are a pure NARROW map: the codegen'd
+  *     [[graft.functions.MinHashSig]] expression computes all four
+  *     components per row in one pass, so signature building has no
+  *     exchange at all (the explode → groupBy(min) formulation shuffles
+  *     one row per shingle — the pipeline's largest shuffle for nothing
+  *     but a per-doc min).
   *   - ONE md5 per shingle is split into four 8-hex-char components (the
   *     split-a-wide-hash trick) instead of four salted hashes — 4× less
   *     hashing on both the engine and the oracle side.
@@ -40,17 +42,15 @@ object MinHashLsh {
   /** Distinct shingle set (for set-cardinality math like Jaccard). */
   def bigrams(text: Column): Column = array_distinct(bigramsAll(text))
 
-  /** k=4 MinHash signature per id: `idCol, mh1..mh4`. Docs with no
-    * bigrams (empty/one-token text) produce no signature row. */
+  /** k=4 MinHash signature per id: `idCol, mh1..mh4` — shuffle-free (see
+    * scale notes). Docs with no bigrams (empty/one-token text) produce
+    * no signature row. */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val ex = docs
-      .select(col(idCol), explode(bigramsAll(col(textCol))).as("s"))
-      .select(col(idCol), md5(col("s")).as("h"))
-    val mins = (1 to 4).map(j =>
-      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"mh$j"))
-    ex.groupBy(idCol).agg(mins.head, mins.tail: _*)
-  }
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), graft.functions.MinHashSig(col(textCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (1 to 4).map(j => element_at(col("__sig"), j).as(s"mh$j")): _*)
 
   /** One row per (band, doc): band 1 keys on mh1||mh2, band 2 on mh3||mh4. */
   private def banded(sigs: DataFrame, idCol: String): DataFrame = {
