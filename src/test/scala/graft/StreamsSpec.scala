@@ -124,6 +124,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupFilter flags docs sharing a band bucket against the keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nearDupFilter(in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("ndf").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "the quick brown fox jumps"))
+      q.processAllAvailable()
+      in.addData(
+        (2L, ts("2024-01-01 10:01:00"), "the quick brown fox jumps"), // exact dup
+        (3L, ts("2024-01-01 10:02:00"), "completely different words entirely"),
+        (4L, ts("2024-01-01 10:03:00"), "solo")) // 1 token: no signature
+      q.processAllAvailable()
+      val verdicts = spark.table("ndf").as[Streams.NearDupVerdict].collect()
+        .map(v => (v.doc_id, v.band, v.matched_doc)).toSet
+      // doc 2 collides with doc 1 in BOTH bands; docs 3 and 4 are clean
+      assert(verdicts == Set((2L, 1, 1L), (2L, 2, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
