@@ -55,11 +55,21 @@ object Gold {
   def dailySummaryIncremental(existing: DataFrame, fact: DataFrame,
                               delta: DataFrame, dimDate: DataFrame): DataFrame = {
     val touched = delta.select("date_key").distinct()
-    val recomputed = dailySummary(
-      fact.join(broadcast(touched), Seq("date_key"), "left_semi"), dimDate)
-    existing.join(broadcast(touched), Seq("date_key"), "left_anti")
-      .unionByName(recomputed)
+    spliceRefresh(existing,
+      dailySummary(fact.join(broadcast(touched), Seq("date_key"), "left_semi"), dimDate),
+      touched, Seq("date_key"))
   }
+
+  /** Generic partition splice for any MV whose aggregation is keyed by
+    * `keys`: keep existing rows for untouched keys (broadcast anti-join
+    * — `touched` is a load's worth of partition keys, config-sized),
+    * append the recomputed rows. Valid whenever rows for untouched keys
+    * are independent of touched partitions — true for plain groupBys,
+    * NOT for MVs with cross-partition windows (e.g. LAG over dates). */
+  def spliceRefresh(existing: DataFrame, recomputed: DataFrame,
+                    touched: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(broadcast(touched), keys, "left_anti")
+      .unionByName(recomputed)
 
   /** #2 mv_top_performing_content (02:56-91) — rank + LIMIT 1000, with
     * the bronze read-back preview (`LEFT(COALESCE(content_clean, content),

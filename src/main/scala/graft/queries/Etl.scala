@@ -388,6 +388,31 @@ object Etl {
       |  COUNT(DISTINCT event_type) AS n_runs
       |FROM events""".stripMargin
 
+  // ── q50: partition-level incremental MV refresh (E3 at scale) — an
+  // events daily rollup is built from a prior load, then a re-crawl
+  // delta arrives; only the touched days are recomputed and spliced in
+  // (Gold.spliceRefresh). The oracle is the FULL aggregation, so any
+  // splice bug — dropped days, duplicated days, stale touched rows —
+  // hash-fails. ──
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    def mv(df: DataFrame) = df.groupBy("day")
+      .agg(count(lit(1)).as("n_events"), F.sumMoney(col("value")).as("sum_value"))
+    val prior = e.filter(col("event_id") % 10 =!= 0) // first load
+    val delta = e.filter(col("event_id") % 10 === 0) // re-crawl batch
+    val touched = delta.select("day").distinct()
+    graft.engine.Gold.spliceRefresh(
+      mv(prior),
+      mv(e.join(broadcast(touched), Seq("day"), "left_semi")),
+      touched, Seq("day"))
+      .orderBy("day")
+  }
+
+  private val q50Sql =
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n_events,
+      |  ${OracleSql.sumMoneySql("value")} AS sum_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -402,5 +427,6 @@ object Etl {
     QueryDef("q40_range_join", q40, Some(q40Sql)),
     QueryDef("q41_sessionize", q41, Some(q41Sql)),
     QueryDef("q47_keep_first", q47, Some(q47Sql)),
-    QueryDef("q48_layer_stats", q48, Some(q48Sql)))
+    QueryDef("q48_layer_stats", q48, Some(q48Sql)),
+    QueryDef("q50_incremental_mv", q50, Some(q50Sql)))
 }
