@@ -103,7 +103,8 @@ object TrainData {
   // of each md5 hex nibble), majority vote per bit, composed to an int. ──
   private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  private def q22(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 16-bit SimHash (shared by q22 and q51). */
+  private def simhashOf(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     val tok = d.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -117,27 +118,80 @@ object TrainData {
       .reduce(_ + _)
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy("doc_id")
   }
 
-  private val q22Sql = {
+  private def q22(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(spark, dir).orderBy("doc_id")
+
+  /** Shared oracle CTEs: tokens → per-bit majority votes → composed
+    * 16-bit simhash, mirroring [[simhashOf]]. */
+  private val simhashCtes = {
     val bitSums = (0 until 16).map { bit =>
       s"SUM(CASE WHEN substr(h, ${bit + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$bit"
     }.mkString(",\n      |    ")
     val compose = (0 until 16)
       .map(bit => s"CASE WHEN s$bit >= 0 THEN ${1 << bit} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, md5(t) AS h
       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
       |        FROM documents)),
       |bits AS (
       |  SELECT doc_id,
       |    $bitSums
-      |  FROM tok GROUP BY doc_id)
-      |SELECT doc_id, $compose AS simhash
-      |FROM bits ORDER BY doc_id""".stripMargin
+      |  FROM tok GROUP BY doc_id),
+      |sh AS (SELECT doc_id, $compose AS simhash FROM bits)""".stripMargin
   }
+
+  private val q22Sql =
+    s"""WITH $simhashCtes
+      |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  // ── q51: SimHash near-dup pairing — completes SimHash as a dedup: the
+  // 16-bit fingerprint splits into 2 × 8-bit bands (docs within Hamming
+  // distance ≤ 3 of each other on 16 bits must agree exactly on at least
+  // one band... not guaranteed, but that's the standard recall/cost
+  // trade; production uses 64-bit simhash with 4×16-bit bands — 16
+  // portable bits keep oracle parity with q22), same per-bucket size cap
+  // as the MinHash path, pairs re-ranked by exact Hamming distance. ──
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashOf(spark, dir)
+    def bandRow(band: Int, key: Column) = sh.select(col("doc_id"), col("simhash"),
+      lit(band).as("band"), key.as("bk"))
+    val banded = bandRow(1, col("simhash").bitwiseAND(lit(255)))
+      .unionByName(bandRow(2, shiftright(col("simhash"), 8).bitwiseAND(lit(255))))
+    val small = banded.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 64).select("band", "bk")
+    val kept = banded.join(small, Seq("band", "bk"))
+    val a = kept.select(col("band"), col("bk"), col("doc_id").as("a_id"),
+      col("simhash").as("a_sh"))
+    val b = kept.select(col("band"), col("bk"), col("doc_id").as("b_id"),
+      col("simhash").as("b_sh"))
+    a.join(b, Seq("band", "bk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        expr("CAST(bit_count(a_sh ^ b_sh) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+      .limit(200)
+  }
+
+  private val q51Sql =
+    s"""WITH $simhashCtes,
+      |banded AS (
+      |  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bk FROM sh
+      |  UNION ALL
+      |  SELECT doc_id, simhash, 2 AS band, (simhash >> 8) & 255 FROM sh),
+      |kept AS (
+      |  SELECT * FROM banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM kept a JOIN kept b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
 
   // ── q23: exact n-gram Jaccard re-rank over the LSH candidate pairs —
   // the production near-dup shape: q21's banded candidates bound the pair
@@ -503,5 +557,6 @@ object TrainData {
     QueryDef("q29_fingerprint", q29, Some(q29Sql)),
     QueryDef("q44_pii_scrub", q44, Some(q44Sql)),
     QueryDef("q45_hash_sample", q45, Some(q45Sql)),
-    QueryDef("q49_neardup_clusters", q49, Some(q49Sql)))
+    QueryDef("q49_neardup_clusters", q49, Some(q49Sql)),
+    QueryDef("q51_simhash_neardup", q51, Some(q51Sql)))
 }
