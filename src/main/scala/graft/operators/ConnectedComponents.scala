@@ -91,6 +91,11 @@ object ConnectedComponents {
       eSig = ssSig
       iter += 1
     }
+    // a silently-unconverged result would mislabel components downstream
+    // (dedup would keep multiple "keepers" per true group) — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        "(alternating stars need ~2·log2(n); raise maxIter)")
 
     // At the fixpoint every edge is (node → its component minimum); the
     // minima themselves are their own component.

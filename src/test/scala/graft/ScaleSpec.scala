@@ -53,6 +53,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge in O(log n) rounds on a worst-case chain") {
+    // a 64-node path graph is the adversarial case for min-label
+    // propagation (diameter 63 -> 63 rounds); alternating stars must
+    // finish inside ~2*log2(64)+slack rounds or throw.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = graft.operators.ConnectedComponents(chain, "a", "b", maxIter = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 64 && comps.forall(_._2 == 0L))
+  }
+
   test("avgMoney matches a BigDecimal reference over randomized inputs") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { _ =>
