@@ -4,10 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Two reps, min taken: rep 1 pays JIT compilation of the hot codegen
-    // loops (the sf0.001 warmup is too small to trigger C2), rep 2 is the
-    // steady state a long-running cluster job actually sees.
+    // reps (default 3), min taken: rep 1 pays JIT compilation of the hot
+    // codegen loops (the sf0.001 warmup is too small to trigger C2), the
+    // later reps are the steady state a long-running cluster job sees.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val maxPartitionBytes = "8m"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,7 +18,7 @@ object Bench {
       // 128 MB split size every scan is one task and the whole query runs
       // single-threaded. Smaller splits restore scan parallelism — the same
       // knob that sizes partitions to executor memory at 100 TB.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,18 +28,29 @@ object Bench {
     SparkEntry.queries.values
       .foreach(fn => try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => })
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Isolation: no query may ride on (or pay for) another query's
+      // cached state. Queries themselves use GC-scoped localCheckpoint,
+      // not persist, so this is insurance against future persist use.
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Self-describing artifact: reps + the perf-relevant session config,
+    // so round-over-round BENCH_r{N}.json comparisons carry their own
+    // measurement conditions.
+    val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
+      s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
+      s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

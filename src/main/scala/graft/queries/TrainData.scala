@@ -54,9 +54,12 @@ object TrainData {
   // bands × 2 components, per-bucket size cap; candidate pairs scored by
   // signature agreement. Scale rationale in operators/MinHashLsh.scala. ──
   private def q21(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the banded self-join reads the signatures from both sides —
-    // the standard materialize-signatures step at scale.
-    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).persist()
+    // Materialize signatures ONCE (the banded self-join reads them from
+    // both sides plus the bucket-size probe) via eager localCheckpoint —
+    // NOT persist(): a CacheManager entry with no unpersist outlives the
+    // query and grows executor storage without bound across a long job;
+    // checkpoint blocks are MEMORY_AND_DISK and GC-scoped.
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
     MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .orderBy(col("doc_a"), col("doc_b"))
       .limit(200)
@@ -200,12 +203,25 @@ object TrainData {
   // small ints → bit-identical double in both engines. ──
   private def q23(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
-    val sigs = MinHashLsh.signatures(d).persist()
+    // localCheckpoint, not persist: GC-scoped blocks, no CacheManager
+    // leak across queries (see q21).
+    val sigs = MinHashLsh.signatures(d).localCheckpoint()
     val cand = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
-      .select("doc_a", "doc_b")
-    val ex = d.select(col("doc_id"),
-      explode(MinHashLsh.bigrams(col("text"))).as("s")).persist()
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sg"))
+      .select("doc_a", "doc_b").localCheckpoint()
+    // Only docs that appear in some candidate pair matter for the exact
+    // re-rank, so semi-join-prune the corpus BEFORE exploding shingles:
+    // the exploded table shrinks from every doc's bigrams (~8M rows at
+    // sf0.1) to just the candidate slice, which is what both
+    // intersection joins and the size lookup actually consume. The
+    // candidate-doc list is bounded by 2× the capped pair count —
+    // broadcast it so the corpus never shuffles for the prune.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val pruned = d.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
+      .localCheckpoint()
+    val sizes = pruned.select(col("doc_id"), size(col("sg")).as("n_sg"))
+    val ex = pruned.select(col("doc_id"), explode(col("sg")).as("s"))
     // |A∩B| per candidate pair: fan A's shingles over the pair list, then
     // match B's on (doc, shingle) — two hash joins, no all-pairs blowup.
     val inter = cand
@@ -520,7 +536,8 @@ object TrainData {
   // (fine at oracle scale, quadratic in cluster size — the engine-side
   // algorithm is the one that survives 100 TB). ──
   private def q49(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).persist()
+    // localCheckpoint, not persist — GC-scoped, no cache leak (see q21).
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .filter(col("n_sig_match") >= 3)
       .select("doc_a", "doc_b")
