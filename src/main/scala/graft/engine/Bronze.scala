@@ -108,6 +108,13 @@ object Bronze {
     //    captured as a row id BEFORE the dedup shuffle so the kept row is
     //    the earliest-scanned one (pandas keep='first',
     //    data_quality.py:57-62) rather than dropDuplicates' arbitrary pick.
+    //    Scope of the determinism claim: monotonically_increasing_id
+    //    orders by partition INDEX, and the file scan assigns splits to
+    //    partitions by size (bin-packing), so for duplicates spanning
+    //    multiple input files "first" matches pandas' concatenated-input
+    //    order only for a single-file (or single-partition) batch. Callers
+    //    needing reference-exact cross-file first-wins order on a real
+    //    column instead — [[Silver.dedupLatest]] on ingestion_timestamp.
     scored.withColumn("__scan_order", monotonically_increasing_id())
       .transform(df => Silver.dedupLatest(df, Seq("id"), Seq(col("__scan_order").asc)))
       .drop("__scan_order")

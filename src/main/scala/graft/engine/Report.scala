@@ -55,7 +55,10 @@ object Report {
     * Positive + Neutral combined. Unscored (NULL-label) rows are EXCLUDED
     * from the comparison (the reference's counts dict drops falsy labels)
     * but INCLUDED in the percentage denominator (`negative / len(df)`);
-    * `round(x, 2)` in Python is half-even on the double. */
+    * `round(x, 2)` in Python is half-even on the double. The reference
+    * evaluates `(neg / n) * 100` — divide THEN scale — and the two
+    * double roundings differ from `neg * 100.0 / n` on ordinary inputs
+    * (neg=23, n=160: 14.37 vs 14.38), so the operand order is pinned. */
   def negativeAlert(fact: DataFrame): SentimentAlert = {
     val r = fact.agg(
       count(lit(1)),
@@ -66,7 +69,7 @@ object Report {
     def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     val (neg, pos, neu) = (cnt(1), cnt(2), cnt(3))
     val pct = if (n == 0) 0.0
-      else BigDecimal(neg * 100.0 / n)
+      else BigDecimal((neg.toDouble / n) * 100.0)
         .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
     SentimentAlert(neg > pos + neu, neg, pos, neu, pct)
   }

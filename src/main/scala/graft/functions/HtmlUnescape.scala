@@ -48,11 +48,12 @@ object HtmlUnescape {
     0x9c -> "\u0153", 0x9d -> "\u009d", 0x9e -> "\u017e", 0x9f -> "\u0178")
 
   /** Codepoints html.unescape drops entirely (`html._invalid_codepoints`):
-    * C0 controls (minus HT/LF/FF/CR), DEL+C1 handled above via charrefs but
-    * also dropped when reached by hex value, FDD0\u2013FDEF, and the
-    * xFFFE/xFFFF-suffixed noncharacters of every plane. */
+    * C0 controls minus HT/LF/FF/CR \u2014 so 0x0B (VT) IS dropped while 0x0C
+    * (FF) is NOT \u2014 DEL+C1 handled above via charrefs but also dropped when
+    * reached by hex value, FDD0\u2013FDEF, and the xFFFE/xFFFF-suffixed
+    * noncharacters of every plane. */
   private def isInvalidCodepoint(cp: Int): Boolean =
-    (cp >= 0x01 && cp <= 0x08) || (cp >= 0x0e && cp <= 0x1f) ||
+    (cp >= 0x01 && cp <= 0x08) || cp == 0x0b || (cp >= 0x0e && cp <= 0x1f) ||
     (cp >= 0x7f && cp <= 0x9f) || (cp >= 0xfdd0 && cp <= 0xfdef) ||
     (cp & 0xfffe) == 0xfffe
 
@@ -74,19 +75,34 @@ object HtmlUnescape {
     while (i < str.length) {
       val c = str.charAt(i)
       if (c == '&') {
+        if (i + 1 < str.length && str.charAt(i + 1) == '#') {
+          // Numeric charref — html.unescape's _charref matches the digit
+          // run with or WITHOUT a trailing semicolon ('&#38' -> '&',
+          // '&#x26 x' -> '& x'); the semicolon, when present, is consumed.
+          // The run length is unbounded in CPython (arbitrary-precision
+          // int); we clamp the accumulator past 0x10FFFF, where every
+          // value decodes to U+FFFD anyway, so the clamp is unobservable.
+          val isHex = i + 2 < str.length &&
+            (str.charAt(i + 2) == 'x' || str.charAt(i + 2) == 'X')
+          val start = if (isHex) i + 3 else i + 2
+          var j = start
+          var v = 0L
+          var more = true
+          while (j < str.length && more) {
+            val d = Character.digit(str.charAt(j), if (isHex) 16 else 10)
+            if (d < 0) more = false
+            else { v = math.min(v * (if (isHex) 16 else 10) + d, 0x110000L); j += 1 }
+          }
+          if (j > start) {
+            out.append(decodeNumeric(v.toInt))
+            i = if (j < str.length && str.charAt(j) == ';') j + 1 else j
+          } else { out.append(c); i += 1 } // '&#'/'&#x' with no digits: literal
+        } else {
         val semi = str.indexOf(';', i + 1)
         // entity bodies are short; anything overly long is literal text
         val repl: String =
-          if (semi > i + 1 && semi - i <= 10) {
-            val body = str.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X")) {
-              try decodeNumeric(Integer.parseInt(body.substring(2), 16))
-              catch { case _: Exception => null }
-            } else if (body.startsWith("#")) {
-              try decodeNumeric(Integer.parseInt(body.substring(1)))
-              catch { case _: Exception => null }
-            } else named.getOrElse(body, null)
-          } else null
+          if (semi > i + 1 && semi - i <= 10) named.getOrElse(str.substring(i + 1, semi), null)
+          else null
         if (repl != null) { out.append(repl); i = semi + 1 }
         else {
           // html.unescape also matches legacy entities with no semicolon
@@ -94,6 +110,7 @@ object HtmlUnescape {
             case Some((n, r)) => out.append(r); i += n.length + 1
             case None => out.append(c); i += 1
           }
+        }
         }
       } else { out.append(c); i += 1 }
     }

@@ -25,14 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object AnnLsh {
 
-  /** Sign-bit bucket over 1-based components [lo, lo+bits). */
-  private def signBucket(v: Column, lo: Int, bits: Int): Column =
-    concat_ws("", (lo until lo + bits).map(i =>
+  /** Sign-bit bucket over 1-based components [lo, lo+bits). A NULL or
+    * too-short vector raises instead of silently bucketing as '0' bits —
+    * element_at past the end returns NULL, and a corrupted bucket key
+    * would quietly destroy recall, so enforce the dim requirement here. */
+  private def signBucket(v: Column, lo: Int, bits: Int): Column = {
+    val hi = lo + bits - 1
+    val bitStr = concat_ws("", (lo until lo + bits).map(i =>
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    when(size(v) >= hi, bitStr).otherwise(raise_error(concat(
+      lit(s"ann_lsh: embedding dim must be >= $hi, got "),
+      coalesce(size(v).cast("string"), lit("NULL")))))
+  }
 
   /** Candidate pairs (`a_id` < `b_id`) with `n_tables` = number of hash
     * tables that bucketed the pair together (1..tables). Requires
-    * embedding dim ≥ tables*bits. */
+    * embedding dim ≥ tables*bits — enforced: a short or NULL vector fails
+    * the job loudly rather than corrupting bucket keys. */
   def candidates(emb: DataFrame, idCol: String = "vec_id",
                  vecCol: String = "embedding", tables: Int = 4,
                  bits: Int = 16, maxBucket: Int = 128): DataFrame = {

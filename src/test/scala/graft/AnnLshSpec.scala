@@ -32,6 +32,17 @@ class AnnLshSpec extends SparkSpec {
     assert(AnnLsh.candidates(e, maxBucket = 10).count() == 45)
   }
 
+  test("short or NULL embeddings fail loudly instead of corrupting buckets") {
+    val short = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](AnnLsh.candidates(short).count())
+    assert(e.getMessage.contains("ann_lsh") ||
+      Option(e.getCause).exists(_.getMessage.contains("ann_lsh")), e.getMessage)
+    val withNull = emb(Seq(1L -> "AAAA", 2L -> "AAAA"))
+      .unionByName(Seq((3L, null: Array[Float])).toDF("vec_id", "embedding"))
+    intercept[Exception](AnnLsh.candidates(withNull).count())
+  }
+
   test("candidate plan has no cartesian product") {
     val e = emb(Seq(1L -> "AAAA", 2L -> "ABAB"))
     val plan = AnnLsh.candidates(e).queryExecution.executedPlan.toString

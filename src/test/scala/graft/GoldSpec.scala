@@ -224,4 +224,15 @@ class GoldSpec extends SparkSpec {
     val quiet = Report.negativeAlert(f.filter(col("toot_id") =!= "t2"))
     assert(!quiet.triggered && quiet.percentage == 25.0)
   }
+
+  test("negativeAlert pct matches the reference's (neg/n)*100 rounding order") {
+    // 23/160: (23.0/160)*100 = 14.374999... -> 14.37, while the other
+    // operand order 23*100.0/160 = 14.375 exactly -> 14.38 under
+    // half-even. The reference divides first (discord_notifier.py:165).
+    import spark.implicits._
+    val df = spark.range(160)
+      .select(when(col("id") < 23, "Negative").otherwise(lit(null: String))
+        .as("sentiment_label"))
+    assert(Report.negativeAlert(df).percentage == 14.37)
+  }
 }

@@ -48,6 +48,23 @@ class HtmlUnescapeSpec extends SparkSpec {
     assert(decode("&#2;") == "")         // disallowed C0 control → dropped
   }
 
+  test("invalid-codepoint set matches CPython html._invalid_codepoints") {
+    assert(decode("&#11;") == "")     // VT IS in the invalid set → dropped
+    assert(decode("&#12;") == "") // FF is NOT invalid → kept
+  }
+
+  test("semicolon-less NUMERIC refs decode (html.unescape parity)") {
+    assert(decode("&#38") == "&")
+    assert(decode("&#x26 x") == "& x")   // digits consumed, no semicolon
+    assert(decode("&#38abc") == "&abc")  // run ends at first non-digit
+    assert(decode("&#") == "&#")         // no digits: literal
+    assert(decode("&#x") == "&#x")
+    assert(decode("&#xG;") == "&#xG;")
+    // overlong runs clamp past U+10FFFF -> U+FFFD, like CPython's bigint
+    assert(decode("&#99999999999999999999;") == "�")
+    assert(decode("&#x110000;") == "�")
+  }
+
   test("null propagates") {
     val r = Seq((null: String)).toDF("v").select(HtmlUnescape($"v")).collect()(0)
     assert(r.isNullAt(0))
