@@ -321,13 +321,16 @@ object TrainData {
       .limit(300)
   }
 
-  private val q25Sql = {
+  /** Shared oracle CTEs mirroring [[AnnLsh.candidates]] over `src`:
+    * sign-bit bucket keys per table → size-capped buckets → candidate
+    * pairs with `n_tables` collision strength. */
+  private def annCandidateCtes(src: String): String = {
     def bitsSql(lo: Int) = (lo until lo + AnnBits).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
     val keyed = (0 until AnnTables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${bitsSql(t * AnnBits + 1)} AS bucket FROM embeddings")
+      s"SELECT vec_id, $t AS tbl, ${bitsSql(t * AnnBits + 1)} AS bucket FROM $src")
       .mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH keyed AS (
+    s"""keyed AS (
       |  $keyed),
       |kept AS (
       |  SELECT * FROM keyed
@@ -336,19 +339,27 @@ object TrainData {
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, COUNT(DISTINCT a.tbl) AS n_tables
       |  FROM kept a JOIN kept b
       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB cosine with the same left-to-right double accumulation as the
+    * codegen'd [[graft.functions.CosineSimilarity]] (bit-identical). */
+  private def cosineSql(ea: String, eb: String): String =
+    s"""list_aggregate(list_transform(range(1, len($ea.embedding) + 1),
+      |    i -> CAST($ea.embedding[i] AS DOUBLE) * CAST($eb.embedding[i] AS DOUBLE)), 'sum')
+      |  / (sqrt(list_aggregate(list_transform(range(1, len($ea.embedding) + 1),
+      |       i -> CAST($ea.embedding[i] AS DOUBLE) * CAST($ea.embedding[i] AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(range(1, len($eb.embedding) + 1),
+      |         i -> CAST($eb.embedding[i] AS DOUBLE) * CAST($eb.embedding[i] AS DOUBLE)), 'sum')))""".stripMargin
+
+  private val q25Sql =
+    s"""WITH ${annCandidateCtes("embeddings")}
       |SELECT p.a_id, p.b_id, p.n_tables,
-      |  list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
-      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum')
-      |  / (sqrt(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
-      |       i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), 'sum'))
-      |     * sqrt(list_aggregate(list_transform(range(1, len(eb.embedding) + 1),
-      |         i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  ${cosineSql("ea", "eb")} AS cosine
       |FROM pairs p
       |JOIN embeddings ea ON p.a_id = ea.vec_id
       |JOIN embeddings eb ON p.b_id = eb.vec_id
       |ORDER BY a_id, b_id LIMIT 300""".stripMargin
-  }
 
   // ── q26: language ID (n-gram/stopword heuristic) — stopword hit ratio
   // per doc, thresholded prediction, confusion counts vs the labeled lang. ──
@@ -561,6 +572,63 @@ object TrainData {
       |SELECT comp AS keeper_doc, COUNT(*) AS cluster_size, MAX(node) AS max_doc
       |FROM comps GROUP BY comp ORDER BY keeper_doc""".stripMargin
 
+  // ── q52: embedding-cluster dedup — the SEMANTIC-dedup stage of a
+  // training pipeline, closing the ANN loop the way q49 closes the text
+  // loop: ANN candidate pairs, exact-cosine thresholded, clustered by
+  // connected components, one keeper (min vec_id) per cluster.
+  //
+  // The synthetic embeddings are random vectors with NO true near-dups
+  // (max pairwise cosine ≈0.51 at sf0.01), so — like q44's deterministic
+  // PII injection — every 10th vector is planted as an exact copy at
+  // vec_id+1_000_000, reproduced identically in the oracle. An exact
+  // copy has identical sign buckets (collides in every table) and
+  // cosine ≈1.0; the 0.8 threshold sits far above any random pair and
+  // far below the planted ones, so the filter is boundary-safe in both
+  // engines. ──
+  private val Q52Threshold = 0.8
+
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val all = base.unionByName(dups)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val edges = AnnLsh.candidates(all,
+        tables = AnnTables, bits = AnnBits, maxBucket = AnnMaxBucket)
+      .join(all.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
+      .join(all.select(col("vec_id").as("b_id"), col("embedding").as("bv")), "b_id")
+      .filter(cosine(col("av"), col("bv")) >= Q52Threshold)
+      .select("a_id", "b_id")
+    ConnectedComponents(edges, "a_id", "b_id")
+      .groupBy(col("comp").as("keeper_vec"))
+      .agg(count(lit(1)).as("cluster_size"), max("node").as("max_vec"))
+      .orderBy("keeper_vec")
+  }
+
+  private val q52Sql =
+    s"""WITH RECURSIVE all_vecs AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |${annCandidateCtes("all_vecs")},
+      |scored AS (
+      |  SELECT p.a_id, p.b_id,
+      |    ${cosineSql("ea", "eb")} AS cosine
+      |  FROM pairs p
+      |  JOIN all_vecs ea ON p.a_id = ea.vec_id
+      |  JOIN all_vecs eb ON p.b_id = eb.vec_id),
+      |edges AS (SELECT a_id, b_id FROM scored WHERE cosine >= $Q52Threshold),
+      |sym AS (
+      |  SELECT a_id AS a, b_id AS b FROM edges
+      |  UNION SELECT b_id, a_id FROM edges),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+      |SELECT comp AS keeper_vec, COUNT(*) AS cluster_size, MAX(node) AS max_vec
+      |FROM comps GROUP BY comp ORDER BY keeper_vec""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -575,5 +643,6 @@ object TrainData {
     QueryDef("q44_pii_scrub", q44, Some(q44Sql)),
     QueryDef("q45_hash_sample", q45, Some(q45Sql)),
     QueryDef("q49_neardup_clusters", q49, Some(q49Sql)),
-    QueryDef("q51_simhash_neardup", q51, Some(q51Sql)))
+    QueryDef("q51_simhash_neardup", q51, Some(q51Sql)),
+    QueryDef("q52_embedding_clusters", q52, Some(q52Sql)))
 }
