@@ -23,6 +23,16 @@ object Pipeline {
                              summary: Report.Summary,
                              negativeAlert: Report.SentimentAlert)
 
+  /** Tags an exception with the pipeline stage it escaped from, so the
+    * error report names the step (reference: main.py:246-258 reports the
+    * stage alongside the exception). */
+  private final case class StageFailure(stageName: String, cause: Throwable)
+    extends RuntimeException(cause)
+
+  private def stage[T](name: String)(body: => T): T =
+    try body
+    catch { case scala.util.control.NonFatal(e) => throw StageFailure(name, e) }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -63,49 +73,69 @@ object Pipeline {
     spark.read.parquet(path)
   }
 
-  /** One full pipeline run from already-landed raw records. */
+  /** One full pipeline run from already-landed raw records. A failure in
+    * any stage returns the error-alert value the reference's notifier
+    * would fire (main.py:246-258: catch → send_error_alert(message,
+    * stage) → return False) instead of escaping as a raw exception. */
   def run(spark: SparkSession, raw: DataFrame, lake: String,
-          now: Timestamp, runId: String): RunResult = {
+          now: Timestamp, runId: String): Either[Report.ErrorReport, RunResult] =
+    try Right(runStages(spark, raw, lake, now, runId))
+    catch {
+      case StageFailure(name, cause) => Left(Report.errorReport(name, cause))
+      case scala.util.control.NonFatal(e) => Left(Report.errorReport("ETL Pipeline", e))
+    }
+
+  private def runStages(spark: SparkSession, raw: DataFrame, lake: String,
+                        now: Timestamp, runId: String): RunResult = {
     // stages 2-3: transform + bronze load (upsert)
-    val bronze = upsertBronze(spark, Bronze.transform(raw, now, runId), lake)
+    val bronze = stage("Transform & Bronze Load") {
+      upsertBronze(spark, Bronze.transform(raw, now, runId), lake)
+    }
 
     // stage 4: silver star build — dims must exist before the fact (E2)
-    val dimDatePath = s"$lake/silver/dim_date"
-    val dimAccPath = s"$lake/silver/dim_account"
-    overwriteParquet(Star.dimDate(bronze), dimDatePath)
-    val existingAcc =
-      if (exists(spark, dimAccPath)) spark.read.parquet(dimAccPath)
-      else Star.emptyDimAccount(spark)
-    overwriteParquet(Star.dimAccount(existingAcc, bronze, now), dimAccPath)
-    overwriteParquet(Star.dimContent(bronze), s"$lake/silver/dim_content")
-    overwriteParquet(Star.dimSentiment(spark), s"$lake/silver/dim_sentiment")
+    val fact = stage("Silver Star Build") {
+      val dimDatePath = s"$lake/silver/dim_date"
+      val dimAccPath = s"$lake/silver/dim_account"
+      overwriteParquet(Star.dimDate(bronze), dimDatePath)
+      val existingAcc =
+        if (exists(spark, dimAccPath)) spark.read.parquet(dimAccPath)
+        else Star.emptyDimAccount(spark)
+      overwriteParquet(Star.dimAccount(existingAcc, bronze, now), dimAccPath)
+      overwriteParquet(Star.dimContent(bronze), s"$lake/silver/dim_content")
+      overwriteParquet(Star.dimSentiment(spark), s"$lake/silver/dim_sentiment")
 
-    val dimDate = spark.read.parquet(dimDatePath)
-    val dimAcc = spark.read.parquet(dimAccPath)
-    val dimContent = spark.read.parquet(s"$lake/silver/dim_content")
-    val dimSent = spark.read.parquet(s"$lake/silver/dim_sentiment")
-    // the fact is the 100 TB table: partition by date_key so gold's
-    // date-dim joins and any time-range filter prune whole directories
-    overwriteParquet(Star.factEngagement(bronze, dimAcc, dimSent),
-      s"$lake/silver/fact", partitionCols = Seq("date_key"))
-    val fact = spark.read.parquet(s"$lake/silver/fact")
+      val dimAcc = spark.read.parquet(dimAccPath)
+      val dimSent = spark.read.parquet(s"$lake/silver/dim_sentiment")
+      // the fact is the 100 TB table: partition by date_key so gold's
+      // date-dim joins and any time-range filter prune whole directories
+      overwriteParquet(Star.factEngagement(bronze, dimAcc, dimSent),
+        s"$lake/silver/fact", partitionCols = Seq("date_key"))
+      spark.read.parquet(s"$lake/silver/fact")
+    }
 
     // stage 5: gold refresh — full recompute, overwrite (E3)
-    val gold = Map[String, DataFrame](
-      "daily_engagement_summary" -> Gold.dailySummary(fact, dimDate),
-      "top_performing_content" -> Gold.topContent(fact, dimContent, dimAcc, bronze),
-      "account_influence" -> Gold.accountInfluence(fact, dimAcc),
-      "hashtag_performance" -> Gold.hashtagPerformance(fact, dimContent),
-      "hourly_patterns" -> Gold.hourlyPatterns(fact, dimDate),
-      "sentiment_trends" -> Gold.sentimentTrends(fact, dimDate),
-      "viral_content" -> Gold.viralContent(fact, dimContent, now))
-    val goldCounts = gold.map { case (name, df) =>
-      overwriteParquet(df, s"$lake/gold/$name")
-      name -> spark.read.parquet(s"$lake/gold/$name").count()
+    val goldCounts = stage("Gold Refresh") {
+      val dimDate = spark.read.parquet(s"$lake/silver/dim_date")
+      val dimAcc = spark.read.parquet(s"$lake/silver/dim_account")
+      val dimContent = spark.read.parquet(s"$lake/silver/dim_content")
+      val gold = Map[String, DataFrame](
+        "daily_engagement_summary" -> Gold.dailySummary(fact, dimDate),
+        "top_performing_content" -> Gold.topContent(fact, dimContent, dimAcc, bronze),
+        "account_influence" -> Gold.accountInfluence(fact, dimAcc),
+        "hashtag_performance" -> Gold.hashtagPerformance(fact, dimContent),
+        "hourly_patterns" -> Gold.hourlyPatterns(fact, dimDate),
+        "sentiment_trends" -> Gold.sentimentTrends(fact, dimDate),
+        "viral_content" -> Gold.viralContent(fact, dimContent, now))
+      gold.map { case (name, df) =>
+        overwriteParquet(df, s"$lake/gold/$name")
+        name -> spark.read.parquet(s"$lake/gold/$name").count()
+      }
     }
 
     // stage 6: report aggregates (no webhook)
-    RunResult(bronze.count(), fact.count(), goldCounts,
-      Report.summary(fact), Report.negativeAlert(fact))
+    stage("Report") {
+      RunResult(bronze.count(), fact.count(), goldCounts,
+        Report.summary(fact), Report.negativeAlert(fact))
+    }
   }
 }

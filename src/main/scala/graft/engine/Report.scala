@@ -47,6 +47,20 @@ object Report {
       .limit(k)
       .select("toot_id", "sentiment_score", "total_engagement", "language")
 
+  /** Pipeline error alert (reference: main.py:246-258 catches any stage
+    * failure and fires discord_notifier.send_error_alert(error_message,
+    * stage); the embed is titled "❌ {stage} Error" with the message in a
+    * fenced block). Webhook I/O is out of scope; this is the value the
+    * notifier would render. */
+  final case class ErrorReport(stage: String, errorType: String, message: String) {
+    def title: String = s"$stage Error"
+    def description: String = s"```\n$message\n```"
+  }
+
+  def errorReport(stage: String, e: Throwable): ErrorReport =
+    ErrorReport(stage, e.getClass.getSimpleName,
+      Option(e.getMessage).getOrElse(e.toString))
+
   final case class SentimentAlert(triggered: Boolean, negative: Long,
                                   positive: Long, neutral: Long,
                                   percentage: Double)

@@ -27,13 +27,18 @@ class PipelineSpec extends SparkSpec {
   private def df(rows: Row*): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), rawSchema)
 
+  private def runOk(raw: DataFrame, lake: String, now: Timestamp,
+                    runId: String): Pipeline.RunResult =
+    Pipeline.run(spark, raw, lake, now, runId)
+      .fold(e => fail(s"${e.stage} failed: ${e.message}"), identity)
+
   test("two incremental runs: upsert, SCD2 history, gold refresh, report") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
     val t2 = Timestamp.valueOf("2024-01-03 00:00:00")
 
     // run 1: two toots from two accounts
-    val r1 = Pipeline.run(spark,
+    val r1 = runOk(
       df(toot("t1", "a1", 500, 3, 2, "2024-01-01 10:00:00"),
         toot("t2", "a2", 50000, 1, 0, "2024-01-01 12:00:00")),
       lake, t1, "run-1")
@@ -44,7 +49,7 @@ class PipelineSpec extends SparkSpec {
 
     // run 2: t1 re-crawled with higher counts (upsert), a1's followers grew
     // past the 10k tier boundary (SCD2 change), plus one new toot
-    val r2 = Pipeline.run(spark,
+    val r2 = runOk(
       df(toot("t1", "a1", 20000, 10, 5, "2024-01-01 10:00:00"),
         toot("t3", "a3", 9, 0, 0, "2024-01-02 09:00:00")),
       lake, t2, "run-2")
@@ -94,7 +99,7 @@ class PipelineSpec extends SparkSpec {
     val lake = Files.createTempDirectory("graft-lake2").toString
     val rows = (1 to 8).map(i =>
       toot(s"x$i", s"acc$i", 100, 1, 1, "2024-01-01 10:00:00"))
-    Pipeline.run(spark, df(rows: _*), lake,
+    runOk(df(rows: _*), lake,
       Timestamp.valueOf("2024-01-02 00:00:00"), "r1")
     val fact = spark.read.parquet(s"$lake/silver/fact")
     // Neutral label rows (score < .75) always match the Neutral [0,1.01)
@@ -103,5 +108,22 @@ class PipelineSpec extends SparkSpec {
     assert(mism == 0) // stand-in scorer labels guarantee in-bucket scores
     val dimSent = spark.read.parquet(s"$lake/silver/dim_sentiment")
     assert(dimSent.count() == 5)
+  }
+
+  test("a failing stage returns the error-alert value, not a raw throw") {
+    val lake = Files.createTempDirectory("graft-lake3").toString
+    // raw input with none of the expected columns → Bronze.transform's
+    // analysis fails inside the first stage
+    val bad = spark.range(1).toDF("id")
+    val r = Pipeline.run(spark, bad, lake,
+      Timestamp.valueOf("2024-01-02 00:00:00"), "r-bad")
+    val err = r.swap.getOrElse(fail("expected a Left(ErrorReport)"))
+    assert(err.stage == "Transform & Bronze Load")
+    assert(err.message.nonEmpty && err.errorType.nonEmpty)
+    // the embed analog the notifier would render (discord_notifier.py:342-343)
+    assert(err.title == "Transform & Bronze Load Error")
+    assert(err.description.startsWith("```\n") && err.description.endsWith("\n```"))
+    // nothing was committed to the lake by the failed run
+    assert(!new java.io.File(s"$lake/bronze").exists())
   }
 }
