@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Returns `(node, comp)` for every node appearing in `edges`, where
     * `comp` is the smallest node id in the node's component. Self-loops
-    * are ignored; edges may appear in any orientation or multiplicity. */
+    * are ignored; edges may appear in any orientation or multiplicity.
+    *
+    * Telemetry: rounds-to-converge and the per-round edge count are
+    * logged at INFO (`connected-components round k: n edges`) — on a
+    * real cluster a round count creeping toward `maxIter`, or an edge
+    * count that stops shrinking, is the first sign of a pathological
+    * component long before the loud non-convergence failure fires. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIter: Int = 25): DataFrame = {
     // localCheckpoint (not persist): each round derives from the last, so
@@ -90,6 +98,8 @@ object ConnectedComponents {
       e = ss
       eSig = ssSig
       iter += 1
+      log.info(s"connected-components round $iter: ${ssSig.getLong(0)} edges" +
+        (if (converged) " (converged)" else ""))
     }
     // a silently-unconverged result would mislabel components downstream
     // (dedup would keep multiple "keepers" per true group) — fail loudly.
