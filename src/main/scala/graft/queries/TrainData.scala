@@ -201,6 +201,12 @@ object TrainData {
   // set (linear via bucket cap), then an exact shingle-level equi-join
   // computes |A∩B| per candidate; |A∪B| = |A|+|B|−|A∩B|. Rational of
   // small ints → bit-identical double in both engines. ──
+  /** Broadcast left-semi restriction of the corpus to candidate doc ids —
+    * the corpus side never shuffles (plan shape pinned in PlanSpec; the
+    * eager checkpoint in q23 hides it from the final query plan). */
+  private[graft] def pruneToCandidates(d: DataFrame, candDocs: DataFrame): DataFrame =
+    d.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+
   private def q23(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     // localCheckpoint, not persist: GC-scoped blocks, no CacheManager
@@ -217,7 +223,7 @@ object TrainData {
     // broadcast it so the corpus never shuffles for the prune.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val pruned = d.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val pruned = pruneToCandidates(d, candDocs)
       .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
       .localCheckpoint()
     val sizes = pruned.select(col("doc_id"), size(col("sg")).as("n_sg"))

@@ -55,12 +55,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q23/q25: candidate re-rank pipelines never nested-loop") {
-    Seq("q23_ngram_jaccard", "q25_embedding_lsh").foreach { name =>
-      val s = planString(q(name))
-      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-        s"$name:\n${s.take(800)}")
-    }
+  test("q23/q25/q52: candidate re-rank pipelines never nested-loop") {
+    Seq("q23_ngram_jaccard", "q25_embedding_lsh", "q52_embedding_clusters")
+      .foreach { name =>
+        val s = planString(q(name))
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$name:\n${s.take(800)}")
+      }
+  }
+
+  test("q23's prune: broadcast left-semi, corpus side never shuffles") {
+    // The exact re-rank must consume only the candidate slice: a
+    // broadcast left-semi against the (bounded) candidate-doc list. The
+    // fragment is pinned directly because q23's eager checkpoint hides
+    // executed stages from the final query plan.
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val cands = Seq(1L).toDF("doc_id")
+    val s = planString(graft.queries.TrainData.pruneToCandidates(d, cands))
+    assert(s.contains("LeftSemi"), s.take(1200))
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(!s.contains("ShuffleExchange"), s.take(1200))
   }
 
   test("q39: as-of join is one window pass, no join operator at all") {
