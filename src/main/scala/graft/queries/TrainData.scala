@@ -635,6 +635,40 @@ object TrainData {
       |SELECT comp AS keeper_vec, COUNT(*) AS cluster_size, MAX(node) AS max_vec
       |FROM comps GROUP BY comp ORDER BY keeper_vec""".stripMargin
 
+  // ── q53: INCREMENTAL exact dedup — the cross-run analog of q20: an
+  // incoming batch is deduped against the accumulated content-hash INDEX
+  // (here: the ¾ of the corpus standing in for prior runs), never
+  // against the historical corpus itself. Within-batch keep-first (min
+  // doc_id per hash) composes with an anti-join on the index. At scale
+  // the index is a table bucketed by content_hash, so only the (small)
+  // batch shuffles — the corpus is read zero times per increment; the
+  // full-corpus hash here exists only because the test lake has no
+  // persisted index table. ──
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val index = d.filter(col("doc_id") % 4 =!= 0)
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    val batchFirst = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+    batchFirst.join(index, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val q53Sql =
+    """WITH index_hashes AS (
+      |  SELECT DISTINCT sha256(text) AS content_hash
+      |  FROM documents WHERE doc_id % 4 != 0),
+      |batch_first AS (
+      |  SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id
+      |  FROM documents WHERE doc_id % 4 = 0 GROUP BY 1)
+      |SELECT b.doc_id, b.content_hash
+      |FROM batch_first b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM index_hashes i WHERE i.content_hash = b.content_hash)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -650,5 +684,6 @@ object TrainData {
     QueryDef("q45_hash_sample", q45, Some(q45Sql)),
     QueryDef("q49_neardup_clusters", q49, Some(q49Sql)),
     QueryDef("q51_simhash_neardup", q51, Some(q51Sql)),
-    QueryDef("q52_embedding_clusters", q52, Some(q52Sql)))
+    QueryDef("q52_embedding_clusters", q52, Some(q52Sql)),
+    QueryDef("q53_incremental_dedup", q53, Some(q53Sql)))
 }
