@@ -92,6 +92,34 @@ object Multimodal {
       .select(col("media_id"), col("f._1").as("frame_index"), col("f._2").as("frame_bytes"))
   }
 
+  /** STUB — image resize. A real implementation decodes, resamples to
+    * `(w, h)` and re-encodes; the deterministic fake scales the payload
+    * length by the pixel-count ratio (capped at the original) the way a
+    * real raster buffer would shrink. The Spark-side contract is real and
+    * is what downstream consumers depend on: only `image` rows are
+    * touched, `meta.width/height` are rewritten to the target box, and
+    * the payload column stays `binary` with the same schema. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val scaled = udf { (content: Array[Byte], mw: Integer, mh: Integer) =>
+      val bytes = Option(content).getOrElse(Array.emptyByteArray)
+      val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
+        Option(mh).map(_.toLong).getOrElse(0L), 1L)
+      val n = math.min(bytes.length.toLong,
+        math.max(1L, bytes.length.toLong * (w.toLong * h) / srcPx)).toInt
+      java.util.Arrays.copyOfRange(bytes, 0, n)
+    }
+    val newMeta = struct(
+      col("meta.format").as("format"),
+      lit(w).as("width"), lit(h).as("height"),
+      col("meta.duration_ms").as("duration_ms"))
+    media.withColumn("content",
+        when(col("media_type") === "image",
+          scaled(col("content"), col("meta.width"), col("meta.height")))
+          .otherwise(col("content")))
+      .withColumn("meta",
+        when(col("media_type") === "image", newMeta).otherwise(col("meta")))
+  }
+
   /** Build a synthetic media table from `documents` (text bytes as payload)
     * — lets the plumbing run against the driver test data without codecs. */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {

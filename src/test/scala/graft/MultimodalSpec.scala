@@ -56,6 +56,24 @@ class MultimodalSpec extends SparkSpec {
     assert(slices.flatten.toSeq == bytes.toSeq)
   }
 
+  test("resize rewrites image meta + scales payload, leaves other media alone") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val df = media((1L, "image", bytes), (2L, "video", bytes))
+    val out = Multimodal.resize(df, w = 50, h = 50).orderBy("media_id").collect()
+    assert(out(0).schema == Multimodal.mediaSchema) // schema contract holds
+    val imgMeta = out(0).getStruct(out(0).fieldIndex("meta"))
+    assert(imgMeta.getAs[Int]("width") == 50 && imgMeta.getAs[Int]("height") == 50)
+    assert(imgMeta.getAs[String]("format") == "synthetic")
+    // pixel ratio (50*50)/(100*50) = 1/2 → payload halves (stub buffer law)
+    assert(out(0).getAs[Array[Byte]]("content").length == 50)
+    // non-image rows pass through untouched
+    assert(out(1).getAs[Array[Byte]]("content").length == 100)
+    assert(out(1).getStruct(out(1).fieldIndex("meta")).getAs[Int]("width") == 100)
+    // upscale never grows the fake buffer past the original
+    val up = Multimodal.resize(df, w = 400, h = 400).orderBy("media_id").collect()
+    assert(up(0).getAs[Array[Byte]]("content").length == 100)
+  }
+
   test("syntheticMedia builds the media schema from the test documents") {
     val df = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     assert(df.schema == Multimodal.mediaSchema ||
