@@ -33,7 +33,7 @@ object Pipeline {
     try body
     catch { case scala.util.control.NonFatal(e) => throw StageFailure(name, e) }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -45,8 +45,8 @@ object Pipeline {
     * `partitionCols` for the big time-keyed tables so downstream date
     * filters prune whole directories (the Parquet analog of the
     * reference's created_at/date_key btree indexes). */
-  private[engine] def overwriteParquet(df: DataFrame, path: String,
-                                       partitionCols: Seq[String] = Nil): Unit = {
+  private[graft] def overwriteParquet(df: DataFrame, path: String,
+                                      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")

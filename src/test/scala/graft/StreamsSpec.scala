@@ -144,6 +144,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalGoldSink: fact partition upsert + MV splice == full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-gold-stream").toString
+    val dimDate = Seq(
+      (20240101, "2024-01-01", 2024, 1, "Monday", false),
+      (20240102, "2024-01-02", 2024, 1, "Tuesday", false))
+      .toDF("date_key", "full_date_s", "year", "month", "day_name", "is_weekend")
+      .withColumn("full_date", col("full_date_s").cast("date")).drop("full_date_s")
+    val in = MemoryStream[(String, Int, Long, Timestamp, Long, Long, Long, Long, String, String)]
+    val q = Streams.incrementalGoldSink(
+      in.toDF().toDF("toot_id", "date_key", "account_key", "created_at",
+        "replies_count", "reblogs_count", "favourites_count",
+        "total_engagement", "sentiment_label", "language"),
+      dimDate, lake, s"$lake/cp")
+    def mvOnDisk = spark.read.parquet(s"$lake/gold/daily_engagement_summary")
+    def factOnDisk = spark.read.parquet(s"$lake/silver/fact")
+    def fullRecompute = graft.engine.Gold.dailySummary(factOnDisk, dimDate)
+    try {
+      in.addData(
+        ("t1", 20240101, 10L, ts("2024-01-01 01:00:00"), 1L, 1L, 1L, 3L, "Positive", "en"),
+        ("t2", 20240101, 11L, ts("2024-01-01 02:00:00"), 0L, 2L, 2L, 4L, "Negative", "en"),
+        ("t3", 20240102, 10L, ts("2024-01-02 01:00:00"), 5L, 0L, 0L, 5L, "Positive", "fr"))
+      q.processAllAvailable()
+      assert(factOnDisk.count() == 3)
+      assert(mvOnDisk.collect().toSet == fullRecompute.collect().toSet)
+      val day2Before = mvOnDisk.filter(col("date_key") === 20240102).collect().toSeq
+
+      // re-crawl t1 (newer version) + new t4, both on day 1 only
+      in.addData(
+        ("t1", 20240101, 10L, ts("2024-01-01 01:30:00"), 9L, 9L, 9L, 27L, "Positive", "en"),
+        ("t4", 20240101, 12L, ts("2024-01-01 03:00:00"), 1L, 0L, 0L, 1L, "Neutral", "en"))
+      q.processAllAvailable()
+      // t1 upserted (not duplicated), t4 appended, day-2 partition untouched
+      assert(factOnDisk.count() == 4)
+      assert(factOnDisk.filter(col("toot_id") === "t1")
+        .collect()(0).getAs[Long]("total_engagement") == 27L)
+      assert(mvOnDisk.collect().toSet == fullRecompute.collect().toSet)
+      assert(mvOnDisk.filter(col("date_key") === 20240102).collect().toSeq == day2Before)
+    } finally q.stop()
+  }
+
   test("file-source near-dup pipeline survives kill-and-restart on disk") {
     // End-to-end on real files (MemoryStream above proves logic; this
     // proves the DISK contract): parquet file source → nearDupFilter →
