@@ -101,12 +101,16 @@ object Multimodal {
     * the payload column stays `binary` with the same schema. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val scaled = udf { (content: Array[Byte], mw: Integer, mh: Integer) =>
-      val bytes = Option(content).getOrElse(Array.emptyByteArray)
-      val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
-        Option(mh).map(_.toLong).getOrElse(0L), 1L)
-      val n = math.min(bytes.length.toLong,
-        math.max(1L, bytes.length.toLong * (w.toLong * h) / srcPx)).toInt
-      java.util.Arrays.copyOfRange(bytes, 0, n)
+      // NULL payload stays NULL (unfetched/corrupt markers must survive
+      // the transform — substituting an empty buffer would hide them)
+      if (content == null) null
+      else {
+        val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
+          Option(mh).map(_.toLong).getOrElse(0L), 1L)
+        val n = math.min(content.length.toLong,
+          math.max(1L, content.length.toLong * (w.toLong * h) / srcPx)).toInt
+        java.util.Arrays.copyOfRange(content, 0, n)
+      }
     }
     val newMeta = struct(
       col("meta.format").as("format"),

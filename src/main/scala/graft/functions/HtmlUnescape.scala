@@ -88,8 +88,16 @@ object HtmlUnescape {
           var j = start
           var v = 0L
           var more = true
+          // ASCII digits ONLY — CPython's _charref matches [0-9]/[0-9a-fA-F];
+          // Character.digit would also accept Arabic-Indic/fullwidth digits
+          // and silently diverge from html.unescape on such input.
+          def dig(ch: Char): Int =
+            if (ch >= '0' && ch <= '9') ch - '0'
+            else if (isHex && ch >= 'a' && ch <= 'f') ch - 'a' + 10
+            else if (isHex && ch >= 'A' && ch <= 'F') ch - 'A' + 10
+            else -1
           while (j < str.length && more) {
-            val d = Character.digit(str.charAt(j), if (isHex) 16 else 10)
+            val d = dig(str.charAt(j))
             if (d < 0) more = false
             else { v = math.min(v * (if (isHex) 16 else 10) + d, 0x110000L); j += 1 }
           }

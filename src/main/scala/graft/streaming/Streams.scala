@@ -197,7 +197,14 @@ object Streams {
     * touched partitions. Restart safety is the foreachBatch idempotence
     * contract (as [[upsertSink]]): replaying a committed batch re-derives
     * the same partition contents and the same MV rows. `dimDate` is the
-    * static date dimension the MV joins. */
+    * static date dimension the MV joins.
+    *
+    * PRECONDITION: `date_key` must be immutable per `idCol` — true here
+    * because it derives from the toot's `created_at` (event time, fixed
+    * across re-crawls). A row whose partition key CHANGED between
+    * versions would leave its stale copy in the old partition, since the
+    * upsert deliberately never rescans untouched partitions; partition
+    * keys that can mutate need a batch compaction pass instead. */
   def incrementalGoldSink(factDeltas: DataFrame, dimDate: DataFrame,
                           lake: String, checkpoint: String,
                           idCol: String = "toot_id",
@@ -209,32 +216,38 @@ object Streams {
         val spark = batch.sparkSession
         val factPath = s"$lake/silver/fact"
         val mvPath = s"$lake/gold/daily_engagement_summary"
-        val touched = batch.toDF().select("date_key").distinct()
-        // merge batch into the touched partitions only; localCheckpoint
-        // materializes the merge BEFORE the dynamic overwrite rewrites
-        // the very partitions it was read from
-        val existingTouched =
-          if (graft.engine.Pipeline.exists(spark, factPath))
-            spark.read.parquet(factPath)
-              .join(broadcast(touched), Seq("date_key"), "left_semi")
-          else batch.toDF().limit(0)
-        val merged = graft.engine.Silver.dedupLatest(
-          existingTouched.unionByName(batch.toDF()), Seq(idCol),
-          Seq(col(orderCol).desc)).localCheckpoint()
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("date_key").parquet(factPath)
-        // splice-refresh the MV for the touched dates
-        val factNow = spark.read.parquet(factPath)
-        val recomputed = graft.engine.Gold.dailySummary(
-          factNow.join(broadcast(touched), Seq("date_key"), "left_semi"), dimDate)
-        val existingMv =
-          if (graft.engine.Pipeline.exists(spark, mvPath)) spark.read.parquet(mvPath)
-          else recomputed.limit(0)
-        graft.engine.Pipeline.overwriteParquet(
-          graft.engine.Gold.spliceRefresh(existingMv, recomputed, touched,
-            Seq("date_key")).localCheckpoint(),
-          mvPath)
+        // An empty micro-batch must be a no-op: writing it on a fresh
+        // lake would create a data-less fact dir that poisons every
+        // later read ("unable to infer schema") — and the batch would
+        // never commit, replaying the failure forever.
+        if (!batch.isEmpty) {
+          val touched = batch.toDF().select("date_key").distinct()
+          // merge batch into the touched partitions only; localCheckpoint
+          // materializes the merge BEFORE the dynamic overwrite rewrites
+          // the very partitions it was read from
+          val existingTouched =
+            if (graft.engine.Pipeline.exists(spark, factPath))
+              spark.read.parquet(factPath)
+                .join(broadcast(touched), Seq("date_key"), "left_semi")
+            else batch.toDF().limit(0)
+          val merged = graft.engine.Silver.dedupLatest(
+            existingTouched.unionByName(batch.toDF()), Seq(idCol),
+            Seq(col(orderCol).desc)).localCheckpoint()
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date_key").parquet(factPath)
+          // splice-refresh the MV for the touched dates — the same helper
+          // the batch path uses (q50), so the semantics cannot diverge
+          val factNow = spark.read.parquet(factPath)
+          val existingMv =
+            if (graft.engine.Pipeline.exists(spark, mvPath))
+              spark.read.parquet(mvPath)
+            else graft.engine.Gold.dailySummary(factNow.limit(0), dimDate)
+          graft.engine.Pipeline.overwriteParquet(
+            graft.engine.Gold.dailySummaryIncremental(existingMv, factNow,
+              batch.toDF(), dimDate).localCheckpoint(),
+            mvPath)
+        }
         ()
       }
       .start()

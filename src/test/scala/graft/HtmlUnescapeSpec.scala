@@ -63,6 +63,9 @@ class HtmlUnescapeSpec extends SparkSpec {
     // overlong runs clamp past U+10FFFF -> U+FFFD, like CPython's bigint
     assert(decode("&#99999999999999999999;") == "�")
     assert(decode("&#x110000;") == "�")
+    // non-ASCII Unicode digits do NOT match CPython's [0-9] charref regex
+    assert(decode("&#٣٨;") == "&#٣٨;") // Arabic-Indic 38
+    assert(decode("&#１;") == "&#１;")             // fullwidth 1
   }
 
   test("null propagates") {

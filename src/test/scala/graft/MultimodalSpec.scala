@@ -72,6 +72,9 @@ class MultimodalSpec extends SparkSpec {
     // upscale never grows the fake buffer past the original
     val up = Multimodal.resize(df, w = 400, h = 400).orderBy("media_id").collect()
     assert(up(0).getAs[Array[Byte]]("content").length == 100)
+    // NULL payloads stay NULL — unfetched/corrupt markers must survive
+    val n = Multimodal.resize(media((3L, "image", null)), w = 50, h = 50).collect()
+    assert(n(0).isNullAt(n(0).fieldIndex("content")))
   }
 
   test("syntheticMedia builds the media schema from the test documents") {

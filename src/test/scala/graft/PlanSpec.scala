@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
     val s = planString(graft.queries.TrainData.pruneToCandidates(d, cands))
     assert(s.contains("LeftSemi"), s.take(1200))
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
-    assert(!s.contains("ShuffleExchange"), s.take(1200))
+    // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)"
+    assert(!s.contains("Exchange hashpartitioning"), s.take(1200))
   }
 
   test("q39: as-of join is one window pass, no join operator at all") {
