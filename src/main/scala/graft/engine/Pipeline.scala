@@ -41,21 +41,40 @@ object Pipeline {
   /** Overwrite `path` with `df` even when `df` reads from `path`: write a
     * new snapshot beside it, then swap directories. (Parquet cannot
     * overwrite its own input mid-read; table formats solve this with
-    * transactions — this is the path-based equivalent.) Pass
-    * `partitionCols` for the big time-keyed tables so downstream date
-    * filters prune whole directories (the Parquet analog of the
-    * reference's created_at/date_key btree indexes). */
+    * transactions — this is the path-based equivalent.) The swap keeps
+    * the prior snapshot at `path__old` until the new one is in place, so
+    * no crash point destroys the only copy: a crash between the two
+    * renames leaves `path` missing but `path__old` complete, which
+    * [[readRecoverable]] restores on the next read. Pass `partitionCols`
+    * for the big time-keyed tables so downstream date filters prune
+    * whole directories (the Parquet analog of the reference's
+    * created_at/date_key btree indexes). */
   private[graft] def overwriteParquet(df: DataFrame, path: String,
                                       partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
     val dst = new Path(path)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)
+    fs.delete(old, true)
+  }
+
+  /** Read `path`, recovering from an interrupted [[overwriteParquet]]
+    * swap: if the main directory is missing but the `__old` backup
+    * exists (crash between the two renames), restore the backup first.
+    * Single-writer contract — the same one the swap itself assumes. */
+  private[graft] def readRecoverable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dst = new Path(path)
+    val old = new Path(path + "__old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
   }
 
   /** Bronze upsert: union with the existing layer, keep the

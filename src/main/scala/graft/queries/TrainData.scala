@@ -586,17 +586,21 @@ object TrainData {
   // The synthetic embeddings are random vectors with NO true near-dups
   // (max pairwise cosine ≈0.51 at sf0.01), so — like q44's deterministic
   // PII injection — every 10th vector is planted as an exact copy at
-  // vec_id+1_000_000, reproduced identically in the oracle. An exact
-  // copy has identical sign buckets (collides in every table) and
-  // cosine ≈1.0; the 0.8 threshold sits far above any random pair and
-  // far below the planted ones, so the filter is boundary-safe in both
-  // engines. ──
+  // vec_id + max(vec_id) + 1 (data-derived offset: a fixed constant
+  // would collide with real ids once the corpus outgrows it), reproduced
+  // identically in the oracle. An exact copy has identical sign buckets
+  // (collides in every table) and cosine ≈1.0; the 0.8 threshold sits
+  // far above any random pair and far below the planted ones, so the
+  // filter is boundary-safe in both engines. Originals sort below every
+  // planted copy, so the min-id keeper is always the original. ──
   private val Q52Threshold = 0.8
 
   private def q52(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // single-row scalar read — the id-space bound, not data movement
+    val offset = base.agg(max("vec_id")).collect()(0).getLong(0) + 1L
     val dups = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding"))
     val all = base.unionByName(dups)
       .repartition(spark.sparkContext.defaultParallelism)
     val edges = AnnLsh.candidates(all,
@@ -615,7 +619,8 @@ object TrainData {
     s"""WITH RECURSIVE all_vecs AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings), embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
       |${annCandidateCtes("all_vecs")},
       |scored AS (
       |  SELECT p.a_id, p.b_id,

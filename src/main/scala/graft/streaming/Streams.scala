@@ -199,39 +199,65 @@ object Streams {
     * the same partition contents and the same MV rows. `dimDate` is the
     * static date dimension the MV joins.
     *
-    * PRECONDITION: `date_key` must be immutable per `idCol` — true here
-    * because it derives from the toot's `created_at` (event time, fixed
-    * across re-crawls). A row whose partition key CHANGED between
-    * versions would leave its stale copy in the old partition, since the
-    * upsert deliberately never rescans untouched partitions; partition
-    * keys that can mutate need a batch compaction pass instead. */
+    * PRECONDITIONS (each fails loudly or is documented, never silent):
+    *   - `date_key` must be immutable per `idCol` — true here because it
+    *     derives from the toot's `created_at` (event time, fixed across
+    *     re-crawls). A row whose partition key CHANGED between versions
+    *     would leave its stale copy in the old partition, since the
+    *     upsert deliberately never rescans untouched partitions;
+    *     partition keys that can mutate need a batch compaction pass.
+    *   - `orderCol` must be a version column strictly increasing across
+    *     re-crawls of the same id — ingestion time, like the batch
+    *     upsert ([[graft.engine.Pipeline.upsertBronze]]). Event time
+    *     would TIE on every re-crawl and pick an arbitrary winner.
+    *   - `dimDate` is the pre-populated calendar dimension (standard
+    *     warehouse practice: decades of rows); a batch touching a date
+    *     it doesn't cover throws rather than silently dropping the date
+    *     from the MV (the daily summary inner-joins the date dim).
+    *
+    * Durability: directory swaps keep a `__old` backup until the new
+    * snapshot is in place and reads recover it after a crash
+    * ([[graft.engine.Pipeline.readRecoverable]]). The dynamic partition
+    * overwrite of the fact itself has the usual vanilla-parquet
+    * commit window (no transaction log); on a production lake this
+    * exact merge maps 1:1 onto a table format's atomic
+    * `MERGE INTO` / `REPLACE WHERE`. */
   def incrementalGoldSink(factDeltas: DataFrame, dimDate: DataFrame,
                           lake: String, checkpoint: String,
                           idCol: String = "toot_id",
-                          orderCol: String = "created_at")
+                          orderCol: String = "ingestion_timestamp")
       : org.apache.spark.sql.streaming.StreamingQuery =
     factDeltas.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = b.sparkSession
         val factPath = s"$lake/silver/fact"
         val mvPath = s"$lake/gold/daily_engagement_summary"
         // An empty micro-batch must be a no-op: writing it on a fresh
         // lake would create a data-less fact dir that poisons every
         // later read ("unable to infer schema") — and the batch would
         // never commit, replaying the failure forever.
-        if (!batch.isEmpty) {
-          val touched = batch.toDF().select("date_key").distinct()
+        if (!b.isEmpty) {
+          // materialize once: `batch` feeds the touched-key probe, the
+          // merge and the MV delta — re-evaluating a file-backed source
+          // would rescan its input per action
+          val batch = b.toDF().localCheckpoint()
+          val touched = batch.select("date_key").distinct()
+          val uncovered = touched
+            .join(dimDate.select("date_key"), Seq("date_key"), "left_anti").count()
+          require(uncovered == 0,
+            s"incrementalGoldSink: $uncovered touched date_key(s) missing from " +
+              "dimDate — extend the calendar dimension (silently dropping " +
+              "dates from the MV is worse than failing the batch)")
           // merge batch into the touched partitions only; localCheckpoint
           // materializes the merge BEFORE the dynamic overwrite rewrites
           // the very partitions it was read from
           val existingTouched =
-            if (graft.engine.Pipeline.exists(spark, factPath))
-              spark.read.parquet(factPath)
-                .join(broadcast(touched), Seq("date_key"), "left_semi")
-            else batch.toDF().limit(0)
+            graft.engine.Pipeline.readRecoverable(spark, factPath)
+              .map(_.join(broadcast(touched), Seq("date_key"), "left_semi"))
+              .getOrElse(batch.limit(0))
           val merged = graft.engine.Silver.dedupLatest(
-            existingTouched.unionByName(batch.toDF()), Seq(idCol),
+            existingTouched.unionByName(batch), Seq(idCol),
             Seq(col(orderCol).desc)).localCheckpoint()
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -239,13 +265,11 @@ object Streams {
           // splice-refresh the MV for the touched dates — the same helper
           // the batch path uses (q50), so the semantics cannot diverge
           val factNow = spark.read.parquet(factPath)
-          val existingMv =
-            if (graft.engine.Pipeline.exists(spark, mvPath))
-              spark.read.parquet(mvPath)
-            else graft.engine.Gold.dailySummary(factNow.limit(0), dimDate)
+          val existingMv = graft.engine.Pipeline.readRecoverable(spark, mvPath)
+            .getOrElse(graft.engine.Gold.dailySummary(factNow.limit(0), dimDate))
           graft.engine.Pipeline.overwriteParquet(
             graft.engine.Gold.dailySummaryIncremental(existingMv, factNow,
-              batch.toDF(), dimDate).localCheckpoint(),
+              batch, dimDate).localCheckpoint(),
             mvPath)
         }
         ()

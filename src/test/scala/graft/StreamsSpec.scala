@@ -152,29 +152,30 @@ class StreamsSpec extends SparkSpec {
       (20240102, "2024-01-02", 2024, 1, "Tuesday", false))
       .toDF("date_key", "full_date_s", "year", "month", "day_name", "is_weekend")
       .withColumn("full_date", col("full_date_s").cast("date")).drop("full_date_s")
-    val in = MemoryStream[(String, Int, Long, Timestamp, Long, Long, Long, Long, String, String)]
+    val in = MemoryStream[(String, Int, Long, Timestamp, Timestamp, Long, Long, Long, Long, String, String)]
     val q = Streams.incrementalGoldSink(
       in.toDF().toDF("toot_id", "date_key", "account_key", "created_at",
-        "replies_count", "reblogs_count", "favourites_count",
-        "total_engagement", "sentiment_label", "language"),
+        "ingestion_timestamp", "replies_count", "reblogs_count",
+        "favourites_count", "total_engagement", "sentiment_label", "language"),
       dimDate, lake, s"$lake/cp")
     def mvOnDisk = spark.read.parquet(s"$lake/gold/daily_engagement_summary")
     def factOnDisk = spark.read.parquet(s"$lake/silver/fact")
     def fullRecompute = graft.engine.Gold.dailySummary(factOnDisk, dimDate)
     try {
       in.addData(
-        ("t1", 20240101, 10L, ts("2024-01-01 01:00:00"), 1L, 1L, 1L, 3L, "Positive", "en"),
-        ("t2", 20240101, 11L, ts("2024-01-01 02:00:00"), 0L, 2L, 2L, 4L, "Negative", "en"),
-        ("t3", 20240102, 10L, ts("2024-01-02 01:00:00"), 5L, 0L, 0L, 5L, "Positive", "fr"))
+        ("t1", 20240101, 10L, ts("2024-01-01 01:00:00"), ts("2024-01-02 00:00:00"), 1L, 1L, 1L, 3L, "Positive", "en"),
+        ("t2", 20240101, 11L, ts("2024-01-01 02:00:00"), ts("2024-01-02 00:00:00"), 0L, 2L, 2L, 4L, "Negative", "en"),
+        ("t3", 20240102, 10L, ts("2024-01-02 01:00:00"), ts("2024-01-02 00:00:00"), 5L, 0L, 0L, 5L, "Positive", "fr"))
       q.processAllAvailable()
       assert(factOnDisk.count() == 3)
       assert(mvOnDisk.collect().toSet == fullRecompute.collect().toSet)
       val day2Before = mvOnDisk.filter(col("date_key") === 20240102).collect().toSeq
 
-      // re-crawl t1 (newer version) + new t4, both on day 1 only
+      // re-crawl t1: SAME created_at (event time is immutable), newer
+      // ingestion_timestamp decides the winner; plus new t4, day 1 only
       in.addData(
-        ("t1", 20240101, 10L, ts("2024-01-01 01:30:00"), 9L, 9L, 9L, 27L, "Positive", "en"),
-        ("t4", 20240101, 12L, ts("2024-01-01 03:00:00"), 1L, 0L, 0L, 1L, "Neutral", "en"))
+        ("t1", 20240101, 10L, ts("2024-01-01 01:00:00"), ts("2024-01-03 00:00:00"), 9L, 9L, 9L, 27L, "Positive", "en"),
+        ("t4", 20240101, 12L, ts("2024-01-01 03:00:00"), ts("2024-01-03 00:00:00"), 1L, 0L, 0L, 1L, "Neutral", "en"))
       q.processAllAvailable()
       // t1 upserted (not duplicated), t4 appended, day-2 partition untouched
       assert(factOnDisk.count() == 4)
