@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AnnLsh, ConnectedComponents, MinHashLsh}
+import graft.operators.{AnnLsh, ConnectedComponents, IvfFlat, MinHashLsh}
 
 /** Training-data pipeline operators over `documents`/`embeddings` — the
   * 100 TB-scale extensions: exact + near dedup (MinHash LSH, SimHash,
@@ -674,6 +674,130 @@ object TrainData {
       |  SELECT 1 FROM index_hashes i WHERE i.content_hash = b.content_hash)
       |ORDER BY doc_id""".stripMargin
 
+  // ── q54: IVF-Flat ANN — the inverted-file scale path next to q25's
+  // sign-LSH: k deterministic seed centroids (production: k-means — the
+  // Lloyd step is the same assign pass), zero-shuffle nearest-centroid
+  // assignment, probes search only their nprobe nearest clusters, exact
+  // cosine re-rank. Centroids = the first K corpus vectors so both
+  // engines rebuild the identical index; the cosine kernel is the
+  // bit-identical left-to-right accumulation shared with q24/q25. Scale
+  // rationale in operators/IvfFlat.scala. ──
+  private val IvfK = 16
+  private val IvfNprobe = 2
+  private val IvfTopK = 10
+
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // coarse-quantizer model state: K seed vectors collected to the
+    // driver (MLlib-style broadcast centers) — K rows, not data movement
+    val centroids: Seq[Array[Float]] = e.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val assigned = IvfFlat.assign(embParallel(spark, dir)
+      .select(col("vec_id"), col("embedding")), centroids)
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    IvfFlat.probe(assigned, probes, centroids, nprobe = IvfNprobe, k = IvfTopK)
+      .orderBy("probe_id", "rk")
+  }
+
+  private val q54Sql =
+    s"""WITH cents AS (
+      |  SELECT CAST(vec_id + 1 AS INTEGER) AS cent_id, embedding
+      |  FROM embeddings WHERE vec_id < $IvfK),
+      |asg AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    ${cosineSql("e", "c")} AS cos
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cluster FROM asg
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |pc AS (
+      |  SELECT p.probe_id, c.cent_id,
+      |    ${cosineSql("p", "c")} AS pc_cos
+      |  FROM probes p CROSS JOIN cents c),
+      |probed AS (
+      |  SELECT probe_id, cent_id FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY pc_cos DESC, cent_id) <= $IvfNprobe),
+      |cand AS (
+      |  SELECT pr.probe_id, a.vec_id AS cand_id, a.cluster
+      |  FROM probed pr JOIN assigned a ON a.cluster = pr.cent_id
+      |  WHERE a.vec_id != pr.probe_id),
+      |scored AS (
+      |  SELECT c.probe_id, c.cand_id, c.cluster,
+      |    ${cosineSql("pe", "ce")} AS cosine
+      |  FROM cand c
+      |  JOIN embeddings pe ON c.probe_id = pe.vec_id
+      |  JOIN embeddings ce ON c.cand_id = ce.vec_id)
+      |SELECT probe_id, cand_id, cluster, cosine, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |            ORDER BY cosine DESC, cand_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= $IvfTopK ORDER BY probe_id, rk""".stripMargin
+
+  // ── q55: repetition-based quality filtering (Gopher-style "fraction of
+  // tokens in the most common n-gram" / duplicate-n-gram rules, DeepMind
+  // Gopher §A.1.1 analogs) — per-doc bigram stats → keep/flag/drop
+  // verdict → per-source distribution. All comparisons are INTEGER
+  // cross-multiplications (top_bg*15 > n_bg ⇔ top-bigram fraction >
+  // 1/15), so there is no float boundary to disagree across engines;
+  // thresholds are calibrated to the synthetic corpus (30-word
+  // vocabulary inflates repetition vs natural text, where Gopher's
+  // published 0.18/0.2 cuts apply). Docs too short to have bigrams are
+  // dropped outright. Scale: explode → two-level groupBy partitioned by
+  // doc, then a doc-keyed join — linear, skew-free (bigram counts are
+  // per-doc, never global). ──
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsParallel(spark, dir)
+    val per = d.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tok"))
+    val bgStats = d
+      .select(col("doc_id"), explode(graft.functions.WordBigrams(col("text"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max("c").as("top_bg"), sum("c").as("n_bg"),
+        count(lit(1)).as("n_distinct_bg"))
+    val verdict = when(col("n_bg").isNull, "drop")
+      .when(col("top_bg") * 15 > col("n_bg"), "drop")
+      .when((col("n_bg") - col("n_distinct_bg")) * 20 > col("n_bg"), "flag")
+      .otherwise("keep")
+    per.join(bgStats, Seq("doc_id"), "left")
+      .withColumn("verdict", verdict)
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "verdict")
+  }
+
+  private val q55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks),
+      |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bgs AS (
+      |  SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg,
+      |    COUNT(*) AS n_distinct_bg
+      |  FROM bgc GROUP BY 1),
+      |verdicts AS (
+      |  SELECT t.source, t.n_tok, t.doc_id,
+      |    CASE WHEN b.n_bg IS NULL THEN 'drop'
+      |         WHEN b.top_bg * 15 > b.n_bg THEN 'drop'
+      |         WHEN (b.n_bg - b.n_distinct_bg) * 20 > b.n_bg THEN 'flag'
+      |         ELSE 'keep' END AS verdict
+      |  FROM toks t LEFT JOIN bgs b ON t.doc_id = b.doc_id)
+      |SELECT source, verdict, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  MIN(doc_id) AS first_doc
+      |FROM verdicts GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -690,5 +814,7 @@ object TrainData {
     QueryDef("q49_neardup_clusters", q49, Some(q49Sql)),
     QueryDef("q51_simhash_neardup", q51, Some(q51Sql)),
     QueryDef("q52_embedding_clusters", q52, Some(q52Sql)),
-    QueryDef("q53_incremental_dedup", q53, Some(q53Sql)))
+    QueryDef("q53_incremental_dedup", q53, Some(q53Sql)),
+    QueryDef("q54_ivf_ann", q54, Some(q54Sql)),
+    QueryDef("q55_doc_quality", q55, Some(q55Sql)))
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfFlat
+
+class IvfFlatSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random vectors (fixed seed — reruns identical). */
+  private def randVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => i -> Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+  }
+
+  /** Reference cosine with the expression's exact accumulation order. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val dim = 16
+  private val corpus = randVecs(60, dim, seed = 7)
+  private val cents: Seq[Array[Float]] = corpus.take(8).map(_._2)
+
+  private def corpusDf = corpus.toDF("vec_id", "embedding")
+
+  /** Brute-force nearest centroid (argmax cosine, ties → lowest id). */
+  private def bruteAssign(v: Array[Float]): Int =
+    cents.zipWithIndex.map { case (c, i) => (cos(v, c), i) }
+      .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2 + 1
+
+  test("assign matches brute-force argmax for every vector") {
+    val got = IvfFlat.assign(corpusDf, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    corpus.foreach { case (id, v) =>
+      assert(got(id) == bruteAssign(v), s"vec $id")
+    }
+  }
+
+  test("assignment ties break to the lowest centroid id") {
+    // duplicate centroids: cosine to #1 and #2 is bit-identical
+    val dup = Seq(cents.head, cents.head, cents(1))
+    val got = IvfFlat.assign(corpusDf, dup)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    assert(got.forall(_._2 != 2), "tie must resolve to centroid 1, never 2")
+    assert(got.exists(_._2 == 1) && got.exists(_._2 == 3))
+  }
+
+  test("zero-norm vectors fail loudly instead of landing in a junk cluster") {
+    val withZero = corpusDf.unionByName(
+      Seq((999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    // consume the cluster column — a bare count() would prune the
+    // projection (and with it the guard) away entirely
+    val e = intercept[Exception](
+      IvfFlat.assign(withZero, cents).select("cluster").collect())
+    assert(e.getMessage.contains("ivf_flat") ||
+      Option(e.getCause).exists(_.getMessage.contains("ivf_flat")), e.getMessage)
+  }
+
+  test("probe returns exactly the brute-force top-k within the probed clusters") {
+    val nprobe = 3; val k = 5
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val probeIds = Seq(50L, 55L)
+    val probes = corpusDf.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val got = IvfFlat.probe(assigned, probes, cents, nprobe, k)
+      .select("probe_id", "cand_id", "rk").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).map { case (p, rows) =>
+        p -> rows.sortBy(_._3).map(_._2).toSeq
+      }
+
+    val byId = corpus.toMap
+    val clusterOf = corpus.map { case (id, v) => id -> bruteAssign(v) }.toMap
+    probeIds.foreach { p =>
+      val pv = byId(p)
+      // nprobe nearest centroids, ties → lowest id — mirrors the operator
+      val probed = cents.zipWithIndex
+        .map { case (c, i) => (cos(pv, c), i + 1) }
+        .sortBy { case (c, i) => (-c, i) }.take(nprobe).map(_._2).toSet
+      val expect = corpus
+        .filter { case (id, _) => id != p && probed.contains(clusterOf(id)) }
+        .map { case (id, v) => (cos(pv, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+      assert(got(p) == expect, s"probe $p")
+    }
+  }
+
+  /** 3 planted direction clusters in 8 dims: axis + deterministic jitter. */
+  private def planted(perCluster: Int, jitter: Float, seed: Long): Seq[(Long, Int, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    val axes = Seq(0, 3, 6)
+    for {
+      (axis, g) <- axes.zipWithIndex
+      j <- 0 until perCluster
+    } yield {
+      val v = Array.fill(8)(rng.nextFloat() * 2f - 1f).map(_ * jitter)
+      v(axis) += 1.0f
+      ((g * perCluster + j).toLong, g, v)
+    }
+  }
+
+  test("train refines centroids: fit to planted clusters improves, partition preserved") {
+    val pts = planted(perCluster = 20, jitter = 0.3f, seed = 11)
+    val df = pts.map(p => (p._1, p._3)).toDF("vec_id", "embedding")
+    // init = one (jittered, off-axis) member of each planted group
+    val init = Seq(pts(0)._3, pts(20)._3, pts(40)._3)
+    val trained = IvfFlat.train(df, init, iters = 5)
+
+    def meanFit(cs: Seq[Array[Float]]): Double = {
+      val asg = IvfFlat.assign(df, cs).select("vec_id", "cluster")
+        .as[(Long, Int)].collect().toMap
+      pts.map(p => cos(p._3, cs(asg(p._1) - 1))).sum / pts.size
+    }
+    assert(meanFit(trained) > meanFit(init) + 1e-4,
+      s"training must tighten the mean member→centroid cosine: " +
+        s"init=${meanFit(init)} trained=${meanFit(trained)}")
+
+    // members of each planted group all land in one cluster, groups apart
+    val asg = IvfFlat.assign(df, trained).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    val byGroup = pts.groupBy(_._2).map { case (g, ps) =>
+      g -> ps.map(p => asg(p._1)).toSet
+    }
+    assert(byGroup.values.forall(_.size == 1), s"split groups: $byGroup")
+    assert(byGroup.values.flatten.toSet.size == 3, s"merged groups: $byGroup")
+  }
+
+  test("train keeps an emptied cluster's previous centroid verbatim") {
+    val pts = planted(perCluster = 10, jitter = 0.1f, seed = 13).filter(_._2 < 2)
+    val df = pts.map(p => (p._1, p._3)).toDF("vec_id", "embedding")
+    val dead = Array.fill(8)(-1.0f) // opposite every planted direction
+    val init = Seq(pts(0)._3, pts(10)._3, dead)
+    val trained = IvfFlat.train(df, init, iters = 3)
+    assert(trained(2).toSeq == dead.toSeq,
+      "a cluster that captures no vectors must keep its centroid, not zero out")
+  }
+
+  test("probe plan broadcasts the probe side — no corpus shuffle join, no cartesian") {
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val probes = corpusDf.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val plan = IvfFlat.probe(assigned, probes, cents, nprobe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+}
