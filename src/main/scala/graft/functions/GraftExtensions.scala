@@ -40,6 +40,18 @@ object GraftExtensions {
           WordBigramsExpr(children.head)
         }),
       (
+        new FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "word_ngrams expects (text, n) — 2 arguments")
+          children(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+              WordNgramsExpr(children.head, n)
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: n must be an integer literal, got $other")
+          }
+        }),
+      (
         new FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
         (children: Seq[Expression]) => {

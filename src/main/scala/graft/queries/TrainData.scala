@@ -798,6 +798,58 @@ object TrainData {
       |  MIN(doc_id) AS first_doc
       |FROM verdicts GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
 
+  // ── q56: cross-document boilerplate spans (RefinedWeb/CCNet-style) —
+  // 8-gram spans appearing in ≥2 documents mark shared/templated text;
+  // per-doc shared-span counts feed an is_boilerplate verdict (half or
+  // more of the doc's spans shared — integer cross-multiplication, no
+  // float boundary). Complements q49's whole-doc near-dup clustering:
+  // this finds PARTIAL overlap (headers, footers, templates) that
+  // doc-level MinHash under-weighs. Scale: explode distinct 8-grams
+  // (codegen'd word_ngrams kernel) → groupBy(gram) doc-frequency —
+  // linear, one shuffle keyed by gram; a mega-frequent span only
+  // aggregates (map-side partials), it never fans out into pairs. ──
+  private val SpanN = 8
+
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsParallel(spark, dir)
+    val ex = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val shared = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val perDoc = ex.join(shared, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val grams = d.select(col("doc_id"),
+      size(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("n_grams"))
+    grams.join(perDoc, Seq("doc_id"))
+      .withColumn("is_boilerplate", col("n_shared") * 2 >= col("n_grams"))
+      .select("doc_id", "n_grams", "n_shared", "is_boilerplate")
+      .orderBy("doc_id")
+  }
+
+  private val q56Sql = {
+    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
+      |      i -> $gramExpr))) AS g
+      |  FROM toks),
+      |shared AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_shared FROM g
+      |  WHERE g IN (SELECT g FROM shared) GROUP BY 1),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
+      |      i -> $gramExpr))) AS INTEGER) AS n_grams
+      |  FROM toks)
+      |SELECT gr.doc_id, gr.n_grams, p.n_shared,
+      |  p.n_shared * 2 >= gr.n_grams AS is_boilerplate
+      |FROM grams gr JOIN per_doc p ON gr.doc_id = p.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -816,5 +868,6 @@ object TrainData {
     QueryDef("q52_embedding_clusters", q52, Some(q52Sql)),
     QueryDef("q53_incremental_dedup", q53, Some(q53Sql)),
     QueryDef("q54_ivf_ann", q54, Some(q54Sql)),
-    QueryDef("q55_doc_quality", q55, Some(q55Sql)))
+    QueryDef("q55_doc_quality", q55, Some(q55Sql)),
+    QueryDef("q56_boilerplate", q56, Some(q56Sql)))
 }
