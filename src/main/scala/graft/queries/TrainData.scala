@@ -847,7 +847,7 @@ object TrainData {
       |SELECT gr.doc_id, gr.n_grams, p.n_shared,
       |  p.n_shared * 2 >= gr.n_grams AS is_boilerplate
       |FROM grams gr JOIN per_doc p ON gr.doc_id = p.doc_id
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY gr.doc_id""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
