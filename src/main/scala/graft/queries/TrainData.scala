@@ -850,6 +850,129 @@ object TrainData {
       |ORDER BY gr.doc_id""".stripMargin
   }
 
+  // ── q57: benchmark decontamination — the eval-overlap scrub every
+  // training pipeline runs before a model sees the data (GPT-3 §C /
+  // PaLM-style 8-gram collision test): any train document sharing an
+  // 8-gram span with the held-out eval slice is flagged, with the hit
+  // count as evidence. Eval slice = deterministic doc_id % 10 == 7 (a
+  // stand-in for the real benchmark suite). Scale: the eval side is
+  // tiny by construction (benchmarks are MBs, corpora are TBs), so its
+  // distinct-gram set BROADCASTS and the train side never shuffles —
+  // one explode + broadcast-hash-join + per-doc count, linear in the
+  // corpus with zero exchange on the 100 TB side. ──
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsParallel(spark, dir)
+    val grams = d.select(col("doc_id"), col("source"),
+      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 10 === 7)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  private val q57Sql = {
+    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
+      |      i -> $gramExpr))) AS g
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+      |eval_grams AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7)
+      |SELECT doc_id, source, COUNT(*) AS n_hit_grams
+      |FROM g WHERE doc_id % 10 != 7 AND g IN (SELECT g FROM eval_grams)
+      |GROUP BY 1, 2 ORDER BY doc_id LIMIT 100""".stripMargin
+  }
+
+  // ── q58: sequence packing — GPT-style concat-and-split: within each
+  // source shard, documents are laid end-to-end in doc_id order and cut
+  // into fixed SeqCap-token training sequences; a doc starting in one
+  // sequence may spill into the next (boundary crossers are what
+  // attention-mask-aware packers try to minimize). Per-source layout
+  // stats: sequences produced, docs crossing a boundary. All integer
+  // arithmetic (offsets via running sum, seq ids via integer div) — no
+  // float boundary. Scale: packing is per-shard BY DESIGN (a global
+  // concat order is meaningless and unscalable); the window runs inside
+  // each source partition — one shuffle keyed by source, parallel
+  // across shards, and a skewed giant shard would be sub-split by
+  // re-sharding on (source, doc_id range) upstream. ──
+  private val SeqCap = 512
+
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        (max(expr(s"(start_off + n_tok - 1) div $SeqCap")) + 1).as("n_seqs"),
+        sum(when(expr(s"(start_off + n_tok - 1) div $SeqCap > start_off div $SeqCap"),
+          1L).otherwise(0L)).as("n_crossing"))
+      .orderBy("source")
+  }
+
+  private val q58Sql =
+    s"""WITH laid AS (
+      |  SELECT source, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+      |  FROM (SELECT source, doc_id,
+      |          len(string_split(text, ' ')) AS n_tok FROM documents))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  MAX((start_off + n_tok - 1) // $SeqCap) + 1 AS n_seqs,
+      |  CAST(SUM(CASE WHEN (start_off + n_tok - 1) // $SeqCap
+      |                     > start_off // $SeqCap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_crossing
+      |FROM laid GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q59: domain mixing — per-source reweighting to hit a target data
+  // mixture (the Pile/LLaMA-style "sampling proportions" table): each
+  // source gets a deterministic keep-rate (25/50/75/100% by source
+  // index mod 4, standing in for a curated mixture spec) applied via
+  // KEY-HASHED sampling — md5("source:doc_id") first hex digit against
+  // a threshold char — so the same rows are kept on every run, every
+  // engine, any partitioning, and re-runs of the pipeline are
+  // reproducible (seeded RNG sampling is neither engine- nor
+  // partitioning-stable). Scale: a stateless per-row filter fused into
+  // the scan — zero shuffles before the per-source rollup. ──
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = regexp_replace(col("source"), "^src", "").cast("int")
+    val thresholdChar = element_at(array(lit("4"), lit("8"), lit("c"), lit("g")),
+      (srcIdx % 4) + 1)
+    val kept = substring(md5(concat_ws(":", col("source"),
+      col("doc_id").cast("string"))), 1, 1) < thresholdChar
+    Tables.documents(spark, dir)
+      .withColumn("target_pct", ((srcIdx % 4 + 1) * 25).cast("int"))
+      .withColumn("is_kept", kept)
+      .groupBy("source", "target_pct").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("is_kept"), col("doc_id"))).as("first_kept_doc"))
+      .orderBy("source")
+  }
+
+  private val q59Sql =
+    """WITH tagged AS (
+      |  SELECT source, doc_id,
+      |    CAST((CAST(regexp_replace(source, '^src', '') AS INTEGER) % 4 + 1) * 25
+      |      AS INTEGER) AS target_pct,
+      |    substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 1) <
+      |      (['4', '8', 'c', 'g'])[CAST(regexp_replace(source, '^src', '') AS INTEGER) % 4 + 1]
+      |      AS is_kept
+      |  FROM documents)
+      |SELECT source, target_pct, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN is_kept THEN doc_id END) AS first_kept_doc
+      |FROM tagged GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -869,5 +992,8 @@ object TrainData {
     QueryDef("q53_incremental_dedup", q53, Some(q53Sql)),
     QueryDef("q54_ivf_ann", q54, Some(q54Sql)),
     QueryDef("q55_doc_quality", q55, Some(q55Sql)),
-    QueryDef("q56_boilerplate", q56, Some(q56Sql)))
+    QueryDef("q56_boilerplate", q56, Some(q56Sql)),
+    QueryDef("q57_decontaminate", q57, Some(q57Sql)),
+    QueryDef("q58_seq_packing", q58, Some(q58Sql)),
+    QueryDef("q59_domain_mix", q59, Some(q59Sql)))
 }
