@@ -223,7 +223,12 @@ object TrainData {
     // broadcast it so the corpus never shuffles for the prune.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val pruned = pruneToCandidates(d, candDocs)
+    // Prune from a FRESH scan, not the repartitioned `d`: the broadcast
+    // semi-join filters at the scan and only the candidate slice (≤ 2×
+    // the capped pair count) survives, so the round-robin shuffle that
+    // spreads shingle CPU for the signature build would here shuffle the
+    // whole corpus to keep a few hundred rows.
+    val pruned = pruneToCandidates(Tables.documents(spark, dir), candDocs)
       .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
       .localCheckpoint()
     val sizes = pruned.select(col("doc_id"), size(col("sg")).as("n_sg"))
@@ -973,6 +978,184 @@ object TrainData {
       |  MIN(CASE WHEN is_kept THEN doc_id END) AS first_kept_doc
       |FROM tagged GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // ── q60: chunk-level exact dedup — the RefinedWeb/C4 "line dedup"
+  // stage: any fixed-size span that repeats ANYWHERE in the corpus is
+  // removed from every document except its first occurrence, and the
+  // cleaned text is re-assembled. The corpus here is single-line, so the
+  // dedup unit is a K-word chunk instead of a newline-delimited line —
+  // same algorithm, same shuffle shape. Keeper = smallest (doc_id, pos),
+  // encoded as one integer key so MIN picks it portably. Scale: explode
+  // chunks → groupBy(md5) → join back is one shuffle pair, linear in
+  // corpus size and partitioned by chunk hash — the exact shape RefinedWeb
+  // ran at web scale; reconstruction is a per-doc sort of ≤ len/K spans. ──
+  private val ChunkK = 16
+
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsParallel(spark, dir)
+    val occ = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $ChunkK), " +
+          s"i -> array_join(slice(w, i * $ChunkK + 1, $ChunkK), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+        md5(col("col")).as("h"),
+        (col("doc_id") * 100000L + col("pos")).as("key"))
+    val freq = occ.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"), min("key").as("keeper_key"))
+    val kept = col("n_occ") === 1 || col("key") === col("keeper_key")
+    occ.join(freq, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_dup_chunks"),
+        array_sort(collect_list(when(kept, struct(col("pos"), col("chunk")))))
+          .as("spans"))
+      .filter(col("n_dup_chunks") > 0)
+      .withColumn("kept_text", when(size(col("spans")) === 0, lit(null))
+        .otherwise(array_join(expr("transform(spans, x -> x.chunk)"), " ")))
+      .select("doc_id", "n_chunks", "n_dup_chunks", "kept_text")
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  private val q60Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ch AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(w, i * $ChunkK + 1, i * $ChunkK + $ChunkK), ' ') AS chunk
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(0, (len(w) - 1) // $ChunkK + 1)) AS i FROM w)),
+      |occ AS (SELECT doc_id, pos, chunk, md5(chunk) AS h,
+      |          doc_id * 100000 + pos AS key FROM ch),
+      |freq AS (SELECT h, COUNT(*) AS n_occ, MIN(key) AS keeper_key
+      |         FROM occ GROUP BY 1),
+      |j AS (SELECT o.doc_id, o.pos, o.chunk,
+      |        (f.n_occ = 1 OR o.key = f.keeper_key) AS kept
+      |      FROM occ o JOIN freq f USING (h))
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+      |  string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept) AS kept_text
+      |FROM j GROUP BY doc_id
+      |HAVING SUM(CASE WHEN kept THEN 0 ELSE 1 END) > 0
+      |ORDER BY doc_id LIMIT 100""".stripMargin
+
+  // ── q61: temperature-based mixture weights — the UNIMAX/mT5 α=0.5
+  // "temperature sampling" table: per-source token mass is raised to α so
+  // small sources are up-weighted, then a fixed token budget is allocated
+  // proportionally and expressed as epochs over each source. Float
+  // discipline (see oracle notes): sqrt is IEEE-identical in both
+  // engines, but the cross-source SUM is taken over FIXED-POINT weights
+  // (floor(sqrt·1000) as BIGINT) so the reduction is exact integer math —
+  // double summation order across partitions would not be reproducible.
+  // Scale: one per-source agg (tiny output) + a scalar window — the
+  // corpus-side pass is a single shuffle-free partial-agg scan. ──
+  private val MixBudgetTok = 1000000L
+
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_tok").cast("double")) * 1000).cast("long"))
+    perSrc
+      .withColumn("share",
+        col("w_fp").cast("double") / sum("w_fp").over(Window.partitionBy()).cast("double"))
+      .withColumn("alloc_tok",
+        floor(col("share") * lit(MixBudgetTok).cast("double")).cast("long"))
+      .withColumn("epochs", col("alloc_tok").cast("double") / col("n_tok").cast("double"))
+      .orderBy("source")
+  }
+
+  private val q61Sql =
+    s"""WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT *,
+      |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000) AS BIGINT) AS w_fp FROM s),
+      |t AS (SELECT *,
+      |  CAST(w_fp AS DOUBLE) / CAST(SUM(w_fp) OVER () AS DOUBLE) AS share FROM w),
+      |a AS (SELECT *,
+      |  CAST(floor(share * $MixBudgetTok) AS BIGINT) AS alloc_tok FROM t)
+      |SELECT source, n_docs, n_tok, w_fp, share, alloc_tok,
+      |  CAST(alloc_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS epochs
+      |FROM a ORDER BY source""".stripMargin
+
+  // ── q62: shard planner — deterministic doc→shard assignment for the
+  // final training-data write, plus the balance audit an operator reads
+  // before launching: per-shard doc/token mass and each shard's share of
+  // the total. Shard id = first hex digit of md5(doc_id) (16 shards) —
+  // key-hashed like q59, so assignment is stable across engines, runs
+  // and partitionings, and a re-run appends to the SAME shards. Scale:
+  // the assignment is a stateless per-row expression fused into the scan
+  // (it IS the partitionBy key of the eventual writer); the audit is one
+  // tiny 16-row agg. ──
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perShard = Tables.documents(spark, dir)
+      .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+    perShard
+      .withColumn("tok_share",
+        col("n_tok").cast("double") / sum("n_tok").over(Window.partitionBy()).cast("double"))
+      .orderBy("shard")
+  }
+
+  private val q62Sql =
+    """WITH s AS (
+      |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY 1)
+      |SELECT shard, n_docs, n_tok,
+      |  CAST(n_tok AS DOUBLE) / CAST(SUM(n_tok) OVER () AS DOUBLE) AS tok_share
+      |FROM s ORDER BY shard""".stripMargin
+
+  // ── q63: vocabulary coverage — tokenizer-prep statistics: the top-K
+  // corpus words by frequency with each word's cumulative share of all
+  // token occurrences (the "how much of the corpus does a K-word vocab
+  // cover" curve that sizes a vocabulary). Rank ties break on the word
+  // itself so the cumulative window is over a UNIQUE total order —
+  // deterministic in both engines; cumulative sums are exact BIGINTs,
+  // only the final share divides. Scale: explode → groupBy(word) is the
+  // canonical word-count shuffle; the window runs on the top-K slice
+  // only after a TakeOrdered. ──
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docsParallel(spark, dir)
+    val counts = d.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum("n_occ").cast("long").as("t"))
+    val top = counts.orderBy(col("n_occ").desc, col("word")).limit(50)
+    val w = Window.orderBy(col("n_occ").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("word"))))
+      .withColumn("cum_occ", sum("n_occ").over(w))
+      .withColumn("cum_share", col("cum_occ").cast("double") / col("t").cast("double"))
+      .select("rank", "word", "n_occ", "cum_occ", "cum_share")
+      .orderBy("rank")
+  }
+
+  private val q63Sql =
+    """WITH c AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |counts AS (SELECT word, COUNT(*) AS n_occ FROM c GROUP BY 1),
+      |top AS (SELECT word, n_occ FROM counts
+      |        ORDER BY n_occ DESC, word LIMIT 50),
+      |tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS t FROM counts)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, word) AS INTEGER) AS rank,
+      |  word, n_occ,
+      |  CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, word
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+      |  CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, word
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+      |FROM top, tot ORDER BY rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -995,5 +1178,9 @@ object TrainData {
     QueryDef("q56_boilerplate", q56, Some(q56Sql)),
     QueryDef("q57_decontaminate", q57, Some(q57Sql)),
     QueryDef("q58_seq_packing", q58, Some(q58Sql)),
-    QueryDef("q59_domain_mix", q59, Some(q59Sql)))
+    QueryDef("q59_domain_mix", q59, Some(q59Sql)),
+    QueryDef("q60_chunk_dedup", q60, Some(q60Sql)),
+    QueryDef("q61_temperature_mix", q61, Some(q61Sql)),
+    QueryDef("q62_shard_plan", q62, Some(q62Sql)),
+    QueryDef("q63_vocab_coverage", q63, Some(q63Sql)))
 }

@@ -28,6 +28,42 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q60: dup counts bounded by chunk counts; text null iff nothing kept") {
+    val rows = SparkEntry.queries("q60_chunk_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nChunks, nDup) = (r.getLong(1), r.getLong(2))
+      assert(nDup >= 1 && nDup <= nChunks)
+      assert(r.isNullAt(3) == (nDup == nChunks),
+        s"doc ${r.getLong(0)}: kept_text nullity disagrees with $nDup/$nChunks dups")
+    }
+  }
+
+  test("q61: shares sum to ~1 and the allocation never exceeds the budget") {
+    val rows = SparkEntry.queries("q61_temperature_mix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
+    assert(rows.map(_.getLong(5)).sum <= 1000000L)
+  }
+
+  test("q62: shards are single hex digits with shares summing to ~1") {
+    val rows = SparkEntry.queries("q62_shard_plan")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.forall(r => "0123456789abcdef".contains(r.getString(0))))
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"tok_share sum $shareSum")
+  }
+
+  test("q63: cumulative coverage is monotone and caps at 1") {
+    val rows = SparkEntry.queries("q63_vocab_coverage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b },
+      "cum_share must be strictly increasing")
+    assert(shares.last <= 1.0 + 1e-12)
+  }
+
   test("q59: kept is a subset; 100%-rate sources keep everything") {
     val rows = SparkEntry.queries("q59_domain_mix")(spark, dir).collect()
     assert(rows.nonEmpty)
