@@ -60,4 +60,34 @@ object AnnLsh {
       .groupBy("a_id", "b_id")
       .agg(countDistinct("tbl").as("n_tables"))
   }
+
+  /** Cross-set candidates: rows of `corpus` sharing a bucket with rows of
+    * `probes` in any table, as (`corpus_id`, `probe_id`, `n_tables`).
+    * The semantic-decontamination / cross-snapshot shape: `probes` is the
+    * SMALL side (an eval suite, a delta batch) and `corpus` the 100 TB
+    * side. The bucket-size cap applies to the CORPUS side only — hub
+    * buckets there are what blow up fan-out, while capping the probe side
+    * would silently drop the very queries the caller asked about. The
+    * probe bucket table is tiny and broadcasts; the corpus is bucketed in
+    * one linear pass and never self-joined. */
+  def candidatesAcross(corpus: DataFrame, probes: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       tables: Int = 4, bits: Int = 16,
+                       maxBucket: Int = 128): DataFrame = {
+    def keyed(df: DataFrame) = (0 until tables).map { t =>
+      df.select(col(idCol), lit(t).as("tbl"),
+        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
+    }.reduce(_ unionByName _)
+    val ck = keyed(corpus)
+    val small = ck.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("tbl", "bucket")
+    ck.join(small, Seq("tbl", "bucket"))
+      .select(col("tbl"), col("bucket"), col(idCol).as("corpus_id"))
+      .join(broadcast(keyed(probes)
+        .select(col("tbl"), col("bucket"), col(idCol).as("probe_id"))),
+        Seq("tbl", "bucket"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(countDistinct("tbl").as("n_tables"))
+  }
 }

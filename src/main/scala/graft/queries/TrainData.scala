@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AnnLsh, ConnectedComponents, IvfFlat, MinHashLsh}
+import graft.operators.{AnnLsh, ConnectedComponents, IvfFlat, MinHashLsh, SnapshotDiff}
 
 /** Training-data pipeline operators over `documents`/`embeddings` — the
   * 100 TB-scale extensions: exact + near dedup (MinHash LSH, SimHash,
@@ -335,12 +335,16 @@ object TrainData {
   /** Shared oracle CTEs mirroring [[AnnLsh.candidates]] over `src`:
     * sign-bit bucket keys per table → size-capped buckets → candidate
     * pairs with `n_tables` collision strength. */
-  private def annCandidateCtes(src: String): String = {
-    def bitsSql(lo: Int) = (lo until lo + AnnBits).map(i =>
-      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    val keyed = (0 until AnnTables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${bitsSql(t * AnnBits + 1)} AS bucket FROM $src")
+  private def annBitsSql(lo: Int) = (lo until lo + AnnBits).map(i =>
+    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private def annKeyedSql(src: String): String =
+    (0 until AnnTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${annBitsSql(t * AnnBits + 1)} AS bucket FROM $src")
       .mkString("\n      |  UNION ALL\n      |  ")
+
+  private def annCandidateCtes(src: String): String = {
+    val keyed = annKeyedSql(src)
     s"""keyed AS (
       |  $keyed),
       |kept AS (
@@ -1156,6 +1160,113 @@ object TrainData {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
       |FROM top, tot ORDER BY rank""".stripMargin
 
+  // ── q64: semantic decontamination — the embedding-space analog of
+  // q57's n-gram scrub: train vectors whose embedding is near-identical
+  // (cosine ≥ 0.95) to any held-out eval vector are flagged as
+  // contamination, found via cross-set sign-LSH (AnnLsh.candidatesAcross)
+  // so the train side is bucketed in ONE linear pass and the tiny eval
+  // bucket table broadcasts — never an all-pairs train×eval join. Like
+  // q52, the random synthetic embeddings have no true near-dups (max
+  // random cosine ≈0.51), so every 5th eval vector is planted back into
+  // the train side as an exact copy at vec_id + max + 1 — identical sign
+  // buckets in every table, cosine ≈1.0, far above the 0.95 threshold
+  // while every random collision falls far below it. ──
+  private val Q64CosMin = 0.95
+
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // single-row scalar read — the id-space bound, not data movement
+    val offset = base.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    val evalV = base.filter(col("vec_id") % 10 === 7)
+    val trainV = base.filter(col("vec_id") % 10 =!= 7)
+      .unionByName(evalV.filter(col("vec_id") % 50 === 7)
+        .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    AnnLsh.candidatesAcross(trainV, evalV,
+        tables = AnnTables, bits = AnnBits, maxBucket = AnnMaxBucket)
+      .join(trainV.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")), "corpus_id")
+      .join(evalV.select(col("vec_id").as("probe_id"), col("embedding").as("pv")), "probe_id")
+      .withColumn("cosine", cosine(col("cv"), col("pv")))
+      .filter(col("cosine") >= Q64CosMin)
+      .select(col("corpus_id").as("train_id"), col("probe_id").as("eval_id"),
+        col("n_tables"), col("cosine"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  private val q64Sql =
+    s"""WITH eval_v AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+      |train_v AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings), embedding
+      |  FROM embeddings WHERE vec_id % 50 = 7),
+      |keyed_c AS (
+      |  ${annKeyedSql("train_v")}),
+      |keyed_p AS (
+      |  ${annKeyedSql("eval_v")}),
+      |kept_c AS (
+      |  SELECT * FROM keyed_c
+      |  QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= $AnnMaxBucket),
+      |xpairs AS (
+      |  SELECT c.vec_id AS train_id, p.vec_id AS eval_id,
+      |    COUNT(DISTINCT c.tbl) AS n_tables
+      |  FROM kept_c c JOIN keyed_p p ON c.tbl = p.tbl AND c.bucket = p.bucket
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT x.train_id, x.eval_id, x.n_tables,
+      |    ${cosineSql("ea", "eb")} AS cosine
+      |  FROM xpairs x
+      |  JOIN train_v ea ON x.train_id = ea.vec_id
+      |  JOIN eval_v eb ON x.eval_id = eb.vec_id)
+      |SELECT train_id, eval_id, n_tables, cosine FROM scored
+      |WHERE cosine >= $Q64CosMin ORDER BY train_id, eval_id""".stripMargin
+
+  // ── q65: snapshot diff — the between-crawls audit (SnapshotDiff
+  // operator): which docs were added / removed / modified / unchanged
+  // since the previous corpus version. The "previous" snapshot is
+  // derived deterministically from the current one: docs with id ≡ 3
+  // (mod 7) didn't exist yet (→ added), id ≡ 0 (mod 5) had different
+  // text (→ modified, via an appended marker so the change is
+  // length-independent), and planted ids at +max+1 for id ≡ 1 (mod 13)
+  // existed then but not now (→ removed). ──
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val offset = d.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    val v1 = d.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" old")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + lit(offset)).as("doc_id"), col("text")))
+    SnapshotDiff(v1, d)
+      .groupBy("status").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("status")
+  }
+
+  private val q65Sql =
+    """WITH v2 AS (SELECT doc_id, text FROM documents),
+      |v1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' old' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 != 3
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      |  FROM documents WHERE doc_id % 13 = 1),
+      |j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN sha256(a.text) != sha256(b.text) THEN 'modified'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1182,5 +1293,7 @@ object TrainData {
     QueryDef("q60_chunk_dedup", q60, Some(q60Sql)),
     QueryDef("q61_temperature_mix", q61, Some(q61Sql)),
     QueryDef("q62_shard_plan", q62, Some(q62Sql)),
-    QueryDef("q63_vocab_coverage", q63, Some(q63Sql)))
+    QueryDef("q63_vocab_coverage", q63, Some(q63Sql)),
+    QueryDef("q64_semantic_decontam", q64, Some(q64Sql)),
+    QueryDef("q65_snapshot_diff", q65, Some(q65Sql)))
 }

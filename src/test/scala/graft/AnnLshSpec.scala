@@ -43,6 +43,24 @@ class AnnLshSpec extends SparkSpec {
     intercept[Exception](AnnLsh.candidates(withNull).count())
   }
 
+  test("cross-set candidates: probe side uncapped, corpus cap enforced") {
+    val corpus = emb(Seq(1L -> "AAAA", 2L -> "AAAA", 3L -> "BBBB", 4L -> "ABBB"))
+    val probes = emb(Seq(100L -> "AAAA", 101L -> "BBBB"))
+    val got = AnnLsh.candidatesAcross(corpus, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1,2 match probe 100 in all 4 tables; 3 matches 101 in all 4;
+    // 4 matches 101 on blocks 2-4 and 100 on block 1.
+    assert(got == Set((1L, 100L, 4L), (2L, 100L, 4L), (3L, 101L, 4L),
+      (4L, 101L, 3L), (4L, 100L, 1L)))
+    // corpus-side hub bucket dropped: 10 identical corpus vecs over cap…
+    val hub = emb((1L to 10L).map(_ -> "AAAA"))
+    assert(AnnLsh.candidatesAcross(hub, probes, maxBucket = 5).count() == 0)
+    // …but a "hub" on the probe side never drops the callers' queries
+    val probeHub = emb((100L to 109L).map(_ -> "AAAA"))
+    assert(AnnLsh.candidatesAcross(emb(Seq(1L -> "AAAA")), probeHub,
+      maxBucket = 5).count() == 10)
+  }
+
   test("candidate plan has no cartesian product") {
     val e = emb(Seq(1L -> "AAAA", 2L -> "ABAB"))
     val plan = AnnLsh.candidates(e).queryExecution.executedPlan.toString

@@ -64,6 +64,35 @@ class TrainPipelineSpec extends SparkSpec {
     assert(shares.last <= 1.0 + 1e-12)
   }
 
+  test("q64: exactly the planted contaminants, at full collision strength") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, dir)
+    val offset = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    val planted = emb.filter(col("vec_id") % 50 === 7).count()
+    val rows = SparkEntry.queries("q64_semantic_decontam")(spark, dir).collect()
+    assert(rows.length == planted,
+      s"expected the $planted planted copies, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= offset, "flagged a non-planted train vector")
+      assert(r.getLong(1) % 10 == 7, "eval id outside the eval slice")
+      assert(r.getLong(2) == 4, "an exact copy must collide in all 4 tables")
+      assert(r.getDouble(3) > 0.999)
+    }
+  }
+
+  test("q65: status counts reproduce the snapshot construction rules") {
+    import org.apache.spark.sql.functions._
+    val d = graft.engine.Tables.documents(spark, dir)
+    val expect = Map(
+      "added" -> d.filter(col("doc_id") % 7 === 3).count(),
+      "removed" -> d.filter(col("doc_id") % 13 === 1).count(),
+      "modified" -> d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 3).count(),
+      "unchanged" -> d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 3).count())
+    val got = SparkEntry.queries("q65_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect.filter(_._2 > 0), s"got $got, want $expect")
+  }
+
   test("q59: kept is a subset; 100%-rate sources keep everything") {
     val rows = SparkEntry.queries("q59_domain_mix")(spark, dir).collect()
     assert(rows.nonEmpty)
