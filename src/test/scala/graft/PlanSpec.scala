@@ -64,6 +64,22 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q57/q60/q64/q65: training-layout pipelines never nested-loop") {
+    Seq("q57_decontaminate", "q60_chunk_dedup", "q64_semantic_decontam",
+        "q65_snapshot_diff").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${s.take(800)}")
+    }
+  }
+
+  test("q57/q64: the tiny eval/probe side broadcasts, corpus side hash-joins") {
+    Seq("q57_decontaminate", "q64_semantic_decontam").foreach { name =>
+      val s = planString(q(name))
+      assert(s.contains("BroadcastHashJoin"), s"$name:\n${s.take(800)}")
+    }
+  }
+
   test("q23's prune: broadcast left-semi, corpus side never shuffles") {
     // The exact re-rank must consume only the candidate slice: a
     // broadcast left-semi against the (bounded) candidate-doc list. The
@@ -77,6 +93,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
     // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)"
     assert(!s.contains("Exchange hashpartitioning"), s.take(1200))
+  }
+
+  test("q10: latest-per-key plans bounded WindowGroupLimits, not full windows") {
+    // Spark ≥3.5 infers a group-limit from the rank predicate and runs it
+    // in partial mode BEFORE the shuffle — each map task forwards ≤ k rows
+    // per key, the distributed top-k a custom operator would otherwise
+    // hand-build. Losing this (e.g. by filtering on a derived column the
+    // optimizer can't see through) would shuffle every version of every key.
+    val s = planString(q("q10_dedup_latest"))
+    assert(s.contains("WindowGroupLimit"), s.take(800))
   }
 
   test("q39: as-of join is one window pass, no join operator at all") {
