@@ -38,6 +38,25 @@ object AnnLsh {
       coalesce(size(v).cast("string"), lit("NULL")))))
   }
 
+  /** One (`idCol`, tbl, bucket) row per hash table — the sign-bucket
+    * keying shared by the self-join and cross-set paths. */
+  private def keyedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                           tables: Int, bits: Int): DataFrame =
+    (0 until tables).map { t =>
+      df.select(col(idCol), lit(t).as("tbl"),
+        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
+    }.reduce(_ unionByName _)
+
+  /** Drops rows in over-`maxBucket` (tbl, bucket) hubs — the shared
+    * fan-out bound; the size probe is a map-side-partial groupBy count
+    * and the bucket list stays distributed. */
+  private def capHubs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val small = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("tbl", "bucket")
+    keyed.join(small, Seq("tbl", "bucket"))
+  }
+
   /** Candidate pairs (`a_id` < `b_id`) with `n_tables` = number of hash
     * tables that bucketed the pair together (1..tables). Requires
     * embedding dim ≥ tables*bits — enforced: a short or NULL vector fails
@@ -45,14 +64,7 @@ object AnnLsh {
   def candidates(emb: DataFrame, idCol: String = "vec_id",
                  vecCol: String = "embedding", tables: Int = 4,
                  bits: Int = 16, maxBucket: Int = 128): DataFrame = {
-    val keyed = (0 until tables).map { t =>
-      emb.select(col(idCol), lit(t).as("tbl"),
-        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
-    }.reduce(_ unionByName _)
-    val small = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("tbl", "bucket")
-    val kept = keyed.join(small, Seq("tbl", "bucket"))
+    val kept = capHubs(keyedBuckets(emb, idCol, vecCol, tables, bits), maxBucket)
     kept.select(col("tbl"), col("bucket"), col(idCol).as("a_id"))
       .join(kept.select(col("tbl"), col("bucket"), col(idCol).as("b_id")),
         Seq("tbl", "bucket"))
@@ -74,17 +86,9 @@ object AnnLsh {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        tables: Int = 4, bits: Int = 16,
                        maxBucket: Int = 128): DataFrame = {
-    def keyed(df: DataFrame) = (0 until tables).map { t =>
-      df.select(col(idCol), lit(t).as("tbl"),
-        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
-    }.reduce(_ unionByName _)
-    val ck = keyed(corpus)
-    val small = ck.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("tbl", "bucket")
-    ck.join(small, Seq("tbl", "bucket"))
-      .select(col("tbl"), col("bucket"), col(idCol).as("corpus_id"))
-      .join(broadcast(keyed(probes)
+    val kept = capHubs(keyedBuckets(corpus, idCol, vecCol, tables, bits), maxBucket)
+    kept.select(col("tbl"), col("bucket"), col(idCol).as("corpus_id"))
+      .join(broadcast(keyedBuckets(probes, idCol, vecCol, tables, bits)
         .select(col("tbl"), col("bucket"), col(idCol).as("probe_id"))),
         Seq("tbl", "bucket"))
       .groupBy("corpus_id", "probe_id")

@@ -24,15 +24,22 @@ object SnapshotDiff {
     * in `v2` (the newer snapshot), "removed" only in `v1`. */
   def apply(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
             contentCol: String = "text"): DataFrame = {
+    // presence is a dedicated flag, NOT hash-nullity: a document with
+    // NULL content exists, and misreading it as added/removed would tell
+    // downstream incremental stages to drop a live id. Hashes compare
+    // null-safely for the same reason (NULL→NULL is "unchanged",
+    // NULL→text is "modified").
     val a = v1.select(col(idCol).as("__id"),
-      sha2(col(contentCol).cast("string"), 256).as("__h1"))
+      sha2(col(contentCol).cast("string"), 256).as("__h1"),
+      lit(true).as("__in1"))
     val b = v2.select(col(idCol).as("__id"),
-      sha2(col(contentCol).cast("string"), 256).as("__h2"))
+      sha2(col(contentCol).cast("string"), 256).as("__h2"),
+      lit(true).as("__in2"))
     a.join(b, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__h1").isNull, "added")
-          .when(col("__h2").isNull, "removed")
-          .when(col("__h1") =!= col("__h2"), "modified")
+        when(col("__in1").isNull, "added")
+          .when(col("__in2").isNull, "removed")
+          .when(!(col("__h1") <=> col("__h2")), "modified")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -995,6 +995,7 @@ object TrainData {
   private val ChunkK = 16
 
   private def q60(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docsParallel(spark, dir)
     val occ = d
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1002,12 +1003,17 @@ object TrainData {
         s"transform(sequence(0, (size(w) - 1) div $ChunkK), " +
           s"i -> array_join(slice(w, i * $ChunkK + 1, $ChunkK), ' '))")))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"),
-        md5(col("col")).as("h"),
-        (col("doc_id") * 100000L + col("pos")).as("key"))
-    val freq = occ.groupBy("h")
-      .agg(count(lit(1)).as("n_occ"), min("key").as("keeper_key"))
-    val kept = col("n_occ") === 1 || col("key") === col("keeper_key")
-    occ.join(freq, "h")
+        md5(col("col")).as("h"))
+    // Keeper = first (doc_id, pos) per hash via a windowed row_number —
+    // a tuple comparison that cannot alias (an integer doc*C+pos
+    // encoding silently collides once a doc exceeds C chunks), and both
+    // window functions share ONE shuffle on h, so the chunk explode runs
+    // exactly once (no freq-join back onto a recomputed lineage).
+    val kept = col("n_occ") === 1 || col("rn") === 1
+    occ
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_chunks"),
         sum(when(kept, 0L).otherwise(1L)).as("n_dup_chunks"),
@@ -1028,13 +1034,13 @@ object TrainData {
       |    array_to_string(list_slice(w, i * $ChunkK + 1, i * $ChunkK + $ChunkK), ' ') AS chunk
       |  FROM (SELECT doc_id, w,
       |          unnest(range(0, (len(w) - 1) // $ChunkK + 1)) AS i FROM w)),
-      |occ AS (SELECT doc_id, pos, chunk, md5(chunk) AS h,
-      |          doc_id * 100000 + pos AS key FROM ch),
-      |freq AS (SELECT h, COUNT(*) AS n_occ, MIN(key) AS keeper_key
-      |         FROM occ GROUP BY 1),
-      |j AS (SELECT o.doc_id, o.pos, o.chunk,
-      |        (f.n_occ = 1 OR o.key = f.keeper_key) AS kept
-      |      FROM occ o JOIN freq f USING (h))
+      |occ AS (SELECT doc_id, pos, chunk, md5(chunk) AS h FROM ch),
+      |f AS (SELECT doc_id, pos, chunk,
+      |        COUNT(*) OVER (PARTITION BY h) AS n_occ,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |      FROM occ),
+      |j AS (SELECT doc_id, pos, chunk,
+      |        (n_occ = 1 OR rn = 1) AS kept FROM f)
       |SELECT doc_id, COUNT(*) AS n_chunks,
       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
       |  string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept) AS kept_text
@@ -1130,8 +1136,12 @@ object TrainData {
   private def q63(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docsParallel(spark, dir)
+    // materialized once (localCheckpoint, GC-scoped — see q21): both the
+    // grand total and the top-K slice consume it, and without the cut
+    // the full corpus word-count shuffle would run twice.
     val counts = d.select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
     val total = counts.agg(sum("n_occ").cast("long").as("t"))
     val top = counts.orderBy(col("n_occ").desc, col("word")).limit(50)
     val w = Window.orderBy(col("n_occ").desc, col("word"))
@@ -1260,7 +1270,7 @@ object TrainData {
       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
       |    CASE WHEN a.doc_id IS NULL THEN 'added'
       |         WHEN b.doc_id IS NULL THEN 'removed'
-      |         WHEN sha256(a.text) != sha256(b.text) THEN 'modified'
+      |         WHEN sha256(a.text) IS DISTINCT FROM sha256(b.text) THEN 'modified'
       |         ELSE 'unchanged' END AS status
       |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
       |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
