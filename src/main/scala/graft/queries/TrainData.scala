@@ -1277,6 +1277,111 @@ object TrainData {
       |  MAX(doc_id) AS max_doc
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ── q66: quality-aware keeper selection — production near-dup policy:
+  // within each duplicate cluster keep the HIGHEST-QUALITY copy, not the
+  // smallest id (crawls re-collect the same page with varying cleanliness;
+  // min-id keeps whichever arrived first). Clusters come from the same
+  // LSH→components pipeline as q49; quality is an integer distinct-token
+  // ratio (×1000, integral division — no float boundary), keeper = first
+  // row of each cluster ordered (quality DESC, doc_id) — a unique total
+  // order, so both engines pick identically. Scale: adds one broadcast-
+  // sized window over cluster members to q49's shape — the expensive
+  // stages (signatures, banding, contraction) are unchanged. ──
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
+    val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
+      .filter(col("n_sig_match") >= 3)
+      .select("doc_a", "doc_b")
+    val qual = Tables.documents(spark, dir).select(col("doc_id"), expr(
+      "cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
+        " div cast(size(split(text, ' ')) as bigint)").as("quality"))
+    ConnectedComponents(pairs, "doc_a", "doc_b")
+      .join(qual, col("node") === col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("comp").orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("comp").as("cluster_min"), col("doc_id").as("keeper_doc"),
+        col("quality").as("keeper_quality"))
+      .orderBy("cluster_min")
+  }
+
+  private val q66Sql =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
+      |qual AS (
+      |  SELECT doc_id,
+      |    len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS quality
+      |  FROM documents)
+      |SELECT comp AS cluster_min, doc_id AS keeper_doc,
+      |  quality AS keeper_quality
+      |FROM (
+      |  SELECT c.comp, q.doc_id, q.quality,
+      |    ROW_NUMBER() OVER (PARTITION BY c.comp
+      |      ORDER BY q.quality DESC, q.doc_id) AS rn
+      |  FROM comps c JOIN qual q ON c.node = q.doc_id)
+      |WHERE rn = 1 ORDER BY cluster_min""".stripMargin
+
+  // ── q67: quality-conditioned sampling — the curation step after
+  // scoring: keep-rates depend on the quality tier (all of high, half of
+  // mid, 1/8 of low — expressed in 16ths because the hash key is one hex
+  // digit), applied with the same key-hashed determinism as q59 so the
+  // same rows survive on every run/engine/partitioning. The salt "q67:"
+  // decorrelates this filter's hash from q59's. Scale: stateless per-row
+  // scoring + filter fused into the scan; one tiny per-tier rollup. ──
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      expr("cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
+        " div cast(size(split(text, ' ')) as bigint)").as("quality"))
+      .withColumn("tier", when(col("quality") >= 600, "high")
+        .when(col("quality") >= 400, "mid").otherwise("low"))
+      .withColumn("rate_x16", when(col("tier") === "high", 16)
+        .when(col("tier") === "mid", 8).otherwise(2))
+      .withColumn("kept",
+        substring(md5(concat(lit("q67:"), col("doc_id").cast("string"))), 1, 1) <
+          when(col("tier") === "high", "g")
+            .when(col("tier") === "mid", "8").otherwise("2"))
+    scored.groupBy("tier", "rate_x16").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("tok_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("tier")
+  }
+
+  private val q67Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS quality
+      |  FROM documents),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN quality >= 600 THEN 'high'
+      |         WHEN quality >= 400 THEN 'mid' ELSE 'low' END AS tier,
+      |    CASE WHEN quality >= 600 THEN 16
+      |         WHEN quality >= 400 THEN 8 ELSE 2 END AS rate_x16,
+      |    substr(md5('q67:' || CAST(doc_id AS VARCHAR)), 1, 1) <
+      |      CASE WHEN quality >= 600 THEN 'g'
+      |           WHEN quality >= 400 THEN '8' ELSE '2' END AS kept
+      |  FROM f)
+      |SELECT tier, rate_x16, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+      |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+      |FROM t GROUP BY 1, 2 ORDER BY tier""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1305,5 +1410,7 @@ object TrainData {
     QueryDef("q62_shard_plan", q62, Some(q62Sql)),
     QueryDef("q63_vocab_coverage", q63, Some(q63Sql)),
     QueryDef("q64_semantic_decontam", q64, Some(q64Sql)),
-    QueryDef("q65_snapshot_diff", q65, Some(q65Sql)))
+    QueryDef("q65_snapshot_diff", q65, Some(q65Sql)),
+    QueryDef("q66_quality_keeper", q66, Some(q66Sql)),
+    QueryDef("q67_quality_sample", q67, Some(q67Sql)))
 }

@@ -161,6 +161,26 @@ object Streams {
       }
   }
 
+  /** Streaming decontamination filter — the online analog of the batch
+    * eval-overlap scrub (q57): each arriving doc is flagged if any of its
+    * distinct n-gram spans appears in the (static, tiny-by-construction)
+    * held-out gram set. The gram set broadcasts — benchmarks are MBs
+    * while the stream is unbounded — so the stream side never shuffles
+    * for the probe; the only state is the `dropDuplicatesWithinWatermark`
+    * on doc_id that collapses multi-gram hits to one verdict per doc,
+    * bounded by the watermark horizon.
+    *
+    * `evalGrams` must be a static single-column (`g`) DataFrame. */
+  def decontaminate(docs: DataFrame, evalGrams: DataFrame, n: Int = 8,
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(graft.functions.WordNgrams(col("text"), n))).as("g"))
+      .join(org.apache.spark.sql.functions.broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id", "ts")
+      .dropDuplicatesWithinWatermark("doc_id")
+
   /** Streaming upsert into a parquet layer via foreachBatch — the
     * streaming analog of the reference's cross-run ON CONFLICT bronze
     * load (bronze_loader.py:143-188), reusing the batch merge

@@ -124,6 +124,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminate flags stream docs overlapping the static eval gram set") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "one two three four five six seven eight nine ten"
+    val evalGrams = Seq(evalText).toDF("text")
+      .select(explode(graft.functions.WordNgrams(col("text"), 8)).as("g"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.decontaminate(in.toDF().toDF("doc_id", "ts", "text"), evalGrams)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      in.addData(
+        // shares the 8-gram span "two three … nine" → contaminated
+        (1L, ts("2024-01-01 10:00:00"), s"prefix $evalText suffix"),
+        // same words, shuffled order → no 8-gram overlap
+        (2L, ts("2024-01-01 10:01:00"), "ten one three two five four seven six nine eight"),
+        (3L, ts("2024-01-01 10:02:00"), "completely unrelated content here with many words present"))
+      q.processAllAvailable()
+      val flagged = spark.table("decon").collect().map(_.getLong(0)).toSeq
+      assert(flagged.sorted == Seq(1L), s"got ${flagged.toSeq}")
+      assert(flagged.distinct.length == flagged.length,
+        "multi-gram hits must collapse to one verdict per doc")
+    } finally q.stop()
+  }
+
   test("nearDupFilter flags docs sharing a band bucket against the keeper") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]

@@ -93,6 +93,29 @@ class TrainPipelineSpec extends SparkSpec {
     assert(got == expect.filter(_._2 > 0), s"got $got, want $expect")
   }
 
+  test("q66: one keeper per q49 cluster, never below the cluster minimum id") {
+    val clusters = SparkEntry.queries("q49_neardup_clusters")(spark, dir).collect()
+    val keepers = SparkEntry.queries("q66_quality_keeper")(spark, dir).collect()
+    assert(keepers.length == clusters.length,
+      "quality-keeper must emit exactly one row per near-dup cluster")
+    keepers.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1), "keeper outside its cluster id range")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000)
+    }
+  }
+
+  test("q67: rates bound the sample; the 16/16 tier keeps everything") {
+    val rows = SparkEntry.queries("q67_quality_sample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tier, rate, nTotal, nKept, tokTotal, tokKept) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nKept <= nTotal && tokKept <= tokTotal)
+      if (rate == 16) assert(nKept == nTotal && tokKept == tokTotal,
+        s"$tier: full-rate tier must keep all rows")
+    }
+  }
+
   test("q59: kept is a subset; 100%-rate sources keep everything") {
     val rows = SparkEntry.queries("q59_domain_mix")(spark, dir).collect()
     assert(rows.nonEmpty)
