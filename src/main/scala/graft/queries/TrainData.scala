@@ -1382,6 +1382,54 @@ object TrainData {
       |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
       |FROM t GROUP BY 1, 2 ORDER BY tier""".stripMargin
 
+  // ── q68: materialized sequence packing — the WRITE side of q58's
+  // layout stats: every token gets its global offset within the source
+  // shard (doc start offset from the running sum + position in doc), is
+  // assigned to sequence goff div cap, and each sequence is re-assembled
+  // in offset order — the actual fixed-length training shards a trainer
+  // reads. Integer-only assignment; reassembly sorts ≤ cap tokens per
+  // group. Scale: one window keyed by source (same as q58) + one
+  // explode + one groupBy(source, seq) shuffle — linear in token count,
+  // partitioned by output sequence, which is exactly the final writer's
+  // partitionBy key. ──
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("start_off",
+        sum(size(col("t")).cast("long")).over(w) - size(col("t")))
+    off.select(col("source"), col("doc_id"), col("start_off"),
+        posexplode(col("t")))
+      .withColumn("goff", col("start_off") + col("pos"))
+      .withColumn("seq_id", expr(s"goff div $SeqCap"))
+      .groupBy("source", "seq_id").agg(
+        count(lit(1)).as("n_tok"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        array_join(expr("transform(array_sort(collect_list(struct(goff, col))), x -> x.col)"),
+          " ").as("seq_text"))
+      .orderBy("source", "seq_id")
+  }
+
+  private val q68Sql =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+      |off AS (
+      |  SELECT source, doc_id, t,
+      |    CAST(SUM(len(t)) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - len(t) AS BIGINT) AS start_off
+      |  FROM toks),
+      |ex AS (
+      |  SELECT source, doc_id, start_off + unnest(range(0, len(t))) AS goff,
+      |    unnest(t) AS tok
+      |  FROM off)
+      |SELECT source, goff // $SeqCap AS seq_id, COUNT(*) AS n_tok,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  string_agg(tok, ' ' ORDER BY goff) AS seq_text
+      |FROM ex GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1412,5 +1460,6 @@ object TrainData {
     QueryDef("q64_semantic_decontam", q64, Some(q64Sql)),
     QueryDef("q65_snapshot_diff", q65, Some(q65Sql)),
     QueryDef("q66_quality_keeper", q66, Some(q66Sql)),
-    QueryDef("q67_quality_sample", q67, Some(q67Sql)))
+    QueryDef("q67_quality_sample", q67, Some(q67Sql)),
+    QueryDef("q68_packed_write", q68, Some(q68Sql)))
 }

@@ -116,6 +116,24 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q68: packed sequences are full except each source's last; text matches n_tok") {
+    val cap = 512L
+    val rows = SparkEntry.queries("q68_packed_write")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, seqs) =>
+      val sorted = seqs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong),
+        s"$src: sequence ids must be contiguous from 0")
+      sorted.init.foreach(r => assert(r.getLong(2) == cap,
+        s"$src seq ${r.getLong(1)}: interior sequence not full (${r.getLong(2)})"))
+      assert(sorted.last.getLong(2) <= cap)
+      sorted.foreach { r =>
+        assert(r.getString(5).split(" ").length.toLong == r.getLong(2),
+          "reassembled text token count disagrees with n_tok")
+      }
+    }
+  }
+
   test("q59: kept is a subset; 100%-rate sources keep everything") {
     val rows = SparkEntry.queries("q59_domain_mix")(spark, dir).collect()
     assert(rows.nonEmpty)
