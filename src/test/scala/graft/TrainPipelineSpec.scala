@@ -134,6 +134,16 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q58 predicts exactly the layout q68 materializes") {
+    val stats = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val packed = SparkEntry.queries("q68_packed_write")(spark, dir).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) => src -> (rows.map(_.getLong(2)).sum, rows.length.toLong) }
+    assert(packed == stats,
+      s"stats (total_tok, n_seqs) disagree with materialization: $stats vs $packed")
+  }
+
   test("q59: kept is a subset; 100%-rate sources keep everything") {
     val rows = SparkEntry.queries("q59_domain_mix")(spark, dir).collect()
     assert(rows.nonEmpty)
