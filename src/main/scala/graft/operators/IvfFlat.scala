@@ -62,7 +62,16 @@ object IvfFlat {
     * groupBy(cluster, dim) partial-aggregated sum — k×dim result rows
     * collected as the next model state (the Spark MLlib k-means shape:
     * broadcast centers out, treeAggregate sums back). An emptied cluster
-    * keeps its previous centroid rather than collapsing to zeros. */
+    * keeps its previous centroid rather than collapsing to zeros.
+    *
+    * The per-dimension accumulator is FIXED-POINT (1e-6 resolution,
+    * exact integer sum) rather than a double sum: float addition is
+    * non-associative, so a double accumulator makes the trained
+    * centroids depend on partition count and row arrival order — the
+    * same corpus would build a different index on a different cluster
+    * layout. Quantizing each contribution first costs ≤ 5e-7 per
+    * coordinate (three orders below float32 resolution near 1.0) and
+    * makes the model a pure function of the data. */
   def train(vecs: DataFrame, init: Seq[Array[Float]], iters: Int,
             vecCol: String = "embedding"): Seq[Array[Float]] = {
     require(iters >= 0, s"ivf_flat: iters=$iters must be >= 0")
@@ -72,14 +81,15 @@ object IvfFlat {
       val sums = assign(vecs, cents, vecCol)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy("cluster", "__pos")
-        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+        .agg(sum(round(col("__x") * 1e6).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, i) =>
         byCluster.get(i + 1).map { rows =>
           val next = new Array[Float](old.length)
           rows.foreach(r =>
-            next(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            next(r.getInt(1)) = ((r.getLong(2) / 1e6) / r.getLong(3)).toFloat)
           next
         }.getOrElse(old)
       }

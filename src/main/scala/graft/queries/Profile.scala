@@ -241,6 +241,44 @@ object Profile {
       |    / COUNT(DISTINCT o_custkey) < 0.05 AS within_tol
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ── q71: mergeable distinct sketches (Apache DataSketches HLL) — the
+  // shard-then-union shape q38's monolithic HLL++ can't express: at
+  // 100 TB every shard (here: a hash bucket of event_id; in production a
+  // file, partition or day) sketches its own users in one pass, the
+  // per-shard sketches union per key (associative, a few KB each), and
+  // the estimate reads off the merged state — re-sketching nothing when
+  // a new shard lands. Like q38, the sketch estimate is engine-specific,
+  // so the gated columns are the exact count plus each engine's own
+  // within-5% tolerance boolean (lgConfigK=14 ≈ 0.8 % 1σ, so the gate
+  // sits far outside honest sketch drift). ──
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // stage 1: one sketch per (event_type, shard) — the per-file pass
+    val perShard = ev.withColumn("shard", pmod(col("event_id"), lit(8)))
+      .groupBy("event_type", "shard")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        count(lit(1)).as("n_ev"))
+    // stage 2: union the shard sketches per key, estimate from the merge
+    val merged = perShard.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("__approx"),
+        sum("n_ev").as("n_events"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("__approx") - col("exact_users")) / col("exact_users") < 0.05)
+          .as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  private val q71Sql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+      |    / COUNT(DISTINCT user_id) < 0.05 AS within_tol
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ── q42: pivot — status columns per order-year (wide reshape); exact
   // integer-cents sums surfaced as doubles. Oracle via conditional
   // aggregation, the relational equivalent. ──
@@ -323,6 +361,7 @@ object Profile {
     QueryDef("q36_multimodal_stats", q36, Some(q36Sql)),
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
     QueryDef("q38_approx_distinct", q38, Some(q38Sql)),
+    QueryDef("q71_hll_shard_union", q71, Some(q71Sql)),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),
     QueryDef("q46_csv_count", q46, Some(q46Sql)))

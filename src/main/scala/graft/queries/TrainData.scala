@@ -207,7 +207,10 @@ object TrainData {
   private[graft] def pruneToCandidates(d: DataFrame, candDocs: DataFrame): DataFrame =
     d.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
 
-  private def q23(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared exact shingle-overlap core (q23 Jaccard, q72 containment):
+    * LSH-bounded candidate pairs + exact per-pair |A∩B| and set sizes —
+    * (doc_a, doc_b, n_inter, n_a, n_b). */
+  private def shingleOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     // localCheckpoint, not persist: GC-scoped blocks, no CacheManager
     // leak across queries (see q21).
@@ -242,15 +245,12 @@ object TrainData {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sg", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sg", "n_b"), "doc_b")
-      .withColumn("jaccard", col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") > 0.1)
-      .select("doc_a", "doc_b", "n_inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
-      .limit(200)
   }
 
-  private val q23Sql =
-    s"""WITH $lshCandidateCtes,
+  /** Oracle CTEs matching [[shingleOverlap]]: `inter(doc_a, doc_b,
+    * n_inter)` + `sizes(doc_id, n_sg)` over the LSH candidates. */
+  private val shingleOverlapCtes =
+    s"""$lshCandidateCtes,
       |sizes AS (SELECT doc_id, len(sg) AS n_sg FROM sh),
       |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
       |inter AS (
@@ -258,7 +258,18 @@ object TrainData {
       |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) c
       |  JOIN ex x ON x.doc_id = c.doc_a
       |  JOIN ex y ON y.doc_id = c.doc_b AND y.s = x.s
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def q23(spark: SparkSession, dir: String): DataFrame =
+    shingleOverlap(spark, dir)
+      .withColumn("jaccard", col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") > 0.1)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+      .limit(200)
+
+  private val q23Sql =
+    s"""WITH $shingleOverlapCtes
       |SELECT i.doc_a, i.doc_b, i.n_inter,
       |  i.n_inter / CAST(a.n_sg + b.n_sg - i.n_inter AS DOUBLE) AS jaccard
       |FROM inter i
@@ -1430,6 +1441,180 @@ object TrainData {
       |  string_agg(tok, ' ' ORDER BY goff) AS seq_text
       |FROM ex GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
 
+  // ── q69: k-means refinement of the IVF coarse quantizer — the training
+  // step q54 points at: 2 Lloyd iterations ([[IvfFlat.train]]) from the
+  // same deterministic seeds, then a final assignment pass; output is the
+  // per-cluster census (members, id range, fixed-point cosine mass) that
+  // an index build would persist next to the centroids. Determinism
+  // across engines AND partitionings comes from train()'s fixed-point
+  // centroid accumulation (see IvfFlat.scala) and from argmax ties →
+  // lowest centroid id. Scale: per iteration one zero-shuffle assignment
+  // + one k×dim partial-aggregated rollup (model state to the driver,
+  // MLlib k-means shape) — the corpus is scanned iters+1 times, never
+  // shuffled. ──
+  private val KmK = 4
+  private val KmIters = 2
+
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // K seed rows collected as model state (same as q54) — not data movement
+    val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
+    val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = IvfFlat.train(corpus, init, iters = KmIters)
+    // cosine to the assigned centroid = the max over all centroids (that
+    // is what argmax assignment means), so no second model pass is needed
+    val cosBest = greatest(cents.map(c => cosine(col("embedding"), typedLit(c))): _*)
+    IvfFlat.assign(corpus, cents)
+      .withColumn("cos", cosBest)
+      .groupBy("cluster").agg(
+        count(lit(1)).as("n_members"),
+        min("vec_id").as("min_vec"),
+        max("vec_id").as("max_vec"),
+        // fixed-point so the sum is exact and order-independent
+        sum(round(col("cos") * 1e6).cast("long")).as("cos_sum_e6"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB cosine over two fully-qualified list refs (the `$a.embedding`
+    * form in [[cosineSql]] generalized to arbitrary expressions). */
+  private def cosExprSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+      |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(range(1, len($a) + 1),
+      |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(range(1, len($b) + 1),
+      |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')))""".stripMargin
+
+  /** One Lloyd assignment over centroid CTE `cents(cid, cv)`: argmax
+    * cosine, ties → lowest cid — mirrors [[IvfFlat.assign]]'s
+    * `array_position(…, greatest(…))`. */
+  private def kmAssignSql(cents: String): String =
+    s"""SELECT vec_id, embedding, cid, cos FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      ${cosExprSql("e.embedding", "c.cv")} AS cos
+      |    FROM embeddings e CROSS JOIN $cents c)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cid) = 1""".stripMargin
+
+  /** One Lloyd update from assignment CTE `asg`: per-(cluster, dim)
+    * fixed-point mean, emptied clusters keep `prev`'s centroid — mirrors
+    * [[IvfFlat.train]]'s accumulate step exactly. */
+  private def kmUpdateSql(asg: String, prev: String): String =
+    s"""SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      |  FROM $prev p LEFT JOIN (
+      |    SELECT cid, list(CAST((s / 1e6) / n AS FLOAT) ORDER BY pos) AS cv
+      |    FROM (
+      |      -- 1e6 (DOUBLE literal), not 1000000.0: DuckDB demotes a
+      |      -- DECIMAL literal next to FLOAT to FLOAT arithmetic, which
+      |      -- rounds differently from Spark's double math
+      |      SELECT cid, z[2] AS pos,
+      |        SUM(CAST(round(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)) AS s, COUNT(*) AS n
+      |      FROM (SELECT cid,
+      |              unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+      |            FROM $asg)
+      |      GROUP BY 1, 2)
+      |    GROUP BY cid) n ON p.cid = n.cid""".stripMargin
+
+  private val q69Sql =
+    s"""WITH c0 AS (
+      |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
+      |  FROM embeddings WHERE vec_id < $KmK),
+      |a1 AS (
+      |  ${kmAssignSql("c0")}),
+      |c1 AS (
+      |  ${kmUpdateSql("a1", "c0")}),
+      |a2 AS (
+      |  ${kmAssignSql("c1")}),
+      |c2 AS (
+      |  ${kmUpdateSql("a2", "c1")}),
+      |a3 AS (
+      |  ${kmAssignSql("c2")})
+      |SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n_members,
+      |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+      |  CAST(SUM(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT) AS cos_sum_e6
+      |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin
+
+  // ── q70: int8 scalar quantization — the storage path for embeddings at
+  // 100 TB (4 bytes → 1 byte/dim): per-vector symmetric scale
+  // maxabs/127, per-vector relative reconstruction error
+  // ‖v − dequant(quant(v))‖/‖v‖, rolled up per label. All per-row math is
+  // left-to-right double folds (bit-identical in both engines); the
+  // cross-row rollup carries the error as an exact fixed-point integer so
+  // partitioning/row order can't move the sum. Scale: stateless map +
+  // one partial-aggregated groupBy — fused into the scan. ──
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    val diff = "cast(x as double) - round(cast(x as double) / scale) * scale"
+    embParallel(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0")
+          .as("scale"))
+      .withColumn("rel_err",
+        when(col("scale") === 0d, lit(0d)).otherwise(
+          sqrt(expr(s"aggregate(embedding, cast(0 as double), (acc, x) -> acc + ($diff) * ($diff))")) /
+            sqrt(expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"))))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("rel_err") * 1e9).cast("long")).as("err_e9_sum"),
+        max("rel_err").as("max_err"))
+      .orderBy("label")
+  }
+
+  private val q70Sql = {
+    val diff = "CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale"
+    s"""WITH scaled AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_aggregate(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+      |  FROM embeddings),
+      |err AS (
+      |  SELECT label,
+      |    CASE WHEN scale = 0 THEN 0.0 ELSE
+      |      sqrt(list_aggregate(list_transform(embedding,
+      |        x -> ($diff) * ($diff)), 'sum'))
+      |      / sqrt(list_aggregate(list_transform(embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |    END AS rel_err
+      |  FROM scaled)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(round(rel_err * 1e9) AS BIGINT)) AS BIGINT)
+      |    AS err_e9_sum,
+      |  MAX(rel_err) AS max_err
+      |FROM err GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
+  // ── q72: asymmetric containment dedup — the quote/expansion duplicate
+  // class Jaccard misses: a short doc embedded verbatim in a longer one
+  // has tiny |A∩B|/|A∪B| but containment |A∩B|/min(|A|,|B|) ≈ 1. Same
+  // LSH-bounded candidate set and exact shingle intersection as q23 —
+  // only the final ratio and threshold differ, so the 100 TB shape
+  // (capped banded candidates, pruned corpus, two hash joins) is
+  // identical. contained_doc names the smaller-set side (ties → doc_a,
+  // the production "drop the fragment" policy). ──
+  private val ContainMin = 0.5
+
+  private def q72(spark: SparkSession, dir: String): DataFrame =
+    shingleOverlap(spark, dir)
+      .withColumn("containment", col("n_inter") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= ContainMin)
+      .withColumn("contained_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "contained_doc", "n_inter", "containment")
+      .orderBy("doc_a", "doc_b")
+      .limit(200)
+
+  private val q72Sql =
+    s"""WITH $shingleOverlapCtes
+      |SELECT i.doc_a, i.doc_b,
+      |  CASE WHEN a.n_sg <= b.n_sg THEN i.doc_a ELSE i.doc_b END AS contained_doc,
+      |  i.n_inter,
+      |  i.n_inter / CAST(least(a.n_sg, b.n_sg) AS DOUBLE) AS containment
+      |FROM inter i
+      |JOIN sizes a ON i.doc_a = a.doc_id
+      |JOIN sizes b ON i.doc_b = b.doc_id
+      |WHERE i.n_inter / CAST(least(a.n_sg, b.n_sg) AS DOUBLE) >= $ContainMin
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1461,5 +1646,8 @@ object TrainData {
     QueryDef("q65_snapshot_diff", q65, Some(q65Sql)),
     QueryDef("q66_quality_keeper", q66, Some(q66Sql)),
     QueryDef("q67_quality_sample", q67, Some(q67Sql)),
-    QueryDef("q68_packed_write", q68, Some(q68Sql)))
+    QueryDef("q68_packed_write", q68, Some(q68Sql)),
+    QueryDef("q69_kmeans_train", q69, Some(q69Sql)),
+    QueryDef("q70_embedding_quantize", q70, Some(q70Sql)),
+    QueryDef("q72_containment_dedup", q72, Some(q72Sql)))
 }

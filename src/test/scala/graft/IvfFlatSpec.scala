@@ -130,6 +130,18 @@ class IvfFlatSpec extends SparkSpec {
     assert(byGroup.values.flatten.toSet.size == 3, s"merged groups: $byGroup")
   }
 
+  test("train is a pure function of the data — identical centroids under any partitioning") {
+    val pts = planted(perCluster = 20, jitter = 0.3f, seed = 17)
+    val df = pts.map(p => (p._1, p._3)).toDF("vec_id", "embedding")
+    val init = Seq(pts(0)._3, pts(20)._3, pts(40)._3)
+    // double accumulation would make these differ (non-associative float
+    // adds meet different partition/row orders); fixed-point must not
+    val a = IvfFlat.train(df.repartition(2), init, iters = 3)
+    val b = IvfFlat.train(df.repartition(13), init, iters = 3)
+    assert(a.map(_.toSeq) == b.map(_.toSeq),
+      "trained centroids depend on the partition layout")
+  }
+
   test("train keeps an emptied cluster's previous centroid verbatim") {
     val pts = planted(perCluster = 10, jitter = 0.1f, seed = 13).filter(_._2 < 2)
     val df = pts.map(p => (p._1, p._3)).toDF("vec_id", "embedding")

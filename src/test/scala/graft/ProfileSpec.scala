@@ -21,4 +21,21 @@ class ProfileSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == exact.keySet)
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
+
+  test("q71: shard-unioned sketch estimate lands within tolerance of exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q71_hll_shard_union")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("c"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (users, events) = exact(r.getString(0))
+      assert(r.getLong(1) == users && r.getLong(2) == events)
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: merged-sketch estimate drifted past 5% of $users")
+    }
+  }
 }

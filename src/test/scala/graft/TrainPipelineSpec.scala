@@ -154,4 +154,47 @@ class TrainPipelineSpec extends SparkSpec {
         s"${r.getString(0)}: 100% mixture rate must keep all rows")
     }
   }
+
+  test("q69: clusters partition the corpus; cosine mass bounded by membership") {
+    val rows = SparkEntry.queries("q69_kmeans_train")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpusN,
+      "every vector must land in exactly one cluster")
+    rows.foreach { r =>
+      val (n, cosSumE6) = (r.getLong(1), r.getLong(4))
+      // member→assigned-centroid cosine ∈ (-1, 1]
+      assert(cosSumE6 <= n * 1000000L && cosSumE6 >= -n * 1000000L,
+        s"cluster ${r.getInt(0)}: cosine mass $cosSumE6 out of range for $n members")
+    }
+  }
+
+  test("q70: per-label counts cover the corpus; errors are small and bounded") {
+    val rows = SparkEntry.queries("q70_embedding_quantize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpusN)
+    rows.foreach { r =>
+      val (n, errSumE9, maxErr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // int8 symmetric quantization: per-coordinate error ≤ scale/2 →
+      // relative error well under 1; sum consistent with the max
+      assert(maxErr >= 0 && maxErr < 1, s"label ${r.getInt(0)}: max_err $maxErr")
+      assert(errSumE9 >= 0 && errSumE9 <= Math.round(n * maxErr * 1e9) + n,
+        s"label ${r.getInt(0)}: err sum $errSumE9 inconsistent with max $maxErr")
+    }
+  }
+
+  test("q72: containment dominates Jaccard on the same pair set") {
+    val contain = SparkEntry.queries("q72_containment_dedup")(spark, dir).collect()
+    val jac = SparkEntry.queries("q23_ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(contain.nonEmpty, "fixture corpus has verbatim-overlap docs; q72 must find them")
+    contain.foreach { r =>
+      val (a, b, cd, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(c >= 0.5 && c <= 1.0, s"($a,$b): containment $c out of range")
+      assert(cd == a || cd == b, s"($a,$b): contained_doc $cd is neither side")
+      // |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B| always
+      jac.get((a, b)).foreach(j => assert(c >= j, s"($a,$b): containment $c < jaccard $j"))
+    }
+  }
 }
