@@ -95,6 +95,29 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning"), s.take(1200))
   }
 
+  test("q69/q70/q72: index-build pipelines never nested-loop or cartesian") {
+    Seq("q69_kmeans_train", "q70_embedding_quantize", "q72_containment_dedup")
+      .foreach { name =>
+        val s = planString(q(name))
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$name:\n${s.take(800)}")
+      }
+  }
+
+  test("q70: quantization is a pure map — no join, no window, one aggregate pair") {
+    // the scan → project → partial agg → final agg shape; any join or
+    // window here would mean the per-vector math stopped being row-local
+    val s = planString(q("q70_embedding_quantize"))
+    assert(!s.contains("Join") && !s.contains("Window"), s.take(800))
+  }
+
+  test("q71: sketch merge keeps two partial-agg levels, no extra shuffle") {
+    val s = planString(q("q71_hll_shard_union"))
+    assert(s.contains("HashAggregate"), s.take(800))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(800))
+  }
+
   test("q10: latest-per-key plans bounded WindowGroupLimits, not full windows") {
     // Spark ≥3.5 infers a group-limit from the rank predicate and runs it
     // in partial mode BEFORE the shuffle — each map task forwards ≤ k rows
