@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *   small-star: edges oriented big→small; every node links its smaller
   *   neighbors and itself to the minimum — stars flatten to depth 1.
   *
-  * Convergence is checked per round with a count of changed edges (an
-  * O(rounds) sequence of actions, standard for iterative DataFrame
-  * algorithms); `maxIter` bounds the worst case.
+  * Convergence is the star-forest test: the alternation's fixpoints are
+  * exactly depth-1 forests (every edge child→root, roots = component
+  * minima — Kiveris et al. §3), so "no node appears as both parent and
+  * child" detects the fixpoint ON the round the stars form — one round
+  * earlier than comparing successive edge sets for stability, which can
+  * only notice a fixpoint by re-running a full (unchanged) round.
+  * `maxIter` bounds the worst case.
   */
 object ConnectedComponents {
 
@@ -51,19 +55,15 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    // Cheap order-independent multiset signature: rounds that actually
-    // changed the edge set almost surely change it, so the expensive
-    // exact exceptAll comparison only ever runs on the final (converged)
-    // round — the signature alone never declares convergence.
-    def signature(df: DataFrame) = df
-      .agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), // no ANSI overflow
-        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)")))
-      .collect()(0)
+    /** Fixpoint ⟺ star forest: with edges oriented u(child) > v(root), a
+      * depth-1 forest has no node on both sides. One early-exit semi-join
+      * probe over the just-checkpointed round output. */
+    def isStarForest(df: DataFrame): Boolean =
+      df.select("u").join(df.select(col("v").as("u")), Seq("u"), "left_semi")
+        .isEmpty
 
     var iter = 0
-    var converged = false
-    var eSig = signature(e)
+    var converged = isStarForest(e)
     while (iter < maxIter && !converged) {
       // ── large-star: symmetrize; m(u) = min(N(u) ∪ {u}); for every
       // neighbor v > u emit (v, m). ──
@@ -91,15 +91,13 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // both sides are distinct sets: equal counts (from the signature)
-      // + empty one-sided difference ⟹ equal sets
-      val ssSig = signature(ss)
-      converged = ssSig == eSig && ss.exceptAll(e).isEmpty
+      converged = isStarForest(ss)
       e = ss
-      eSig = ssSig
       iter += 1
-      log.info(s"connected-components round $iter: ${ssSig.getLong(0)} edges" +
-        (if (converged) " (converged)" else ""))
+      // edge-count telemetry costs a job — only pay it when INFO is on
+      if (log.isInfoEnabled)
+        log.info(s"connected-components round $iter: ${ss.count()} edges" +
+          (if (converged) " (converged)" else ""))
     }
     // a silently-unconverged result would mislabel components downstream
     // (dedup would keep multiple "keepers" per true group) — fail loudly.
