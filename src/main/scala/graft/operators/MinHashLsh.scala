@@ -82,4 +82,32 @@ object MinHashLsh {
         score.as("n_sig_match"))
       .distinct()
   }
+
+  /** Cross-set candidates — the incremental-index path: each PROBE
+    * signature (a new crawl batch) keys into the INDEX's banded buckets
+    * (the signatures already stored for the existing corpus), yielding
+    * `(probe_id, index_id, n_sig_match)` without ever re-pairing
+    * index-vs-index. The size cap applies to INDEX buckets only
+    * (an oversized index bucket is boilerplate; capping the probe side
+    * would silently drop the very batch being screened — same policy as
+    * [[AnnLsh.candidatesAcross]]); per-probe fan-out is then bounded by
+    * bands × maxBucket. Id spaces must be disjoint. */
+  def candidatesAcross(probeSigs: DataFrame, indexSigs: DataFrame,
+                       idCol: String = "doc_id", maxBucket: Int = 64): DataFrame = {
+    val pb = banded(probeSigs, idCol)
+    val ib = banded(indexSigs, idCol)
+    val small = ib.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bk")
+    def side(df: DataFrame, p: String) = df.select(
+      Seq(col("band"), col("bk"), col(idCol).as(s"${p}_id")) ++
+        (1 to 4).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
+    val score = (1 to 4)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    side(pb, "a").join(side(ib.join(small, Seq("band", "bk")), "b"), Seq("band", "bk"))
+      .select(col("a_id").as("probe_id"), col("b_id").as("index_id"),
+        score.as("n_sig_match"))
+      .distinct()
+  }
 }

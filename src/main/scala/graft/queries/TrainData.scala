@@ -1615,6 +1615,78 @@ object TrainData {
       |WHERE i.n_inter / CAST(least(a.n_sg, b.n_sg) AS DOUBLE) >= $ContainMin
       |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
 
+  // ── q73: incremental LSH index update — the daily-crawl path: a new
+  // batch (doc_id ≡ 0 mod 4 stands in for today's crawl) is screened
+  // against the EXISTING corpus's stored signatures without ever
+  // re-pairing old-vs-old: new signatures probe the index's banded
+  // buckets (new-old) plus one capped self-join within the batch
+  // (new-new). At 100 TB this is the difference between re-LSHing the
+  // whole corpus per day and touching |batch| + the collided index
+  // slice; per-probe fan-out is bounded by bands × the index bucket cap.
+  // In production idxSigs is a stored table — here it is derived so the
+  // oracle can rebuild it. ──
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsParallel(spark, dir)
+    val newSigs = MinHashLsh.signatures(d.filter(col("doc_id") % 4 === 0))
+      .localCheckpoint()
+    val idxSigs = MinHashLsh.signatures(d.filter(col("doc_id") % 4 =!= 0))
+    val acrossPairs = MinHashLsh
+      .candidatesAcross(newSigs, idxSigs, maxBucket = LshMaxBucket)
+      .select(col("probe_id").as("doc_a"), col("index_id").as("doc_b"),
+        col("n_sig_match"), lit("new-old").as("pair_kind"))
+    val withinBatch = MinHashLsh.candidates(newSigs, maxBucket = LshMaxBucket)
+      .withColumn("pair_kind", lit("new-new"))
+    acrossPairs.unionByName(withinBatch)
+      .orderBy("pair_kind", "doc_a", "doc_b")
+      .limit(300)
+  }
+
+  /** Banded-signature CTEs over the `documents` slice matching `pred` —
+    * the per-side building block of q73's split-corpus oracle. */
+  private def lshBandedSql(name: String, pred: String): String =
+    s"""${name}_sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE $pred)),
+      |${name}_sigs AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 1, 8)), 'min') AS mh1,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 9, 8)), 'min') AS mh2,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 17, 8)), 'min') AS mh3,
+      |    list_aggregate(list_transform(sg, s -> substr(md5(s), 25, 8)), 'min') AS mh4
+      |  FROM ${name}_sh WHERE len(sg) > 0),
+      |${name}_banded AS (
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 || mh2 AS bk FROM ${name}_sigs
+      |  UNION ALL
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 || mh4 AS bk FROM ${name}_sigs)""".stripMargin
+
+  private val lshMatchSql =
+    """(CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+      |     + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END)""".stripMargin
+
+  private val q73Sql =
+    s"""WITH ${lshBandedSql("nw", "doc_id % 4 = 0")},
+      |${lshBandedSql("ix", "doc_id % 4 != 0")},
+      |ix_kept AS (
+      |  SELECT * FROM ix_banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |nw_kept AS (
+      |  SELECT * FROM nw_banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |across AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    $lshMatchSql AS n_sig_match, 'new-old' AS pair_kind
+      |  FROM nw_banded a JOIN ix_kept b ON a.band = b.band AND a.bk = b.bk),
+      |within AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    $lshMatchSql AS n_sig_match, 'new-new' AS pair_kind
+      |  FROM nw_kept a JOIN nw_kept b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      |SELECT * FROM (SELECT * FROM across UNION ALL SELECT * FROM within)
+      |ORDER BY pair_kind, doc_a, doc_b LIMIT 300""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1649,5 +1721,6 @@ object TrainData {
     QueryDef("q68_packed_write", q68, Some(q68Sql)),
     QueryDef("q69_kmeans_train", q69, Some(q69Sql)),
     QueryDef("q70_embedding_quantize", q70, Some(q70Sql)),
-    QueryDef("q72_containment_dedup", q72, Some(q72Sql)))
+    QueryDef("q72_containment_dedup", q72, Some(q72Sql)),
+    QueryDef("q73_incremental_lsh", q73, Some(q73Sql)))
 }

@@ -45,6 +45,41 @@ class MinHashLshSpec extends SparkSpec {
     assert(cand == Set((1L, 2L, 2), (1L, 3L, 2)))
   }
 
+  test("candidatesAcross = full candidates restricted to cross pairs (uncapped)") {
+    // split a corpus: even ids are the "new batch", odd the stored index;
+    // with no cap interference, probing the index must find exactly the
+    // cross-set slice of what a full re-pair would
+    val rows = (0L until 30L).map { i =>
+      val bucket = i % 5 // 6 docs per band-1 bucket → cross + within pairs
+      (i, f"aa$bucket%06d", f"bb$bucket%06d", f"u$i%07d", f"v$i%07d")
+    }
+    val all = sigsDf(rows)
+    val newS = all.filter($"doc_id" % 2 === 0)
+    val idxS = all.filter($"doc_id" % 2 =!= 0)
+    val across = MinHashLsh.candidatesAcross(newS, idxS, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = MinHashLsh.candidates(all, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      // reorient (doc_a < doc_b) → (probe=even, index=odd)
+      .map { case (a, b, s) => if (a % 2 == 0) (a, b, s) else (b, a, s) }.toSet
+    assert(across == full, s"across=$across full=$full")
+    assert(across.nonEmpty)
+  }
+
+  test("candidatesAcross caps index buckets only — the probe batch is never dropped") {
+    // one index bucket over the cap, one under; every probe shares both
+    val idx = (0L until 20L).map(i => (100L + i, "hothothh", "bucketaa", f"u$i%07d", f"v$i%07d")) ++
+      (0L until 3L).map(i => (200L + i, "coolcool", "bucketbb", f"w$i%07d", f"x$i%07d"))
+    val probe = Seq(
+      (1L, "hothothh", "bucketaa", "cccccccc", "dddddddd"), // hot bucket → dropped
+      (2L, "coolcool", "bucketbb", "eeeeeeee", "ffffffff")) // cool bucket → kept
+    val got = MinHashLsh.candidatesAcross(sigsDf(probe), sigsDf(idx), maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 200L), (2L, 201L), (2L, 202L)),
+      s"hot-bucket probe must yield nothing, cool-bucket probe everything: $got")
+  }
+
   test("signatures skip empty and single-token docs without crashing") {
     val docs = Seq(
       (1L, "one"),                 // single token → sequence guard path

@@ -184,6 +184,22 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q73: pair kinds respect the batch split; scores in band range") {
+    val rows = SparkEntry.queries("q73_incremental_lsh")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, s, kind) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
+      assert(s >= 2 && s <= 4, s"($a,$b): score $s outside band agreement range")
+      kind match {
+        case "new-old" => assert(a % 4 == 0 && b % 4 != 0,
+          s"($a,$b): new-old pair must be (batch, index)")
+        case "new-new" => assert(a % 4 == 0 && b % 4 == 0 && a < b,
+          s"($a,$b): new-new pair must be ordered within the batch")
+        case k => fail(s"unexpected pair_kind $k")
+      }
+    }
+  }
+
   test("q72: containment dominates Jaccard on the same pair set") {
     val contain = SparkEntry.queries("q72_containment_dedup")(spark, dir).collect()
     val jac = SparkEntry.queries("q23_ngram_jaccard")(spark, dir).collect()
