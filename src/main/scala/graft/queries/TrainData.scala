@@ -1687,6 +1687,43 @@ object TrainData {
       |SELECT * FROM (SELECT * FROM across UNION ALL SELECT * FROM within)
       |ORDER BY pair_kind, doc_a, doc_b LIMIT 300""".stripMargin
 
+  // ── q74: deterministic corpus shuffle — the training-order write: a
+  // global ORDER BY rand() is a full sort of the corpus AND
+  // irreproducible; ordering by a salted per-doc hash gives the same
+  // statistical decorrelation as a one-time random permutation while
+  // being a pure function of the data. Physically: hash → shard prefix
+  // (the writer's partitionBy key) + WITHIN-shard hash order, so the
+  // "shuffle" is one hash partitioning plus per-shard local sorts —
+  // no global exchange. Gated output: per-shard census + the first
+  // three docs in shuffle order (proving the order itself, not just
+  // the assignment). Salt "q74:" decorrelates from q45/q59/q62/q67. ──
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("q74:"), col("doc_id").cast("string")))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("hh"), substring(h, 1, 1).as("shard"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard").orderBy(col("hh"), col("doc_id"))))
+    ranked.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN rn <= 3 THEN struct(rn, cast(doc_id AS string) AS d) END" +
+          ")), x -> x.d)"), ",").as("head_docs"))
+      .orderBy("shard")
+  }
+
+  private val q74Sql =
+    """WITH r AS (
+      |  SELECT doc_id, substr(hh, 1, 1) AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(hh, 1, 1)
+      |      ORDER BY hh, doc_id) AS rn
+      |  FROM (SELECT doc_id, md5('q74:' || CAST(doc_id AS VARCHAR)) AS hh
+      |        FROM documents))
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END,
+      |    ',' ORDER BY rn) AS head_docs
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1722,5 +1759,6 @@ object TrainData {
     QueryDef("q69_kmeans_train", q69, Some(q69Sql)),
     QueryDef("q70_embedding_quantize", q70, Some(q70Sql)),
     QueryDef("q72_containment_dedup", q72, Some(q72Sql)),
-    QueryDef("q73_incremental_lsh", q73, Some(q73Sql)))
+    QueryDef("q73_incremental_lsh", q73, Some(q73Sql)),
+    QueryDef("q74_corpus_shuffle", q74, Some(q74Sql)))
 }

@@ -25,6 +25,24 @@ object Landing {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Columnar interchange beyond parquet: ORC sink/source with the same
+    * explicit-schema discipline (never inference on read). ORC is the
+    * second first-class columnar format a lake consumer hands us; both
+    * carry the identical predicate-pushdown / column-pruning contract at
+    * scan time, so every query in this engine runs unchanged on either. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** JSONL sink — the landed-file format [[readRawJson]] consumes; a
+    * re-crawl simulator and the export format for row-oriented
+    * downstream consumers. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S8 — ordered DDL executor: run every .sql file under `dir` in
     * filename order (model_executor.py:32-137; ordering by name at :80).
     * Statements are split on ';' at line ends, comments dropped. */

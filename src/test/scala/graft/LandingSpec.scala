@@ -30,6 +30,30 @@ class LandingSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v") && back.count() == 2)
   }
 
+  test("ORC round-trips schema-pinned; pushdown predicates survive the format") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5))
+      .toDF("k", "v", "x")
+    Landing.writeOrc(df, dir)
+    val back = Landing.readOrc(spark, dir, df.schema)
+    // file scans surface every column nullable; names + types must pin
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 3)
+    // the same pushdown contract as parquet: the filter reaches the scan
+    val plan = back.filter($"k" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,1"), plan)
+  }
+
+  test("JSONL sink writes what readRawJson-style schema-pinned reads consume") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    Landing.writeJsonl(df, dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    assert(back.count() == 2)
+    assert(back.filter($"v".isNull).select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("applyModels runs .sql files in filename order") {
     val dir = Files.createTempDirectory("graft-ddl").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "02_second.sql"),

@@ -200,6 +200,19 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q74: shards cover the corpus; heads are within-shard and ≤ 3") {
+    val rows = SparkEntry.queries("q74_corpus_shuffle")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val corpusN = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpusN)
+    rows.foreach { r =>
+      val heads = r.getString(2).split(",")
+      assert(heads.nonEmpty && heads.length <= 3)
+      assert(heads.length == math.min(3L, r.getLong(1)),
+        s"shard ${r.getString(0)}: head sample shorter than the shard")
+    }
+  }
+
   test("q72: containment dominates Jaccard on the same pair set") {
     val contain = SparkEntry.queries("q72_containment_dedup")(spark, dir).collect()
     val jac = SparkEntry.queries("q23_ngram_jaccard")(spark, dir).collect()
