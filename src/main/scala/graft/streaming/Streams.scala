@@ -95,6 +95,30 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream interval join — attribution: each `actions` row (e.g.
+    * a purchase) matches `triggers` rows (e.g. clicks) by key within
+    * `[action.ts − horizon, action.ts]`. Both sides carry watermarks and
+    * the join condition time-bounds BOTH event times, so Spark derives
+    * finite state-retention for each side (unbounded join state is the
+    * stream–stream scale killer); matches shard on the key shuffle.
+    * Inner join: unattributed actions are a separate anti-path. */
+  def correlate(triggers: DataFrame, actions: DataFrame, key: String,
+                horizon: String = "1 hour",
+                watermarkDelay: String = "10 minutes"): DataFrame = {
+    val t = triggers.withWatermark("ts", watermarkDelay)
+      .select(col(key).as("__k"), col("ts").as("trigger_ts"),
+        col("event_id").as("trigger_id"))
+    val a = actions.withWatermark("ts", watermarkDelay)
+      .select(col(key).as("__k2"), col("ts").as("action_ts"),
+        col("event_id").as("action_id"), col("value"))
+    t.join(a, expr(
+      s"""__k = __k2 AND
+         |trigger_ts <= action_ts AND
+         |trigger_ts >= action_ts - INTERVAL $horizon""".stripMargin))
+      .select(col("__k").as(key), col("trigger_id"), col("action_id"),
+        col("trigger_ts"), col("action_ts"), col("value"))
+  }
+
   /** Stream–static enrichment: join the unbounded stream against a static
     * dimension (the bronze→dim lookup shape). The static side broadcasts
     * per micro-batch; no state is kept. */

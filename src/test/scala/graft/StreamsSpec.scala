@@ -59,6 +59,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate matches actions to in-horizon triggers per key, stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = Streams.correlate(clicks.toDF(), buys.toDF(), key = "user_id",
+        horizon = "1 hour")
+      .writeStream.format("memory").queryName("corr").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(11, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+        Event(12, ts("2024-01-01 08:00:00"), 2, "click", 0.0)) // stale for buy at 10:40
+      buys.addData(
+        Event(20, ts("2024-01-01 10:40:00"), 1, "buy", 9.99),
+        Event(21, ts("2024-01-01 10:40:00"), 2, "buy", 5.00))
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData(Event(13, ts("2024-01-01 13:00:00"), 9, "click", 0.0))
+      buys.addData(Event(22, ts("2024-01-01 13:00:00"), 9, "buy", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("corr")
+        .select("trigger_id", "action_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1's buy attributes to BOTH in-horizon clicks; user 2's click
+      // is outside the 1h horizon → no match
+      assert(rows.contains((10L, 20L)) && rows.contains((11L, 20L)), rows)
+      assert(!rows.exists(_._2 == 21L), s"stale trigger matched: $rows")
+    } finally q.stop()
+  }
+
   test("enrich joins the stream to a static broadcast dim per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
