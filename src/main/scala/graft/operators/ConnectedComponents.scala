@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   *   neighbors and itself to the minimum — stars flatten to depth 1.
   *
   * Convergence is the star-forest test: the alternation's fixpoints are
-  * exactly depth-1 forests (every edge child→root, roots = component
-  * minima — Kiveris et al. §3), so "no node appears as both parent and
-  * child" detects the fixpoint ON the round the stars form — one round
-  * earlier than comparing successive edge sets for stability, which can
-  * only notice a fixpoint by re-running a full (unchanged) round.
-  * `maxIter` bounds the worst case.
+  * exactly single-parent depth-1 forests (every edge child→root, one
+  * root per child, roots = component minima — Kiveris et al. §3), so
+  * "no node on both sides AND no child with two parents" detects the
+  * fixpoint ON the round the stars form — one round earlier than
+  * comparing successive edge sets for stability, which can only notice
+  * a fixpoint by re-running a full (unchanged) round. Depth-1 alone is
+  * NOT sufficient: a child bridging two roots still merges them next
+  * round. `maxIter` bounds the worst case.
   */
 object ConnectedComponents {
 
@@ -55,11 +57,19 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    /** Fixpoint ⟺ star forest: with edges oriented u(child) > v(root), a
-      * depth-1 forest has no node on both sides. One early-exit semi-join
-      * probe over the just-checkpointed round output. */
+    /** Fixpoint ⟺ star forest, which needs BOTH properties: (a) no node
+      * appears as child and parent (depth 1), and (b) every child has
+      * exactly ONE parent — {(3,1),(3,2)} is depth-1 but one more round
+      * merges roots 1 and 2, so testing (a) alone declares victory on a
+      * still-splittable component. One aggregation over the
+      * just-checkpointed round output, early-exit probe. */
     def isStarForest(df: DataFrame): Boolean =
-      df.select("u").join(df.select(col("v").as("u")), Seq("u"), "left_semi")
+      df.select(col("u"), lit(1L).as("__c"))
+        .unionByName(df.select(col("v").as("u"), lit(0L).as("__c")))
+        .groupBy("u")
+        .agg(sum("__c").as("__nc"), count(lit(1)).as("__nt"))
+        // __nc > 1: child with two parents; 0 < __nc < __nt: both sides
+        .filter(col("__nc") > 1 || (col("__nc") >= 1 && col("__nt") > col("__nc")))
         .isEmpty
 
     var iter = 0

@@ -60,26 +60,37 @@ object MinHashLsh {
         base.withColumn("band", lit(2)).withColumn("bk", concat(col("mh3"), col("mh4"))))
   }
 
+  /** Drop banded rows in buckets larger than `maxBucket` (the skew cap —
+    * see scale notes). The size probe is a partial-aggregated count. */
+  private def capBuckets(bd: DataFrame, maxBucket: Int): DataFrame = {
+    val small = bd.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bk")
+    bd.join(small, Seq("band", "bk"))
+  }
+
+  /** Join-side projection: id + components prefixed `p` under the bucket key. */
+  private def side(df: DataFrame, idCol: String, p: String): DataFrame =
+    df.select(
+      Seq(col("band"), col("bk"), col(idCol).as(s"${p}_id")) ++
+        (1 to 4).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
+
+  /** Signature-agreement score for a joined a/b pair — ∈ 2..4 (bucket
+    * collision guarantees the band's two components already match). */
+  private val sigScore: Column = (1 to 4)
+    .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+    .reduce(_ + _)
+
   /** Candidate pairs (`doc_a` < `doc_b`, deduped across bands) with the
     * signature-agreement score `n_sig_match` ∈ 2..4. Buckets larger than
     * `maxBucket` contribute no pairs (see scale notes above). */
   def candidates(sigs: DataFrame, idCol: String = "doc_id",
                  maxBucket: Int = 64): DataFrame = {
-    val bd = banded(sigs, idCol)
-    val small = bd.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("band", "bk")
-    val kept = bd.join(small, Seq("band", "bk"))
-    def side(p: String) = kept.select(
-      Seq(col("band"), col("bk"), col(idCol).as(s"${p}_id")) ++
-        (1 to 4).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
-    val score = (1 to 4)
-      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    side("a").join(side("b"), Seq("band", "bk"))
+    val kept = capBuckets(banded(sigs, idCol), maxBucket)
+    side(kept, idCol, "a").join(side(kept, idCol, "b"), Seq("band", "bk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
-        score.as("n_sig_match"))
+        sigScore.as("n_sig_match"))
       .distinct()
   }
 
@@ -95,19 +106,10 @@ object MinHashLsh {
   def candidatesAcross(probeSigs: DataFrame, indexSigs: DataFrame,
                        idCol: String = "doc_id", maxBucket: Int = 64): DataFrame = {
     val pb = banded(probeSigs, idCol)
-    val ib = banded(indexSigs, idCol)
-    val small = ib.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("band", "bk")
-    def side(df: DataFrame, p: String) = df.select(
-      Seq(col("band"), col("bk"), col(idCol).as(s"${p}_id")) ++
-        (1 to 4).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
-    val score = (1 to 4)
-      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    side(pb, "a").join(side(ib.join(small, Seq("band", "bk")), "b"), Seq("band", "bk"))
+    val ib = capBuckets(banded(indexSigs, idCol), maxBucket)
+    side(pb, idCol, "a").join(side(ib, idCol, "b"), Seq("band", "bk"))
       .select(col("a_id").as("probe_id"), col("b_id").as("index_id"),
-        score.as("n_sig_match"))
+        sigScore.as("n_sig_match"))
       .distinct()
   }
 }

@@ -1288,6 +1288,18 @@ object TrainData {
       |  MAX(doc_id) AS max_doc
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Integer distinct-token quality score (×1000, integral division — no
+    * float boundary) shared by q66 keeper selection and q67 sampling:
+    * the two stages must agree on what "quality" means, so there is one
+    * definition. [[qualityScoreSql]] is its DuckDB mirror. */
+  private val qualityScore: Column = expr(
+    "cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
+      " div cast(size(split(text, ' ')) as bigint)")
+
+  private val qualityScoreSql =
+    """len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' '))""".stripMargin
+
   // ── q66: quality-aware keeper selection — production near-dup policy:
   // within each duplicate cluster keep the HIGHEST-QUALITY copy, not the
   // smallest id (crawls re-collect the same page with varying cleanliness;
@@ -1304,9 +1316,8 @@ object TrainData {
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .filter(col("n_sig_match") >= 3)
       .select("doc_a", "doc_b")
-    val qual = Tables.documents(spark, dir).select(col("doc_id"), expr(
-      "cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
-        " div cast(size(split(text, ' ')) as bigint)").as("quality"))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore.as("quality"))
     ConnectedComponents(pairs, "doc_a", "doc_b")
       .join(qual, col("node") === col("doc_id"))
       .withColumn("rn", row_number().over(
@@ -1330,8 +1341,7 @@ object TrainData {
       |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
       |qual AS (
       |  SELECT doc_id,
-      |    len(list_distinct(string_split(text, ' '))) * 1000
-      |      // len(string_split(text, ' ')) AS quality
+      |    $qualityScoreSql AS quality
       |  FROM documents)
       |SELECT comp AS cluster_min, doc_id AS keeper_doc,
       |  quality AS keeper_quality
@@ -1352,8 +1362,7 @@ object TrainData {
   private def q67(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tok"),
-      expr("cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
-        " div cast(size(split(text, ' ')) as bigint)").as("quality"))
+      qualityScore.as("quality"))
       .withColumn("tier", when(col("quality") >= 600, "high")
         .when(col("quality") >= 400, "mid").otherwise("low"))
       .withColumn("rate_x16", when(col("tier") === "high", 16)
@@ -1371,11 +1380,10 @@ object TrainData {
   }
 
   private val q67Sql =
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |    len(list_distinct(string_split(text, ' '))) * 1000
-      |      // len(string_split(text, ' ')) AS quality
+      |    $qualityScoreSql AS quality
       |  FROM documents),
       |t AS (
       |  SELECT *,

@@ -138,13 +138,36 @@ class OperatorPropertiesSpec extends SparkSpec {
     b <- Gen.choose(0L, 14L)
   } yield (a, b))
 
+  test("connected components: a child bridging two roots still merges them") {
+    import graft.operators.ConnectedComponents
+    // regression: {(1,3),(2,3)} normalizes to {(3,1),(3,2)} — depth-1
+    // with disjoint child/parent sides, but NOT a fixpoint (3 has two
+    // parents; roots 1 and 2 are one true component). A convergence
+    // test missing the unique-parent condition returns node 3 with TWO
+    // labels and splits the component.
+    val got = ConnectedComponents(Seq((1L, 3L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.groupBy(_._1).forall(_._2.length == 1),
+      s"a node carries two component labels: ${got.toSeq}")
+    assert(got.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toSeq)
+    // the mid-run deceptive shape: two bridged stars collapse to one
+    val got2 = ConnectedComponents(
+      Seq((5L, 1L), (5L, 2L), (10L, 1L), (11L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L), got2)
+  }
+
   test("connected components equal brute-force union-find on random graphs") {
     import graft.operators.ConnectedComponents
     samples(edgeGen, 6).foreach { raw =>
       val edges = raw.filter { case (a, b) => a != b }
       whenever(edges.nonEmpty) {
-        val got = ConnectedComponents(edges.toDF("a", "b"), "a", "b")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val rows = ConnectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // one label per node — toMap would silently collapse duplicates
+        assert(rows.groupBy(_._1).forall(_._2.length == 1),
+          s"duplicate component labels in ${rows.toSeq}")
+        val got = rows.toMap
         // brute force union-find with min-id roots
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
