@@ -157,6 +157,17 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L), got2)
   }
 
+  test("connected components: a 200-node chain converges within the default budget") {
+    import graft.operators.ConnectedComponents
+    // the worst case for min-label propagation (O(diameter)); alternating
+    // stars must close it in O(log n) rounds — well inside maxIter = 25
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200 && got.forall(_._2 == 0L),
+      "every chain node must label to component 0")
+  }
+
   test("connected components equal brute-force union-find on random graphs") {
     import graft.operators.ConnectedComponents
     samples(edgeGen, 6).foreach { raw =>
