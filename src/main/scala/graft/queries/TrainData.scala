@@ -1732,6 +1732,103 @@ object TrainData {
       |    ',' ORDER BY rn) AS head_docs
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ── q75: curation funnel — the capstone composition: the whole
+  // corpus-curation DAG (exact dedup → near-dup clusters → quality
+  // filter → benchmark decontamination) in one pass with per-stage drop
+  // accounting, the funnel report every training-data pipeline publishes
+  // next to its final corpus. A doc is attributed to the FIRST stage
+  // that drops it, so stage counts sum exactly to the corpus. Every
+  // stage reuses the suite's machinery (q20's hash groups, q49's
+  // components, q66/q67's quality score, q57's gram probe); the eval
+  // slice (doc_id ≡ 7 mod 10) is the held-out side and not funneled.
+  // Scale: the flags are one window + one LSH/CC pipeline + one
+  // broadcast gram probe — each individually bounded as documented at
+  // its home query; composition adds two left joins on doc_id. ──
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docsParallel(spark, dir)
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val exKeeper = min("doc_id").over(Window.partitionBy(sha2(col("text"), 256)))
+    val flags = train.select(col("doc_id"),
+      (col("doc_id") =!= exKeeper).as("ex_drop"),
+      (qualityScore < 400).as("lowq"))
+    // near-dup components over the train slice (q49's shape)
+    val sigs = MinHashLsh.signatures(train).localCheckpoint()
+    val comps = ConnectedComponents(
+      MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
+        .filter(col("n_sig_match") >= 3).select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    // contamination probe (q57's shape — tiny eval gram set broadcasts)
+    val grams = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 10 === 7).select("g").distinct()
+    val contam = grams.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(evalGrams), Seq("g"))
+      .select("doc_id").distinct().withColumn("ct", lit(true))
+    flags
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("ex_drop"), "1_exact_dup")
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), "2_near_dup")
+          .when(col("lowq"), "3_low_quality")
+          .when(col("ct").isNotNull, "4_contaminated")
+          .otherwise("5_kept"))
+      .groupBy("stage").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("stage")
+  }
+
+  private val q75Sql = {
+    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE ${lshBandedSql("tr", "doc_id % 10 != 7")},
+      |tr_kept AS (
+      |  SELECT * FROM tr_banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM tr_kept a JOIN tr_kept b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  WHERE $lshMatchSql >= 3),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
+      |      i -> $gramExpr))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |eval_grams AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE doc_id % 10 != 7 AND g IN (SELECT g FROM eval_grams)),
+      |flags AS (
+      |  SELECT doc_id,
+      |    doc_id != MIN(doc_id) OVER (PARTITION BY sha256(text)) AS ex_drop,
+      |    ($qualityScoreSql) < 400 AS lowq
+      |  FROM documents WHERE doc_id % 10 != 7),
+      |staged AS (
+      |  SELECT f.doc_id,
+      |    CASE WHEN f.ex_drop THEN '1_exact_dup'
+      |         WHEN c.comp IS NOT NULL AND c.comp != f.doc_id THEN '2_near_dup'
+      |         WHEN f.lowq THEN '3_low_quality'
+      |         WHEN ct.doc_id IS NOT NULL THEN '4_contaminated'
+      |         ELSE '5_kept' END AS stage
+      |  FROM flags f
+      |  LEFT JOIN comps c ON f.doc_id = c.node
+      |  LEFT JOIN contam ct ON f.doc_id = ct.doc_id)
+      |SELECT stage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
     QueryDef("q21_minhash_lsh", q21, Some(q21Sql)),
@@ -1768,5 +1865,6 @@ object TrainData {
     QueryDef("q70_embedding_quantize", q70, Some(q70Sql)),
     QueryDef("q72_containment_dedup", q72, Some(q72Sql)),
     QueryDef("q73_incremental_lsh", q73, Some(q73Sql)),
-    QueryDef("q74_corpus_shuffle", q74, Some(q74Sql)))
+    QueryDef("q74_corpus_shuffle", q74, Some(q74Sql)),
+    QueryDef("q75_curation_funnel", q75, Some(q75Sql)))
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Invariants of the training-pipeline layout queries (q57-q59) that the
   * row-hash oracle can't express: structural laws that must hold on ANY
   * corpus, checked on the sf0.001 fixture.
@@ -211,6 +213,22 @@ class TrainPipelineSpec extends SparkSpec {
       assert(heads.length == math.min(3L, r.getLong(1)),
         s"shard ${r.getString(0)}: head sample shorter than the shard")
     }
+  }
+
+  test("q75: funnel stages partition the train slice; attribution is exclusive") {
+    val rows = SparkEntry.queries("q75_curation_funnel")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trainN = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 7).count()
+    assert(rows.values.sum == trainN,
+      s"stage counts ${rows} must sum to the funneled corpus $trainN")
+    assert(rows.contains("5_kept") && rows("5_kept") > 0, rows.toString)
+    // the fixture corpus plants near-dups; exact dups may fall across the
+    // eval boundary at tiny sf, so only the stage VOCABULARY is pinned
+    assert(rows.getOrElse("2_near_dup", 0L) > 0, rows.toString)
+    val valid = Set("1_exact_dup", "2_near_dup", "3_low_quality",
+      "4_contaminated", "5_kept")
+    assert(rows.keySet.subsetOf(valid), rows.toString)
   }
 
   test("q72: containment dominates Jaccard on the same pair set") {
