@@ -95,8 +95,9 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning"), s.take(1200))
   }
 
-  test("q69/q70/q72: index-build pipelines never nested-loop or cartesian") {
-    Seq("q69_kmeans_train", "q70_embedding_quantize", "q72_containment_dedup")
+  test("q69/q70/q72/q73/q75: index-build and funnel pipelines never nested-loop") {
+    Seq("q69_kmeans_train", "q70_embedding_quantize", "q72_containment_dedup",
+        "q73_incremental_lsh", "q75_curation_funnel")
       .foreach { name =>
         val s = planString(q(name))
         assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
