@@ -584,17 +584,24 @@ object TrainData {
       .orderBy("keeper_doc")
   }
 
-  private val q49Sql =
-    s"""WITH RECURSIVE $lshCandidateCtes,
-      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
-      |sym AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
+  /** Recursive-CTE transitive closure over edge CTE `edges(a, b)` —
+    * yields `comps(node, comp)` with comp = component minimum; the
+    * oracle mirror of [[ConnectedComponents]], shared by every
+    * clustering oracle (q49/q52/q66/q75). */
+  private def ccClosureSql(edges: String, a: String, b: String): String =
+    s"""sym AS (
+      |  SELECT $a AS a, $b AS b FROM $edges
+      |  UNION SELECT $b, $a FROM $edges),
       |reach(a, b) AS (
       |  SELECT DISTINCT a, a FROM sym
       |  UNION
       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)""".stripMargin
+
+  private val q49Sql =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
+      |${ccClosureSql("pairs", "doc_a", "doc_b")}
       |SELECT comp AS keeper_doc, COUNT(*) AS cluster_size, MAX(node) AS max_doc
       |FROM comps GROUP BY comp ORDER BY keeper_doc""".stripMargin
 
@@ -649,14 +656,7 @@ object TrainData {
       |  JOIN all_vecs ea ON p.a_id = ea.vec_id
       |  JOIN all_vecs eb ON p.b_id = eb.vec_id),
       |edges AS (SELECT a_id, b_id FROM scored WHERE cosine >= $Q52Threshold),
-      |sym AS (
-      |  SELECT a_id AS a, b_id AS b FROM edges
-      |  UNION SELECT b_id, a_id FROM edges),
-      |reach(a, b) AS (
-      |  SELECT DISTINCT a, a FROM sym
-      |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+      |${ccClosureSql("edges", "a_id", "b_id")}
       |SELECT comp AS keeper_vec, COUNT(*) AS cluster_size, MAX(node) AS max_vec
       |FROM comps GROUP BY comp ORDER BY keeper_vec""".stripMargin
 
@@ -830,16 +830,25 @@ object TrainData {
   // aggregates (map-side partials), it never fans out into pairs. ──
   private val SpanN = 8
 
+  /** Spark-side distinct SpanN-gram set of `text` — shared by the
+    * boilerplate (q56), decontamination (q57) and funnel (q75) stages;
+    * [[ngramListSql]] is its oracle mirror over pre-split tokens `t`. */
+  private def spanGrams: Column =
+    array_distinct(graft.functions.WordNgrams(col("text"), SpanN))
+
+  private val ngramListSql: String = {
+    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}), i -> $gramExpr))"
+  }
+
   private def q56(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
-    val ex = d.select(col("doc_id"),
-      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val ex = d.select(col("doc_id"), explode(spanGrams).as("g"))
     val shared = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
     val perDoc = ex.join(shared, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    val grams = d.select(col("doc_id"),
-      size(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("n_grams"))
+    val grams = d.select(col("doc_id"), size(spanGrams).as("n_grams"))
     grams.join(perDoc, Seq("doc_id"))
       .withColumn("is_boilerplate", col("n_shared") * 2 >= col("n_grams"))
       .select("doc_id", "n_grams", "n_shared", "is_boilerplate")
@@ -847,22 +856,16 @@ object TrainData {
   }
 
   private val q56Sql = {
-    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
-      |      i -> $gramExpr))) AS g
-      |  FROM toks),
+      |  SELECT doc_id, unnest($ngramListSql) AS g FROM toks),
       |shared AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
       |per_doc AS (
       |  SELECT doc_id, COUNT(*) AS n_shared FROM g
       |  WHERE g IN (SELECT g FROM shared) GROUP BY 1),
       |grams AS (
-      |  SELECT doc_id,
-      |    CAST(len(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
-      |      i -> $gramExpr))) AS INTEGER) AS n_grams
+      |  SELECT doc_id, CAST(len($ngramListSql) AS INTEGER) AS n_grams
       |  FROM toks)
       |SELECT gr.doc_id, gr.n_grams, p.n_shared,
       |  p.n_shared * 2 >= gr.n_grams AS is_boilerplate
@@ -882,8 +885,7 @@ object TrainData {
   // corpus with zero exchange on the 100 TB side. ──
   private def q57(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
-    val grams = d.select(col("doc_id"), col("source"),
-      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val grams = d.select(col("doc_id"), col("source"), explode(spanGrams).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 10 === 7)
       .select("g").distinct()
     grams.filter(col("doc_id") % 10 =!= 7)
@@ -895,11 +897,8 @@ object TrainData {
   }
 
   private val q57Sql = {
-    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""WITH g AS (
-      |  SELECT doc_id, source,
-      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
-      |      i -> $gramExpr))) AS g
+      |  SELECT doc_id, source, unnest($ngramListSql) AS g
       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
       |eval_grams AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7)
       |SELECT doc_id, source, COUNT(*) AS n_hit_grams
@@ -1331,14 +1330,7 @@ object TrainData {
   private val q66Sql =
     s"""WITH RECURSIVE $lshCandidateCtes,
       |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
-      |sym AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(a, b) AS (
-      |  SELECT DISTINCT a, a FROM sym
-      |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
+      |${ccClosureSql("pairs", "doc_a", "doc_b")},
       |qual AS (
       |  SELECT doc_id,
       |    $qualityScoreSql AS quality
@@ -1759,8 +1751,7 @@ object TrainData {
         .filter(col("n_sig_match") >= 3).select("doc_a", "doc_b"),
       "doc_a", "doc_b")
     // contamination probe (q57's shape — tiny eval gram set broadcasts)
-    val grams = d.select(col("doc_id"),
-      explode(array_distinct(graft.functions.WordNgrams(col("text"), SpanN))).as("g"))
+    val grams = d.select(col("doc_id"), explode(spanGrams).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 10 === 7).select("g").distinct()
     val contam = grams.filter(col("doc_id") % 10 =!= 7)
       .join(broadcast(evalGrams), Seq("g"))
@@ -1782,7 +1773,6 @@ object TrainData {
   }
 
   private val q75Sql = {
-    val gramExpr = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""WITH RECURSIVE ${lshBandedSql("tr", "doc_id % 10 != 7")},
       |tr_kept AS (
       |  SELECT * FROM tr_banded
@@ -1792,18 +1782,9 @@ object TrainData {
       |  FROM tr_kept a JOIN tr_kept b
       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
       |  WHERE $lshMatchSql >= 3),
-      |sym AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(a, b) AS (
-      |  SELECT DISTINCT a, a FROM sym
-      |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |comps AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
+      |${ccClosureSql("pairs", "doc_a", "doc_b")},
       |g AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
-      |      i -> $gramExpr))) AS g
+      |  SELECT doc_id, unnest($ngramListSql) AS g
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
       |eval_grams AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
       |contam AS (
