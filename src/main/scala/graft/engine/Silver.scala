@@ -77,7 +77,7 @@ object Silver {
       .withColumn(cols.isCurrent, lit(false))
     val unchanged = cur.join(changedKeys, col(key) === col("__ck"), "left_anti")
 
-    val order = current.columns
+    val order = current.columns.toIndexedSeq
     hist.select(order.map(col): _*)
       .unionByName(expired.select(order.map(col): _*))
       .unionByName(unchanged.select(order.map(col): _*))
@@ -103,7 +103,7 @@ object Silver {
                 buckets: Int = 16): DataFrame = {
     require(partial.map(_._1) == combine.map(_._1), "phase column names must align")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets.toLong)))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head._2.as(partial.head._1),
         partial.tail.map { case (n, c) => c.as(n) }: _*)

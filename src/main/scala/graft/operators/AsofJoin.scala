@@ -33,7 +33,7 @@ object AsofJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTime: String, rightTime: String,
             rightPayload: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
     val leftType = StructType(left.schema.fields)
 
