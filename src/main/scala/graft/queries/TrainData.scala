@@ -1535,6 +1535,69 @@ object TrainData {
       |  CAST(SUM(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT) AS cos_sum_e6
       |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin
 
+  // ── q76: IVF search over the TRAINED quantizer — the production
+  // composition of q69 (training) and q54 (probing): centroids refined
+  // by two Lloyd iterations, corpus re-assigned, probes search their
+  // nprobe nearest refined clusters with exact-cosine re-rank. The
+  // oracle replays the training unroll then the probe ranking, so a
+  // drift anywhere in train→assign→probe breaks the gate. Scale is
+  // q54's (zero-shuffle assignment, partition-pruned probe) plus
+  // q69's training passes. ──
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
+    val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = IvfFlat.train(corpus, init, iters = KmIters)
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    IvfFlat.probe(IvfFlat.assign(corpus, cents), probes, cents,
+        nprobe = 2, k = IvfTopK)
+      .orderBy("probe_id", "rk")
+  }
+
+  private val q76Sql =
+    s"""WITH c0 AS (
+      |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
+      |  FROM embeddings WHERE vec_id < $KmK),
+      |a1 AS (
+      |  ${kmAssignSql("c0")}),
+      |c1 AS (
+      |  ${kmUpdateSql("a1", "c0")}),
+      |a2 AS (
+      |  ${kmAssignSql("c1")}),
+      |c2 AS (
+      |  ${kmUpdateSql("a2", "c1")}),
+      |a3 AS (
+      |  ${kmAssignSql("c2")}),
+      |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |pc AS (
+      |  SELECT p.probe_id, c.cid,
+      |    ${cosExprSql("p.embedding", "c.cv")} AS pc_cos
+      |  FROM probes p CROSS JOIN c2 c),
+      |probed AS (
+      |  SELECT probe_id, cid FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY pc_cos DESC, cid) <= 2),
+      |cand AS (
+      |  SELECT pr.probe_id, a.vec_id AS cand_id, a.cluster
+      |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
+      |  WHERE a.vec_id != pr.probe_id),
+      |scored AS (
+      |  SELECT c.probe_id, c.cand_id, c.cluster,
+      |    ${cosExprSql("pe.embedding", "ce.embedding")} AS cosine
+      |  FROM cand c
+      |  JOIN embeddings pe ON c.probe_id = pe.vec_id
+      |  JOIN embeddings ce ON c.cand_id = ce.vec_id)
+      |SELECT probe_id, cand_id, cluster, cosine, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |            ORDER BY cosine DESC, cand_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= $IvfTopK ORDER BY probe_id, rk""".stripMargin
+
   // ── q70: int8 scalar quantization — the storage path for embeddings at
   // 100 TB (4 bytes → 1 byte/dim): per-vector symmetric scale
   // maxabs/127, per-vector relative reconstruction error
@@ -1847,5 +1910,6 @@ object TrainData {
     QueryDef("q72_containment_dedup", q72, Some(q72Sql)),
     QueryDef("q73_incremental_lsh", q73, Some(q73Sql)),
     QueryDef("q74_corpus_shuffle", q74, Some(q74Sql)),
-    QueryDef("q75_curation_funnel", q75, Some(q75Sql)))
+    QueryDef("q75_curation_funnel", q75, Some(q75Sql)),
+    QueryDef("q76_ivf_trained", q76, Some(q76Sql)))
 }

@@ -231,6 +231,20 @@ class TrainPipelineSpec extends SparkSpec {
     assert(rows.keySet.subsetOf(valid), rows.toString)
   }
 
+  test("q76: trained-index search returns full ranked lists per probe") {
+    val rows = SparkEntry.queries("q76_ivf_trained")(spark, dir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(100L, 101L, 102L, 103L, 104L))
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length),
+        s"probe $p: ranks must be contiguous from 1")
+      val cos = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"probe $p: cosine must be non-increasing in rank")
+      assert(!rs.exists(_.getLong(1) == p), s"probe $p returned itself")
+    }
+  }
+
   test("q72: containment dominates Jaccard on the same pair set") {
     val contain = SparkEntry.queries("q72_containment_dedup")(spark, dir).collect()
     val jac = SparkEntry.queries("q23_ngram_jaccard")(spark, dir).collect()
