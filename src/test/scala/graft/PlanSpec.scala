@@ -97,7 +97,7 @@ class PlanSpec extends SparkSpec {
 
   test("q69/q70/q72/q73/q75: index-build and funnel pipelines never nested-loop") {
     Seq("q69_kmeans_train", "q70_embedding_quantize", "q72_containment_dedup",
-        "q73_incremental_lsh", "q75_curation_funnel")
+        "q73_incremental_lsh", "q75_curation_funnel", "q76_ivf_trained")
       .foreach { name =>
         val s = planString(q(name))
         assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
