@@ -34,7 +34,9 @@ object ScaleProbe {
 
     val base = graft.engine.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val n0 = base.count()
+    // stride by the id-space BOUND, not the row count — sparse ids would
+    // otherwise collide across replicas and silently merge documents
+    val n0 = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
     // replica k: ids offset by k*n0, text salted with a replica token so
     // copies stay NEAR-dups (high Jaccard) instead of exact dups
     val corpus = (0 until mult).map { k =>
@@ -54,9 +56,12 @@ object ScaleProbe {
       MinHashLsh.signatures(corpus).localCheckpoint(true)
     }
     val nSigs = sigs.count()
+    // same policy knobs as the gated queries — the probe measures the
+    // pipeline that actually ships, not a drifted copy
     val (cand, tCand) = timed {
-      MinHashLsh.candidates(sigs, maxBucket = 64)
-        .filter(col("n_sig_match") >= 3).select("doc_a", "doc_b")
+      MinHashLsh.candidates(sigs, maxBucket = graft.queries.TrainData.LshMaxBucket)
+        .filter(col("n_sig_match") >= graft.queries.TrainData.LshStrongMatch)
+        .select("doc_a", "doc_b")
         .localCheckpoint(true)
     }
     val nPairs = cand.count()

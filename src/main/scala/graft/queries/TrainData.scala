@@ -65,7 +65,18 @@ object TrainData {
       .limit(200)
   }
 
-  private val LshMaxBucket = 64
+  /** Shared LSH policy knobs — referenced by every consumer (q21/q23/
+    * q49/q66/q72/q73/q75, ScaleProbe) so a tuning change lands
+    * everywhere at once. `LshStrongMatch` = minimum signature agreement
+    * for a pair to count as a dedup EDGE (vs a mere candidate). */
+  private[graft] val LshMaxBucket = 64
+  private[graft] val LshStrongMatch = 3
+
+  /** Size-capped banded rows — the oracle QUALIFY form of
+    * `MinHashLsh.capBuckets`, shared by every banded-candidate CTE. */
+  private def lshKeptSql(banded: String): String =
+    s"""SELECT * FROM $banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket""".stripMargin
 
   /** Shared oracle CTEs: shingles → signatures → banded rows → size-capped
     * buckets → candidate pairs, mirroring [[MinHashLsh]] exactly. */
@@ -86,8 +97,7 @@ object TrainData {
       |  UNION ALL
       |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 || mh4 AS bk FROM sigs),
       |kept AS (
-      |  SELECT * FROM banded
-      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |  ${lshKeptSql("banded")}),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
@@ -576,7 +586,7 @@ object TrainData {
     // localCheckpoint, not persist — GC-scoped, no cache leak (see q21).
     val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
-      .filter(col("n_sig_match") >= 3)
+      .filter(col("n_sig_match") >= LshStrongMatch)
       .select("doc_a", "doc_b")
     ConnectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("comp").as("keeper_doc"))
@@ -600,7 +610,7 @@ object TrainData {
 
   private val q49Sql =
     s"""WITH RECURSIVE $lshCandidateCtes,
-      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
+      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= $LshStrongMatch),
       |${ccClosureSql("pairs", "doc_a", "doc_b")}
       |SELECT comp AS keeper_doc, COUNT(*) AS cluster_size, MAX(node) AS max_doc
       |FROM comps GROUP BY comp ORDER BY keeper_doc""".stripMargin
@@ -1313,7 +1323,7 @@ object TrainData {
     import org.apache.spark.sql.expressions.Window
     val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
-      .filter(col("n_sig_match") >= 3)
+      .filter(col("n_sig_match") >= LshStrongMatch)
       .select("doc_a", "doc_b")
     val qual = Tables.documents(spark, dir)
       .select(col("doc_id"), qualityScore.as("quality"))
@@ -1329,7 +1339,7 @@ object TrainData {
 
   private val q66Sql =
     s"""WITH RECURSIVE $lshCandidateCtes,
-      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= 3),
+      |pairs AS (SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= $LshStrongMatch),
       |${ccClosureSql("pairs", "doc_a", "doc_b")},
       |qual AS (
       |  SELECT doc_id,
@@ -1455,13 +1465,20 @@ object TrainData {
   private val KmK = 4
   private val KmIters = 2
 
-  private def q69(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared training recipe of q69 and q76: K seed rows collected as
+    * model state (same as q54 — not data movement), then KmIters Lloyd
+    * refinements over the spread corpus. */
+  private def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // K seed rows collected as model state (same as q54) — not data movement
     val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
       .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
+    IvfFlat.train(embParallel(spark, dir).select(col("vec_id"), col("embedding")),
+      init, iters = KmIters)
+  }
+
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
-    val cents = IvfFlat.train(corpus, init, iters = KmIters)
+    val cents = trainedCentroids(spark, dir)
     // cosine to the assigned centroid = the max over all centroids (that
     // is what argmax assignment means), so no second model pass is needed
     val cosBest = greatest(cents.map(c => cosine(col("embedding"), typedLit(c))): _*)
@@ -1516,8 +1533,10 @@ object TrainData {
       |      GROUP BY 1, 2)
       |    GROUP BY cid) n ON p.cid = n.cid""".stripMargin
 
-  private val q69Sql =
-    s"""WITH c0 AS (
+  /** The c0 → a3 training unroll (seeds, KmIters assign/update rounds,
+    * final assignment) shared by q69 and q76 — one recipe, two gates. */
+  private val kmTrainCtesSql: String =
+    s"""c0 AS (
       |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
       |  FROM embeddings WHERE vec_id < $KmK),
       |a1 AS (
@@ -1529,7 +1548,10 @@ object TrainData {
       |c2 AS (
       |  ${kmUpdateSql("a2", "c1")}),
       |a3 AS (
-      |  ${kmAssignSql("c2")})
+      |  ${kmAssignSql("c2")})""".stripMargin
+
+  private val q69Sql =
+    s"""WITH $kmTrainCtesSql
       |SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n_members,
       |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
       |  CAST(SUM(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT) AS cos_sum_e6
@@ -1545,31 +1567,17 @@ object TrainData {
   // q69's training passes. ──
   private def q76(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
-      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
     val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
-    val cents = IvfFlat.train(corpus, init, iters = KmIters)
+    val cents = trainedCentroids(spark, dir)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     IvfFlat.probe(IvfFlat.assign(corpus, cents), probes, cents,
-        nprobe = 2, k = IvfTopK)
+        nprobe = IvfNprobe, k = IvfTopK)
       .orderBy("probe_id", "rk")
   }
 
   private val q76Sql =
-    s"""WITH c0 AS (
-      |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
-      |  FROM embeddings WHERE vec_id < $KmK),
-      |a1 AS (
-      |  ${kmAssignSql("c0")}),
-      |c1 AS (
-      |  ${kmUpdateSql("a1", "c0")}),
-      |a2 AS (
-      |  ${kmAssignSql("c1")}),
-      |c2 AS (
-      |  ${kmUpdateSql("a2", "c1")}),
-      |a3 AS (
-      |  ${kmAssignSql("c2")}),
+    s"""WITH $kmTrainCtesSql,
       |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
       |probes AS (
       |  SELECT vec_id AS probe_id, embedding
@@ -1581,7 +1589,7 @@ object TrainData {
       |probed AS (
       |  SELECT probe_id, cid FROM pc
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
-      |    ORDER BY pc_cos DESC, cid) <= 2),
+      |    ORDER BY pc_cos DESC, cid) <= $IvfNprobe),
       |cand AS (
       |  SELECT pr.probe_id, a.vec_id AS cand_id, a.cluster
       |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
@@ -1733,11 +1741,9 @@ object TrainData {
     s"""WITH ${lshBandedSql("nw", "doc_id % 4 = 0")},
       |${lshBandedSql("ix", "doc_id % 4 != 0")},
       |ix_kept AS (
-      |  SELECT * FROM ix_banded
-      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |  ${lshKeptSql("ix_banded")}),
       |nw_kept AS (
-      |  SELECT * FROM nw_banded
-      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |  ${lshKeptSql("nw_banded")}),
       |across AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    $lshMatchSql AS n_sig_match, 'new-old' AS pair_kind
@@ -1811,7 +1817,7 @@ object TrainData {
     val sigs = MinHashLsh.signatures(train).localCheckpoint()
     val comps = ConnectedComponents(
       MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
-        .filter(col("n_sig_match") >= 3).select("doc_a", "doc_b"),
+        .filter(col("n_sig_match") >= LshStrongMatch).select("doc_a", "doc_b"),
       "doc_a", "doc_b")
     // contamination probe (q57's shape — tiny eval gram set broadcasts)
     val grams = d.select(col("doc_id"), explode(spanGrams).as("g"))
@@ -1838,13 +1844,12 @@ object TrainData {
   private val q75Sql = {
     s"""WITH RECURSIVE ${lshBandedSql("tr", "doc_id % 10 != 7")},
       |tr_kept AS (
-      |  SELECT * FROM tr_banded
-      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $LshMaxBucket),
+      |  ${lshKeptSql("tr_banded")}),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM tr_kept a JOIN tr_kept b
       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-      |  WHERE $lshMatchSql >= 3),
+      |  WHERE $lshMatchSql >= $LshStrongMatch),
       |${ccClosureSql("pairs", "doc_a", "doc_b")},
       |g AS (
       |  SELECT doc_id, unnest($ngramListSql) AS g

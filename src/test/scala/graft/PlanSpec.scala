@@ -95,7 +95,7 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning"), s.take(1200))
   }
 
-  test("q69/q70/q72/q73/q75: index-build and funnel pipelines never nested-loop") {
+  test("q69/q70/q72/q73/q75/q76: index-build and funnel pipelines never nested-loop") {
     Seq("q69_kmeans_train", "q70_embedding_quantize", "q72_containment_dedup",
         "q73_incremental_lsh", "q75_curation_funnel", "q76_ivf_trained")
       .foreach { name =>
