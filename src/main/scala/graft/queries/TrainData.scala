@@ -167,6 +167,10 @@ object TrainData {
   // trade; production uses 64-bit simhash with 4×16-bit bands — 16
   // portable bits keep oracle parity with q22), same per-bucket size cap
   // as the MinHash path, pairs re-ranked by exact Hamming distance. ──
+  /** SimHash band-bucket size cap (q51) — the 8-bit-band analog of
+    * [[LshMaxBucket]]; its oracle twin is interpolated into q51Sql. */
+  private val SimhashMaxBucket = 64
+
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashOf(spark, dir)
     def bandRow(band: Int, key: Column) = sh.select(col("doc_id"), col("simhash"),
@@ -174,7 +178,7 @@ object TrainData {
     val banded = bandRow(1, col("simhash").bitwiseAND(lit(255)))
       .unionByName(bandRow(2, shiftright(col("simhash"), 8).bitwiseAND(lit(255))))
     val small = banded.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= 64).select("band", "bk")
+      .filter(col("__n") <= SimhashMaxBucket).select("band", "bk")
     val kept = banded.join(small, Seq("band", "bk"))
     val a = kept.select(col("band"), col("bk"), col("doc_id").as("a_id"),
       col("simhash").as("a_sh"))
@@ -197,7 +201,7 @@ object TrainData {
       |  SELECT doc_id, simhash, 2 AS band, (simhash >> 8) & 255 FROM sh),
       |kept AS (
       |  SELECT * FROM banded
-      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= 64),
+      |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $SimhashMaxBucket),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
