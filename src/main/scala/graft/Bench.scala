@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
+  /** Sum of collection count/time over all GC beans (young + old). */
+  private def gcTotals(): (Long, Long) = {
+    val beans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+  }
+
+  /** Cumulative CPU seconds consumed by THIS JVM (all threads). On a
+    * contended host wall-clock inflates while process CPU stays flat, so
+    * cpu/wall is the one number that separates "the query got slower"
+    * from "the machine was busy" — the round-4 artifact couldn't tell. */
+  private def processCpuSec(): Double =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  private def fmt(v: Double, dp: Int): String = {
+    val s = s"%.${dp}f".format(v)
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +53,11 @@ object Bench {
       .foreach(fn => try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => })
     spark.catalog.clearCache()
+
+    val (gc0Count, gc0Ms) = gcTotals()
+    val cpu0 = processCpuSec()
+    val wall0 = System.nanoTime()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -39,18 +68,43 @@ object Bench {
       // cached state. Queries themselves use GC-scoped localCheckpoint,
       // not persist, so this is insurance against future persist use.
       spark.catalog.clearCache()
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val (gc1Count, gc1Ms) = gcTotals()
+    val cpu1 = processCpuSec()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+
+    // Per-rep detail (2 dp): a contended run shows all reps inflated;
+    // a JIT/first-touch effect shows rep 1 >> rep 2..n. min-of-reps alone
+    // (round ≤4) couldn't distinguish the two — that ambiguity is what
+    // this block removes.
+    val repsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // 2 dp: the artifact is captured as the LAST 2000 chars of stdout
+    // (sbt's [success] epilogue included), so the survival budget for
+    // `"queries":{...},"metric":"total",...` is ~1900 chars — 75 queries
+    // at 2 dp is ~1856; 3 dp (1931) already overflowed the window.
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min, 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
+    // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
+    // far below it with inflated walls ⇒ the host was contended.
+    val diag = s""""wall_sec":${fmt(wallSec, 1)},"proc_cpu_sec":${fmt(cpu1 - cpu0, 1)},""" +
+      s""""gc_count":${gc1Count - gc0Count},"gc_sec":${fmt((gc1Ms - gc0Ms) / 1e3, 1)}"""
     // Self-describing artifact: reps + the perf-relevant session config,
     // so round-over-round BENCH_r{N}.json comparisons carry their own
     // measurement conditions.
     val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
+    // Key order is deliberate: the artifact is captured via `tail`, so if
+    // the line ever exceeds the capture window it is the HEAD that gets
+    // cut — put per-rep detail first and the contract keys ("queries",
+    // "metric":"total") last so they always survive (round-4's artifact
+    // lost its total exactly this way).
+    println(s"""{"sf":"$sfDir",$env,$diag,"reps_sec":$repsJson,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
   }
 }

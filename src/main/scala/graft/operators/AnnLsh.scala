@@ -91,6 +91,10 @@ object AnnLsh {
       .join(broadcast(keyedBuckets(probes, idCol, vecCol, tables, bits)
         .select(col("tbl"), col("bucket"), col(idCol).as("probe_id"))),
         Seq("tbl", "bucket"))
+      // row-local self-pair guard: overlapping corpus/probe id spaces
+      // would otherwise emit (x, x) as a perfect "hit" — same policy as
+      // [[MinHashLsh.candidatesAcross]]
+      .filter(col("corpus_id") =!= col("probe_id"))
       .groupBy("corpus_id", "probe_id")
       .agg(countDistinct("tbl").as("n_tables"))
   }

@@ -61,19 +61,28 @@ object ConnectedComponents {
       * appears as child and parent (depth 1), and (b) every child has
       * exactly ONE parent — {(3,1),(3,2)} is depth-1 but one more round
       * merges roots 1 and 2, so testing (a) alone declares victory on a
-      * still-splittable component. One aggregation over the
-      * just-checkpointed round output, early-exit probe. */
-    def isStarForest(df: DataFrame): Boolean =
-      df.select(col("u"), lit(1L).as("__c"))
+      * still-splittable component. Returns (converged, edgeCount) from a
+      * SINGLE aggregation job over the just-checkpointed round output —
+      * Σ __nc counts every edge's child-side row, so the telemetry edge
+      * count rides on the probe for free instead of a second count() job
+      * per round. */
+    def starForestProbe(df: DataFrame): (Boolean, Long) = {
+      val row = df.select(col("u"), lit(1L).as("__c"))
         .unionByName(df.select(col("v").as("u"), lit(0L).as("__c")))
         .groupBy("u")
         .agg(sum("__c").as("__nc"), count(lit(1)).as("__nt"))
-        // __nc > 1: child with two parents; 0 < __nc < __nt: both sides
-        .filter(col("__nc") > 1 || (col("__nc") >= 1 && col("__nt") > col("__nc")))
-        .isEmpty
+        .agg(
+          // __nc > 1: child with two parents; 0 < __nc < __nt: both sides
+          coalesce(sum(when(
+            col("__nc") > 1 || (col("__nc") >= 1 && col("__nt") > col("__nc")),
+            1L).otherwise(0L)), lit(0L)).as("__viol"),
+          coalesce(sum(col("__nc")), lit(0L)).as("__edges"))
+        .head()
+      (row.getLong(0) == 0L, row.getLong(1))
+    }
 
     var iter = 0
-    var converged = isStarForest(e)
+    var converged = starForestProbe(e)._1
     while (iter < maxIter && !converged) {
       // ── large-star: symmetrize; m(u) = min(N(u) ∪ {u}); for every
       // neighbor v > u emit (v, m). ──
@@ -101,12 +110,12 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      converged = isStarForest(ss)
+      val (conv, edgeCount) = starForestProbe(ss)
+      converged = conv
       e = ss
       iter += 1
-      // edge-count telemetry costs a job — only pay it when INFO is on
       if (log.isInfoEnabled)
-        log.info(s"connected-components round $iter: ${ss.count()} edges" +
+        log.info(s"connected-components round $iter: $edgeCount edges" +
           (if (converged) " (converged)" else ""))
     }
     // a silently-unconverged result would mislabel components downstream

@@ -101,13 +101,17 @@ object MinHashLsh {
     * index-vs-index. The size cap applies to INDEX buckets only
     * (an oversized index bucket is boilerplate; capping the probe side
     * would silently drop the very batch being screened — same policy as
-    * [[AnnLsh.candidatesAcross]]); per-probe fan-out is then bounded by
-    * bands × maxBucket. Id spaces must be disjoint. */
+    * [[AnnLsh.candidatesAcross]]). Overlapping probe/index id spaces are
+    * tolerated: a row-local `probe_id != index_id` guard drops the
+    * self-pairs (which would otherwise surface as perfect
+    * n_sig_match=4 "duplicates" and make downstream dedup delete the
+    * very documents it was screening). */
   def candidatesAcross(probeSigs: DataFrame, indexSigs: DataFrame,
                        idCol: String = "doc_id", maxBucket: Int = 64): DataFrame = {
     val pb = banded(probeSigs, idCol)
     val ib = capBuckets(banded(indexSigs, idCol), maxBucket)
     side(pb, idCol, "a").join(side(ib, idCol, "b"), Seq("band", "bk"))
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id").as("probe_id"), col("b_id").as("index_id"),
         sigScore.as("n_sig_match"))
       .distinct()

@@ -105,6 +105,18 @@ object Streams {
   def correlate(triggers: DataFrame, actions: DataFrame, key: String,
                 horizon: String = "1 hour",
                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    // Fail at the call site, not with an opaque parse error at plan time:
+    // `horizon` is spliced into the join condition as INTERVAL syntax, so
+    // reject anything Spark's own interval parser won't accept; and the
+    // join internally aliases the key columns __k/__k2, so a caller key
+    // with those names would silently collide with the aliases.
+    require(key != "__k" && key != "__k2",
+      s"correlate: key column '$key' collides with an internal join alias")
+    require(
+      org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(horizon)) != null,
+      s"correlate: horizon '$horizon' is not a valid interval " +
+        "(expected e.g. '1 hour', '30 minutes')")
     val t = triggers.withWatermark("ts", watermarkDelay)
       .select(col(key).as("__k"), col("ts").as("trigger_ts"),
         col("event_id").as("trigger_id"))

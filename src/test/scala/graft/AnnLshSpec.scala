@@ -61,6 +61,15 @@ class AnnLshSpec extends SparkSpec {
       maxBucket = 5).count() == 10)
   }
 
+  test("cross-set candidates drop self-pairs on overlapping id spaces") {
+    // screening a corpus slice against itself (overlapping ids) must not
+    // report (x, x) as a perfect 4-table hit
+    val both = emb(Seq(1L -> "AAAA", 2L -> "AAAA"))
+    val got = AnnLsh.candidatesAcross(both, both)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)), s"self-pairs must be gone: $got")
+  }
+
   test("candidate plan has no cartesian product") {
     val e = emb(Seq(1L -> "AAAA", 2L -> "ABAB"))
     val plan = AnnLsh.candidates(e).queryExecution.executedPlan.toString

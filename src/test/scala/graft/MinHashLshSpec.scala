@@ -80,6 +80,18 @@ class MinHashLshSpec extends SparkSpec {
       s"hot-bucket probe must yield nothing, cool-bucket probe everything: $got")
   }
 
+  test("candidatesAcross drops self-pairs when probe/index id spaces overlap") {
+    // re-screening a batch against an index it was already merged into is
+    // a real operational mistake; the guard keeps (x, x) "perfect dups"
+    // from reaching downstream dedup, while true cross pairs survive
+    val shared = Seq(
+      (1L, "aaaaaaaa", "bbbbbbbb", "cccccccc", "dddddddd"),
+      (2L, "aaaaaaaa", "bbbbbbbb", "eeeeeeee", "ffffffff"))
+    val got = MinHashLsh.candidatesAcross(sigsDf(shared), sigsDf(shared))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)), s"self-pairs must be gone: $got")
+  }
+
   test("signatures skip empty and single-token docs without crashing") {
     val docs = Seq(
       (1L, "one"),                 // single token → sequence guard path

@@ -89,6 +89,19 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate rejects malformed horizons and colliding key names at the call site") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val badHorizon = intercept[IllegalArgumentException](
+      Streams.correlate(clicks.toDF(), buys.toDF(), key = "user_id",
+        horizon = "1 fortnight"))
+    assert(badHorizon.getMessage.contains("horizon"), badHorizon.getMessage)
+    val badKey = intercept[IllegalArgumentException](
+      Streams.correlate(clicks.toDF(), buys.toDF(), key = "__k"))
+    assert(badKey.getMessage.contains("internal join alias"), badKey.getMessage)
+  }
+
   test("enrich joins the stream to a static broadcast dim per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
