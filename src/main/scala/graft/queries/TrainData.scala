@@ -112,47 +112,68 @@ object TrainData {
       |SELECT doc_a, doc_b, n_sig_match FROM cand
       |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
 
-  // ── q22: SimHash fingerprint — 16 portable hash bits per token (high bit
-  // of each md5 hex nibble), majority vote per bit, composed to an int. ──
-  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  // ── q22: SimHash fingerprint — the production 64-bit shape: each
+  // token's md5 supplies 64 hash bits (the first 16 hex nibbles decoded
+  // to 4 bits each), majority vote per bit, composed to a BIGINT. The
+  // nibble decode is `instr('0123456789abcdef', c) - 1` on BOTH engines —
+  // the one hex-to-int primitive Spark SQL and DuckDB share exactly. ──
 
-  /** Per-doc 16-bit SimHash (shared by q22 and q51). */
+  /** Per-doc 64-bit SimHash (shared by q22 and q51). Bit j is decoded
+    * from md5 nibble j/4 (bit j%4); composition uses `1L << j`, whose
+    * j=63 value is Long.MinValue — two's-complement addition of distinct
+    * powers is carry-free, so the sum IS the bit pattern. */
   private def simhashOf(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     val tok = d.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until 16).map { bit =>
-      sum(when(substring(col("h"), bit + 1, 1).isin(HighHex: _*), 1)
-        .otherwise(-1)).as(s"s$bit")
+    // decode the 16 nibbles once per token; the 64 bit-votes below are
+    // then cheap shift/mask reads, not 64 substring evaluations
+    val nib = (0 until 16).map(n =>
+      expr(s"instr('0123456789abcdef', substring(h, ${n + 1}, 1)) - 1").as(s"n$n"))
+    val tokN = tok.select(col("doc_id") +: nib: _*)
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
     }
-    val simhash = (0 until 16)
-      .map(bit => when(col(s"s$bit") >= 0, 1 << bit).otherwise(0))
+    val simhash = (0 until 64)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    tokN.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
   private def q22(spark: SparkSession, dir: String): DataFrame =
     simhashOf(spark, dir).orderBy("doc_id")
 
-  /** Shared oracle CTEs: tokens → per-bit majority votes → composed
-    * 16-bit simhash, mirroring [[simhashOf]]. */
+  /** Shared oracle CTEs: tokens → nibble decode → per-bit majority votes
+    * → composed 64-bit simhash, mirroring [[simhashOf]]. DuckDB rejects
+    * `1::BIGINT << 63` as overflow, so bit 63 composes via the
+    * Long.MinValue literal, added LAST to keep every partial sum in
+    * BIGINT range (DuckDB checks addition overflow; Spark wraps). */
   private val simhashCtes = {
-    val bitSums = (0 until 16).map { bit =>
-      s"SUM(CASE WHEN substr(h, ${bit + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$bit"
+    val nibbles = (0 until 16).map(n =>
+      s"instr('0123456789abcdef', substr(h, ${n + 1}, 1)) - 1 AS n$n")
+      .mkString(",\n      |    ")
+    val bitSums = (0 until 64).map { j =>
+      s"SUM(CASE WHEN (n${j / 4} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n      |    ")
-    val compose = (0 until 16)
-      .map(bit => s"CASE WHEN s$bit >= 0 THEN ${1 << bit} ELSE 0 END")
+    val compose = ((0 until 63)
+      .map(j => s"CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END") :+
+      "CASE WHEN s63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END")
       .mkString(" + ")
     s"""tok AS (
       |  SELECT doc_id, md5(t) AS h
       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
       |        FROM documents)),
+      |nib AS (
+      |  SELECT doc_id,
+      |    $nibbles
+      |  FROM tok),
       |bits AS (
       |  SELECT doc_id,
       |    $bitSums
-      |  FROM tok GROUP BY doc_id),
+      |  FROM nib GROUP BY doc_id),
       |sh AS (SELECT doc_id, $compose AS simhash FROM bits)""".stripMargin
   }
 
@@ -161,22 +182,24 @@ object TrainData {
       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
   // ── q51: SimHash near-dup pairing — completes SimHash as a dedup: the
-  // 16-bit fingerprint splits into 2 × 8-bit bands (docs within Hamming
-  // distance ≤ 3 of each other on 16 bits must agree exactly on at least
-  // one band... not guaranteed, but that's the standard recall/cost
-  // trade; production uses 64-bit simhash with 4×16-bit bands — 16
-  // portable bits keep oracle parity with q22), same per-bucket size cap
-  // as the MinHash path, pairs re-ranked by exact Hamming distance. ──
-  /** SimHash band-bucket size cap (q51) — the 8-bit-band analog of
+  // 64-bit fingerprint splits into 4 × 16-bit bands (Manku et al.,
+  // WWW'07): any pair within Hamming distance ≤ 3 differs in at most 3
+  // bands, so by pigeonhole it agrees EXACTLY on at least one — recall
+  // for the hd ≤ 3 predicate is guaranteed, not probabilistic. Same
+  // per-bucket size cap as the MinHash path, pairs re-ranked by exact
+  // 64-bit Hamming distance. Sign-extension is banding-safe: both
+  // engines shift arithmetically and `& 65535` masks the extended bits,
+  // so band 4 (bits 48–63) keys identically despite negative BIGINTs. ──
+  /** SimHash band-bucket size cap (q51) — the 16-bit-band analog of
     * [[LshMaxBucket]]; its oracle twin is interpolated into q51Sql. */
   private val SimhashMaxBucket = 64
 
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashOf(spark, dir)
-    def bandRow(band: Int, key: Column) = sh.select(col("doc_id"), col("simhash"),
-      lit(band).as("band"), key.as("bk"))
-    val banded = bandRow(1, col("simhash").bitwiseAND(lit(255)))
-      .unionByName(bandRow(2, shiftright(col("simhash"), 8).bitwiseAND(lit(255))))
+    def bandRow(band: Int) = sh.select(col("doc_id"), col("simhash"),
+      lit(band).as("band"),
+      shiftright(col("simhash"), 16 * (band - 1)).bitwiseAND(lit(65535L)).as("bk"))
+    val banded = (1 to 4).map(bandRow).reduce(_ unionByName _)
     val small = banded.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= SimhashMaxBucket).select("band", "bk")
     val kept = banded.join(small, Seq("band", "bk"))
@@ -193,12 +216,13 @@ object TrainData {
       .limit(200)
   }
 
-  private val q51Sql =
+  private val q51Sql = {
+    val bandRows = (1 to 4).map(k =>
+      s"SELECT doc_id, simhash, $k AS band, (simhash >> ${16 * (k - 1)}) & 65535 AS bk FROM sh")
+      .mkString("\n      |  UNION ALL\n      |  ")
     s"""WITH $simhashCtes,
       |banded AS (
-      |  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bk FROM sh
-      |  UNION ALL
-      |  SELECT doc_id, simhash, 2 AS band, (simhash >> 8) & 255 FROM sh),
+      |  $bandRows),
       |kept AS (
       |  SELECT * FROM banded
       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bk) <= $SimhashMaxBucket),
@@ -209,6 +233,7 @@ object TrainData {
       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+  }
 
   // ── q23: exact n-gram Jaccard re-rank over the LSH candidate pairs —
   // the production near-dup shape: q21's banded candidates bound the pair
