@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) needs
-  * native libraries not present in this environment — those steps are
-  * STUBS with deterministic fakes, clearly marked below. Everything
-  * Spark-side is real and tested: the schema contract, the
-  * mapPartitions batch shape (bounded memory per task at 100 TB), and the
-  * feature-column output layout.
+  * The IMAGE path is a real codec: javax.imageio (pure JVM, no native
+  * libs) decodes PNG/JPEG/BMP/GIF payloads, so featurize emits actual
+  * decoded dimensions and pixel-statistic features, and resize really
+  * resamples and re-encodes. Audio/video codec work still needs native
+  * libraries not present in this environment — those steps remain STUBS
+  * with deterministic fakes, clearly marked below, as is the fallback
+  * for payloads no image reader understands. Everything Spark-side is
+  * real and tested: the schema contract, the mapPartitions batch shape
+  * (bounded memory per task at 100 TB), and the feature-column layout.
   */
 object Multimodal {
 
@@ -34,9 +37,59 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("n_bytes", IntegerType),
     StructField("content_digest", StringType),
+    // real codec output: dims decoded FROM THE BYTES (null ⇔ no image
+    // reader understood the payload) — not an echo of caller metadata
+    StructField("decoded_width", IntegerType),
+    StructField("decoded_height", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUB — stands in for a real image/audio decode + model forward pass.
+  /** REAL codec — pure-JVM image decode via javax.imageio (PNG, JPEG,
+    * BMP, GIF — whatever readers the JVM registers). None ⇔ no reader
+    * understood the bytes; that is a data condition (text/audio payloads,
+    * truncated files), not an error, so the caller falls back to the
+    * byte-statistic stub instead of failing the task. Decoding sniffs
+    * the BYTES, never the caller's `media_type` label — a mislabeled
+    * image still decodes, a corrupt "image" still reports null dims. */
+  private[engine] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (content == null || content.length < 8) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+
+  /** REAL feature path for a decoded image: 8 deterministic pixel
+    * statistics — mean R/G/B, mean + stddev of Rec.601 luminance (all
+    * normalized to [0,1]), width/(width+height) aspect, log10 pixel
+    * count / 10, and a 1.0 decoded-flag so downstream consumers can
+    * split real-codec rows from stub rows inside one column. */
+  private[engine] def pixelEmbed(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0.0; var sl2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += l; sl2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val ml = sl / n
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (ml / 255.0).toFloat,
+      (math.sqrt(math.max(sl2 / n - ml * ml, 0.0)) / 255.0).toFloat,
+      (w.toDouble / (w + h)).toFloat,
+      (math.log10(n) / 10.0).toFloat,
+      1.0f)
+  }
+
+  /** STUB — stands in for a real audio/video decode + model forward pass,
+    * and the fallback for payloads no image reader understands.
     * Deterministic: a 8-dim "embedding" derived from byte statistics, so
     * tests and re-runs are stable. Swap this body for the real codec+model
     * call; the batching contract around it does not change. */
@@ -68,7 +121,15 @@ object Multimodal {
             val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
             val digest = java.security.MessageDigest.getInstance("MD5")
               .digest(bytes).map("%02x".format(_)).mkString
-            Row(id, mt, bytes.length, digest, decodeAndEmbedStub(bytes))
+            decodeImage(bytes) match {
+              // real codec path: dims + features from the decoded pixels
+              case Some(img) =>
+                Row(id, mt, bytes.length, digest,
+                  img.getWidth, img.getHeight, pixelEmbed(img))
+              case None =>
+                Row(id, mt, bytes.length, digest, null, null,
+                  decodeAndEmbedStub(bytes))
+            }
           }
         }
       }(enc)
@@ -92,10 +153,13 @@ object Multimodal {
       .select(col("media_id"), col("f._1").as("frame_index"), col("f._2").as("frame_bytes"))
   }
 
-  /** STUB — image resize. A real implementation decodes, resamples to
-    * `(w, h)` and re-encodes; the deterministic fake scales the payload
-    * length by the pixel-count ratio (capped at the original) the way a
-    * real raster buffer would shrink. The Spark-side contract is real and
+  /** Image resize — REAL for decodable payloads: javax.imageio decode →
+    * Graphics2D bilinear resample into the (w, h) box → PNG re-encode
+    * (alpha flattens to RGB; the javax PNG writer embeds no timestamps,
+    * so re-encoding is byte-deterministic). Payloads no reader
+    * understands keep the STUB fake — payload length scaled by the
+    * pixel-count ratio (capped at the original) the way a raster buffer
+    * would shrink. The Spark-side contract is shared by both paths and
     * is what downstream consumers depend on: only `image` rows are
     * touched, `meta.width/height` are rewritten to the target box, and
     * the payload column stays `binary` with the same schema. */
@@ -104,12 +168,24 @@ object Multimodal {
       // NULL payload stays NULL (unfetched/corrupt markers must survive
       // the transform — substituting an empty buffer would hide them)
       if (content == null) null
-      else {
-        val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
-          Option(mh).map(_.toLong).getOrElse(0L), 1L)
-        val n = math.min(content.length.toLong,
-          math.max(1L, content.length.toLong * (w.toLong * h) / srcPx)).toInt
-        java.util.Arrays.copyOfRange(content, 0, n)
+      else decodeImage(content) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case None =>
+          val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
+            Option(mh).map(_.toLong).getOrElse(0L), 1L)
+          val n = math.min(content.length.toLong,
+            math.max(1L, content.length.toLong * (w.toLong * h) / srcPx)).toInt
+          java.util.Arrays.copyOfRange(content, 0, n)
       }
     }
     val newMeta = struct(

@@ -31,6 +31,60 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).getSeq[Float](again(0).fieldIndex("feature")) == f1)
   }
 
+  /** Real PNG bytes: solid `rgb` fill at w×h via the JVM's own encoder. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("featurize REALLY decodes PNG payloads: dims and features come from pixels") {
+    val red = png(6, 4, 0xff0000)
+    val df = media((1L, "image", red),
+      (2L, "image", "not an image at all".getBytes("UTF-8")), // mislabeled
+      (3L, "audio", png(2, 2, 0x0000ff))) // image bytes under an audio label
+    val out = Multimodal.featurize(df).orderBy("media_id").collect()
+
+    // decoded dims come from the BYTES: 6×4 for the real PNG…
+    assert(out(0).getAs[Int]("decoded_width") == 6)
+    assert(out(0).getAs[Int]("decoded_height") == 4)
+    val f = out(0).getSeq[Float](out(0).fieldIndex("feature"))
+    assert(math.abs(f(0) - 1.0f) < 1e-3 && f(1) == 0.0f && f(2) == 0.0f,
+      s"solid red must embed as (1,0,0,…): $f")
+    assert(math.abs(f(5) - 0.6f) < 1e-6, s"aspect 6/(6+4): $f")
+    assert(f(7) == 1.0f, "decoded-flag must be set on the real-codec path")
+
+    // …null for bytes no reader understands (falls back to the stub)…
+    assert(out(1).isNullAt(out(1).fieldIndex("decoded_width")))
+    val stub = out(1).getSeq[Float](out(1).fieldIndex("feature"))
+    assert(math.abs(stub.sum - 1.0f) < 1e-5, "stub path is the byte histogram")
+
+    // …and sniffing trusts bytes, not the media_type label
+    assert(out(2).getAs[Int]("decoded_width") == 2)
+    val fb = out(2).getSeq[Float](out(2).fieldIndex("feature"))
+    assert(math.abs(fb(2) - 1.0f) < 1e-3, s"solid blue under 'audio' label: $fb")
+  }
+
+  test("resize REALLY resamples decodable images and re-encodes deterministic PNG") {
+    val src = png(8, 8, 0x00ff00)
+    val df = media((1L, "image", src))
+    val out = Multimodal.resize(df, w = 3, h = 5).collect()
+    val bytes = out(0).getAs[Array[Byte]]("content")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "resized payload must itself be a decodable PNG")
+    assert(img.getWidth == 3 && img.getHeight == 5)
+    assert((img.getRGB(1, 2) & 0xffffff) == 0x00ff00, "solid fill survives resample")
+    val meta = out(0).getStruct(out(0).fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") == 3 && meta.getAs[Int]("height") == 5)
+    // byte-determinism of the re-encode (no timestamps in the PNG writer)
+    val again = Multimodal.resize(df, w = 3, h = 5).collect()(0)
+      .getAs[Array[Byte]]("content")
+    assert(java.util.Arrays.equals(bytes, again))
+  }
+
   test("featurize batches within partitions (batch boundary has no effect)") {
     val rows = (1L to 100L).map(i => (i, "image", Array.fill(10)(i.toByte)))
     val small = Multimodal.featurize(media(rows: _*), batchSize = 7).orderBy("media_id").collect()
