@@ -155,6 +155,13 @@ object Star {
           .as("total_engagement"),                                      // F14
         col("sentiment_score"),
         col("sentiment_value").as("sentiment_label"),
-        col("language"))
+        col("language"),
+        // per-row provenance (the reference's bronze metadata columns,
+        // bronze_loader.py:79-97, carried THROUGH the star build): which
+        // pipeline run ingested the winning version of this toot and
+        // when — the governance trail a 100 TB curation pipeline needs
+        // to attribute any fact row back to its load
+        col("pipeline_run_id"),
+        col("ingestion_timestamp"))
   }
 }

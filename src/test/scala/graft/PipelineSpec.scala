@@ -80,6 +80,12 @@ class PipelineSpec extends SparkSpec {
     assert(t1fact.getAs[Long]("account_key") ==
       cur(0).getAs[Long]("account_key"))
     assert(t1fact.getAs[Long]("total_engagement") == 10L + 5L + 2L + 1L)
+    // provenance: each fact row names the run that ingested its winning
+    // version — t1 was re-crawled by run-2, t2 still carries run-1
+    assert(t1fact.getAs[String]("pipeline_run_id") == "run-2")
+    assert(fact.filter(fact("toot_id") === "t2").collect()(0)
+      .getAs[String]("pipeline_run_id") == "run-1")
+    assert(t1fact.getAs[Timestamp]("ingestion_timestamp") != null)
 
     // gold refreshed over both dates
     assert(r2.goldTables("daily_engagement_summary") == 2)

@@ -1,10 +1,10 @@
 package graft
 
-import java.sql.Date
+import java.sql.{Date, Timestamp}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.engine.Silver
+import graft.engine.{Silver, Star}
 
 /** ScalaCheck properties (SURVEY.md §5.3) — raw Gen with pinned seeds
   * (the scalatest bridge artifact is not in the offline cache):
@@ -68,5 +68,50 @@ class PropertiesSpec extends SparkSpec {
         assert(froms.distinct.length == froms.length)
       }
     }
+  }
+
+  /** Minimal bronze slice for [[Star.accountBatch]]: id + account cols +
+    * ingestion order. */
+  private def accBronze(rows: (String, String, Long, Timestamp)*) =
+    rows.toSeq.map { case (id, acct, followers, ing) =>
+      (id, acct, s"user-$acct", s"User $acct", followers, 10L, 5L, false, ing)
+    }.toDF("id", "account_id", "account_username", "account_display_name",
+      "account_followers_count", "account_following_count",
+      "account_statuses_count", "account_is_bot", "ingestion_timestamp")
+
+  test("scd2 multi-change-per-run: two snapshots of one account in one batch → one new current row") {
+    // SURVEY §7.5(6): the documented divergence from the reference. Its
+    // row-at-a-time SCD2 writes BOTH versions when one load carries two
+    // snapshots of an account (an expired intermediate + a current row);
+    // this engine collapses to latest-per-account BEFORE the SCD2 apply,
+    // so one batch yields exactly ONE new current row and no
+    // intermediate history — pinned here so the divergence stays a
+    // decision, not an accident.
+    val now = Timestamp.valueOf("2024-01-02 00:00:00")
+    val batch = accBronze(
+      ("t1", "a1", 100L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("t2", "a1", 900L, Timestamp.valueOf("2024-01-01 11:00:00")), // later wins
+      ("t3", "a2", 50L, Timestamp.valueOf("2024-01-01 10:30:00")))
+    val dim = Star.dimAccount(Star.emptyDimAccount(spark), batch, now)
+    val a1 = dim.filter($"account_id" === "a1").collect()
+    assert(a1.length == 1, s"one batch must yield ONE a1 row, got ${a1.length}")
+    assert(a1(0).getAs[Boolean]("is_current") &&
+      a1(0).getAs[Long]("account_followers_count") == 900L,
+      "the latest in-batch snapshot must be the surviving current row")
+
+    // and the collapse composes with history: a LATER batch (again with
+    // two snapshots) expires the old row and adds exactly one more
+    val batch2 = accBronze(
+      ("t4", "a1", 1000L, Timestamp.valueOf("2024-01-03 10:00:00")),
+      ("t5", "a1", 5000L, Timestamp.valueOf("2024-01-03 11:00:00")))
+    val dim2 = Star.dimAccount(dim,
+      batch2, Timestamp.valueOf("2024-01-04 00:00:00"))
+    val a1h = dim2.filter($"account_id" === "a1")
+      .orderBy("valid_from").collect()
+    assert(a1h.length == 2, s"history must be expired+current, got ${a1h.length}")
+    assert(!a1h(0).getAs[Boolean]("is_current") &&
+      a1h(0).getAs[Long]("account_followers_count") == 900L)
+    assert(a1h(1).getAs[Boolean]("is_current") &&
+      a1h(1).getAs[Long]("account_followers_count") == 5000L)
   }
 }
