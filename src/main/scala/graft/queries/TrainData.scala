@@ -28,13 +28,13 @@ object TrainData {
     * one task, so spread the corpus across the cluster first. On a real
     * lake the scan already has thousands of splits and this is a no-op
     * cost-wise (one round-robin shuffle of doc_id+text). */
-  private def docsParallel(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docsParallel(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
-  private def embParallel(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def embParallel(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
-  private def tokens(c: Column): Column = split(c, " ")
+  private[queries] def tokens(c: Column): Column = split(c, " ")
 
   // ── q20: exact dedup — content-hash groups (sha2 ≡ DuckDB sha256). ──
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -80,7 +80,7 @@ object TrainData {
 
   /** Shared oracle CTEs: shingles → signatures → banded rows → size-capped
     * buckets → candidate pairs, mirroring [[MinHashLsh]] exactly. */
-  private val lshCandidateCtes =
+  private[queries] val lshCandidateCtes =
     s"""sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sg
@@ -321,7 +321,7 @@ object TrainData {
   // the codegen'd CosineSimilarity expression (identical left-to-right
   // double accumulation to the oracle's list_aggregate), top-10 per probe
   // with id tie-break. ──
-  private def cosine(a: Column, b: Column): Column =
+  private[queries] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -742,8 +742,8 @@ object TrainData {
   // bit-identical left-to-right accumulation shared with q24/q25. Scale
   // rationale in operators/IvfFlat.scala. ──
   private val IvfK = 16
-  private val IvfNprobe = 2
-  private val IvfTopK = 10
+  private[queries] val IvfNprobe = 2
+  private[queries] val IvfTopK = 10
 
   private def q54(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -1502,7 +1502,7 @@ object TrainData {
   /** The shared training recipe of q69 and q76: K seed rows collected as
     * model state (same as q54 — not data movement), then KmIters Lloyd
     * refinements over the spread corpus. */
-  private def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
+  private[queries] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
       .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
@@ -1529,7 +1529,7 @@ object TrainData {
 
   /** DuckDB cosine over two fully-qualified list refs (the `$a.embedding`
     * form in [[cosineSql]] generalized to arbitrary expressions). */
-  private def cosExprSql(a: String, b: String): String =
+  private[queries] def cosExprSql(a: String, b: String): String =
     s"""list_aggregate(list_transform(range(1, len($a) + 1),
       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
       |    / (sqrt(list_aggregate(list_transform(range(1, len($a) + 1),
@@ -1569,7 +1569,7 @@ object TrainData {
 
   /** The c0 → a3 training unroll (seeds, KmIters assign/update rounds,
     * final assignment) shared by q69 and q76 — one recipe, two gates. */
-  private val kmTrainCtesSql: String =
+  private[queries] val kmTrainCtesSql: String =
     s"""c0 AS (
       |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
       |  FROM embeddings WHERE vec_id < $KmK),

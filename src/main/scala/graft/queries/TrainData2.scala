@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{IvfFlat, MinHashLsh}
+
+/** Round-5 training-data operators: corpus governance and index-quality
+  * measurement on top of the round-4 curation stack (TrainData.scala).
+  *
+  * The five queries here close gaps a production 100 TB curation pipeline
+  * still had after q20–q76:
+  *   - q77: train/val SPLIT LEAKAGE audit — near-dup pairs that straddle a
+  *     deterministic holdout split (the self-split analog of q57/q64's
+  *     eval-set decontamination).
+  *   - q78: URL canonicalization + dedup — the web-corpus dedup key that
+  *     exact text hashing (q20) misses when the same page is crawled under
+  *     tracking-parameter / case / trailing-slash variants.
+  *   - q79: mergeable HISTOGRAM QUANTILE sketch — the shard-then-union
+  *     quantile shape (q71's HLL pattern applied to percentiles): each
+  *     shard histograms locally, histograms add, quantiles read off the
+  *     merged bins. Unlike KLL/t-digest the equi-width histogram is
+  *     ORDER-INDEPENDENT, so the whole construction is exactly
+  *     replayable in the oracle (hash-gated, not tolerance-gated).
+  *   - q80: ANN RECALL@k — the index-quality metric that decides nprobe/k
+  *     tradeoffs: trained-IVF results (q76's configuration) scored against
+  *     brute-force ground truth (q24's kernel) per probe.
+  *   - q81: COUNT-MIN heavy hitters — the mergeable frequency sketch:
+  *     per-partition cell counts are the per-shard sketches, the
+  *     groupBy-sum shuffle IS the sketch merge (counter matrices add),
+  *     estimates carry the CMS one-sided guarantee. Fixed md5-derived
+  *     hash rows make the sketch deterministic across engines AND
+  *     partitionings (a Misra-Gries/SpaceSaving summary would be
+  *     insertion-order-dependent and could never be hash-gated).
+  *
+  * Reference framing: the reference pipeline dedups on exact ids only
+  * (src/transformer/data_quality.py:57-62) and profiles with exact
+  * GROUP BYs; everything here is the at-scale extension of those two
+  * ideas (dedup keys that generalize, profiles that merge).
+  */
+object TrainData2 {
+
+  // ── q77: split-leakage audit — hash-split the corpus 13/16 train vs
+  // 3/16 val (key-hashed like q59/q67, so the split is reproducible
+  // across engines and partitionings), then surface MinHash-LSH
+  // candidate pairs that CROSS the split: a val doc with a train
+  // near-dup is leaked signal, the within-corpus version of benchmark
+  // contamination (q57). Scale: the split column is a row-local hash;
+  // everything else is q21's capped LSH join — no new shuffle beyond
+  // the id→flag joins. ──
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+      (substring(md5(concat(lit("q77:"), col("doc_id").cast("string"))), 1, 1) < "3")
+        .as("is_val"))
+    // sigs consumed by both sides of the candidate self-join (q21 pattern)
+    val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
+      .localCheckpoint()
+    MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
+      .join(split.select(col("doc_id").as("doc_a"), col("is_val").as("a_val")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("is_val").as("b_val")), "doc_b")
+      .filter(col("a_val") =!= col("b_val"))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        when(col("a_val"), col("doc_a")).otherwise(col("doc_b")).as("val_doc"),
+        when(col("a_val"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"))
+      .orderBy("doc_a", "doc_b")
+      .limit(200)
+  }
+
+  private val q77Sql =
+    s"""WITH ${TrainData.lshCandidateCtes},
+      |split AS (
+      |  SELECT doc_id,
+      |    substr(md5('q77:' || CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_val
+      |  FROM documents)
+      |SELECT c.doc_a, c.doc_b, c.n_sig_match,
+      |  CASE WHEN sa.is_val THEN c.doc_a ELSE c.doc_b END AS val_doc,
+      |  CASE WHEN sa.is_val THEN c.doc_b ELSE c.doc_a END AS train_doc
+      |FROM cand c
+      |JOIN split sa ON c.doc_a = sa.doc_id
+      |JOIN split sb ON c.doc_b = sb.doc_id
+      |WHERE sa.is_val != sb.is_val
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+
+  // ── q78: URL canonicalization + dedup — raw crawl URLs differ in
+  // scheme case, www prefix, trailing slash and tracking parameters
+  // while naming the same page; the canonical form is the dedup key.
+  // Raw URLs are synthesized deterministically from (source, doc_id)
+  // residues — engine and oracle build the identical string, then run
+  // the identical normalization pipeline: lowercase → strip scheme →
+  // strip www. → strip trailing slash → drop all params except the
+  // content-bearing `page`. Scale: normalization is row-local
+  // (codegen'd string ops fused into the scan); the dedup is one
+  // groupBy on the canonical key. ──
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/docs/"),
+      (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&page="), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 2 === 0, "&ref=tw").otherwise(""))
+    TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), lower(raw).as("lu"))
+      .withColumn("base",
+        when(instr(col("lu"), "?") > 0,
+          expr("substring(lu, 1, instr(lu, '?') - 1)")).otherwise(col("lu")))
+      .withColumn("hp", regexp_replace(regexp_replace(regexp_replace(
+        col("base"), "^https?://", ""), "^www\\.", ""), "/$", ""))
+      .withColumn("page", regexp_extract(col("lu"), "[?&]page=([0-9]+)", 1))
+      .withColumn("url_norm", concat(col("hp"),
+        when(col("page") =!= "", concat(lit("?page="), col("page"))).otherwise(lit(""))))
+      .groupBy("url_norm")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("url_norm")
+  }
+
+  private val q78Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    lower('HTTPS://WWW.' || upper(source) || '.Example.COM/docs/'
+      |      || CAST(doc_id % 7 AS VARCHAR)
+      |      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+      |      || '?utm_source=feed&page=' || CAST(doc_id % 5 AS VARCHAR)
+      |      || CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END) AS lu
+      |  FROM documents),
+      |norm AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      CASE WHEN instr(lu, '?') > 0
+      |           THEN substr(lu, 1, CAST(instr(lu, '?') AS INT) - 1) ELSE lu END,
+      |      '^https?://', ''), '^www\.', ''), '/$', '')
+      |    || CASE WHEN regexp_extract(lu, '[?&]page=([0-9]+)', 1) <> ''
+      |            THEN '?page=' || regexp_extract(lu, '[?&]page=([0-9]+)', 1)
+      |            ELSE '' END AS url_norm
+      |  FROM raw)
+      |SELECT url_norm, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc,
+      |  MAX(doc_id) AS last_doc
+      |FROM norm GROUP BY 1 ORDER BY url_norm""".stripMargin
+
+  // ── q79: mergeable histogram-quantile sketch — per-shard equi-width
+  // histograms (bin = n_chars div 16, capped at 255) sum into a merged
+  // histogram; p50/p90/p99 read off the cumulative bin counts as the
+  // first bin reaching ceil(p·N). The histogram is the ONE quantile
+  // sketch that is fully order/partitioning-independent, so the oracle
+  // replays it exactly and the gate is a hash match, not a tolerance
+  // boolean (contrast q71's HLL, where the estimator itself is
+  // engine-specific). The exact per-value quantile rides along and
+  // `within_bin` asserts the sketch's ±binwidth guarantee. Scale: two
+  // partial-aggregated groupBys; the windows below run over ≤256 bin
+  // rows (the sketch read-out — bounded regardless of corpus size). ──
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val ps = explode(array(lit(50), lit(90), lit(99))).as("p")
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val merged = TrainData.docsParallel(spark, dir)
+      .select(col("source"), least(expr("n_chars div 16"), lit(255L)).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt")) // per-shard sketch
+      .groupBy("bin").agg(sum("cnt").as("cnt"))              // sketch merge
+    val est = merged
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .select(ps, col("bin"), col("cum"), col("tot"))
+      .filter(col("cum") * 100 >= col("p") * col("tot"))
+      .groupBy("p").agg(min("bin").as("b"))
+    val vCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vTot = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val exact = TrainData.docsParallel(spark, dir)
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(vCum))
+      .withColumn("tot", sum("cnt").over(vTot))
+      .select(ps, col("v"), col("cum"), col("tot"))
+      .filter(col("cum") * 100 >= col("p") * col("tot"))
+      .groupBy("p").agg(min("v").as("exact_val"))
+    est.join(exact, "p")
+      .select(col("p").cast("int").as("p"),
+        (col("b") * 16).as("est_lo"), (col("b") * 16 + 15).as("est_hi"),
+        col("exact_val"),
+        col("exact_val").between(col("b") * 16, col("b") * 16 + 15).as("within_bin"))
+      .orderBy("p")
+  }
+
+  private val q79Sql =
+    """WITH shard AS (
+      |  SELECT source, LEAST(n_chars // 16, 255) AS bin, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |merged AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM shard GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      |  FROM merged),
+      |est AS (
+      |  SELECT p, MIN(bin) AS b
+      |  FROM (SELECT unnest([50,90,99]) AS p, bin, cum, tot FROM cum)
+      |  WHERE cum * 100 >= p * tot GROUP BY p),
+      |vals AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |vcum AS (
+      |  SELECT v,
+      |    CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      |  FROM vals),
+      |exact AS (
+      |  SELECT p, MIN(v) AS exact_val
+      |  FROM (SELECT unnest([50,90,99]) AS p, v, cum, tot FROM vcum)
+      |  WHERE cum * 100 >= p * tot GROUP BY p)
+      |SELECT CAST(e.p AS INT) AS p, b * 16 AS est_lo, b * 16 + 15 AS est_hi,
+      |  x.exact_val,
+      |  x.exact_val BETWEEN b * 16 AND b * 16 + 15 AS within_bin
+      |FROM est e JOIN exact x ON e.p = x.p ORDER BY p""".stripMargin
+
+  // ── q80: ANN recall@k — the metric that justifies an approximate
+  // index: trained-IVF top-k (exactly q76's configuration: Lloyd-refined
+  // centroids, nprobe cluster pruning, exact re-rank) intersected with
+  // brute-force top-k ground truth (q24's kernel) per probe. The oracle
+  // replays BOTH retrieval paths and the intersection, so recall is
+  // hash-gated end to end. Scale: the IVF side is q54/q76's zero-shuffle
+  // assignment + broadcast probe list; the brute side is the 5-probe ×
+  // corpus broadcast kernel — the ground-truth pass one affords on a
+  // sample, never the whole corpus. ──
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = TrainData.embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val ivf = IvfFlat.probe(IvfFlat.assign(corpus, cents), probes, cents,
+        nprobe = TrainData.IvfNprobe, k = TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val wk = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    val brute = probes
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", TrainData.cosine(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = brute.join(ivf, Seq("probe_id", "cand_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TrainData.IvfTopK)
+          .as("recall_at_k"))
+      .orderBy("probe_id")
+  }
+
+  private val q80Sql =
+    s"""WITH ${TrainData.kmTrainCtesSql},
+      |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |pc AS (
+      |  SELECT p.probe_id, c.cid,
+      |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
+      |  FROM probes p CROSS JOIN c2 c),
+      |probed AS (
+      |  SELECT probe_id, cid FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY pc_cos DESC, cid) <= ${TrainData.IvfNprobe}),
+      |cand AS (
+      |  SELECT pr.probe_id, a.vec_id AS cand_id
+      |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
+      |  WHERE a.vec_id != pr.probe_id),
+      |iscored AS (
+      |  SELECT c.probe_id, c.cand_id,
+      |    ${TrainData.cosExprSql("pe.embedding", "ce.embedding")} AS cosine
+      |  FROM cand c
+      |  JOIN embeddings pe ON c.probe_id = pe.vec_id
+      |  JOIN embeddings ce ON c.cand_id = ce.vec_id),
+      |ivf AS (
+      |  SELECT probe_id, cand_id FROM iscored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |bscored AS (
+      |  SELECT p.probe_id, e.vec_id AS cand_id,
+      |    ${TrainData.cosExprSql("p.embedding", "e.embedding")} AS cosine
+      |  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id),
+      |brute AS (
+      |  SELECT probe_id, cand_id FROM bscored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |hits AS (
+      |  SELECT b.probe_id, COUNT(*) AS n_hits
+      |  FROM brute b JOIN ivf i
+      |    ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+      |  GROUP BY 1)
+      |SELECT p.probe_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${TrainData.IvfTopK} AS recall_at_k
+      |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+      |ORDER BY p.probe_id""".stripMargin
+
+  // ── q81: count-min heavy hitters — depth 4 × width 256, hash rows
+  // from md5 nibble pairs (the q22 hex-to-int primitive both engines
+  // share). The groupBy(j, cell) partial aggregation is literally the
+  // sketch: each partition builds its local counter matrix map-side,
+  // the shuffle-reduce ADDS the matrices (CMS merge = counter
+  // addition), and the merged 1024 cells answer point queries with the
+  // one-sided overestimate guarantee, checked here against the exact
+  // top-10 (est ≥ exact always; overcount ≤ 4N/w gated as
+  // `within_bound`). Deterministic hashes — unlike Misra-Gries — make
+  // the whole sketch insertion-order-free, hence hash-gated. Scale:
+  // two partial-aggregated shuffles over the token stream; sketch
+  // state is 1024 rows no matter the corpus size. ──
+  private val CmsDepth = 4
+  private val CmsBoundFactor = 64 // overcount gate: (est-exact)*64 <= N, i.e. 4N/w
+
+  /** Row-`j` cell index of word col `w`: two md5 nibbles decoded via the
+    * shared instr() primitive (see q22 scaladoc in TrainData). */
+  private def cmsCell(j: String): Column = expr(
+    s"(instr('0123456789abcdef', substring(md5(w), 2*$j + 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substring(md5(w), 2*$j + 2, 1)) - 1)")
+
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    val js = explode(array((0 until CmsDepth).map(lit): _*)).as("j")
+    val words = TrainData.docsParallel(spark, dir)
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+    // the merged sketch: ≤ 4×256 rows — checkpointed, consumed twice
+    val cells = words.select(col("w"), js)
+      .withColumn("cell", cmsCell("j"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // N = total insertions = sum of any one row's cells (1-row scalar)
+    val tot = cells.filter(col("j") === 0).agg(sum("cnt").as("n_total"))
+    val exact = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(10)
+    val est = exact.select(col("w"), col("exact_cnt"), js)
+      .withColumn("cell", cmsCell("j"))
+      .join(cells, Seq("j", "cell"))
+      .groupBy("w", "exact_cnt").agg(min("cnt").as("cms_est"))
+    est.crossJoin(broadcast(tot)) // 1-row total (q62 pattern)
+      .select(col("w"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"),
+        (col("cms_est") >= col("exact_cnt") &&
+          (col("cms_est") - col("exact_cnt")) * CmsBoundFactor <= col("n_total"))
+          .as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("w"))
+  }
+
+  private val q81Sql =
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words),
+      |cells AS (
+      |  SELECT j,
+      |    (instr('0123456789abcdef', substr(md5(w), 2*j + 1, 1)) - 1) * 16
+      |      + (instr('0123456789abcdef', substr(md5(w), 2*j + 2, 1)) - 1) AS cell,
+      |    COUNT(*) AS cnt
+      |  FROM (SELECT w, unnest([0,1,2,3]) AS j FROM words) GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM words GROUP BY 1
+      |  ORDER BY exact_cnt DESC, w LIMIT 10),
+      |est AS (
+      |  SELECT e.w, e.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      |  FROM exact e
+      |  JOIN cells c
+      |    ON c.cell = (instr('0123456789abcdef', substr(md5(e.w), 2*c.j + 1, 1)) - 1) * 16
+      |              + (instr('0123456789abcdef', substr(md5(e.w), 2*c.j + 2, 1)) - 1)
+      |  GROUP BY 1, 2)
+      |SELECT w, exact_cnt, cms_est,
+      |  cms_est - exact_cnt AS overcount,
+      |  (cms_est >= exact_cnt
+      |    AND (cms_est - exact_cnt) * $CmsBoundFactor <= (SELECT n FROM tot))
+      |    AS within_bound
+      |FROM est ORDER BY exact_cnt DESC, w""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q77_split_leakage", q77, Some(q77Sql)),
+    QueryDef("q78_url_dedup", q78, Some(q78Sql)),
+    QueryDef("q79_quantile_sketch", q79, Some(q79Sql)),
+    QueryDef("q80_ann_recall", q80, Some(q80Sql)),
+    QueryDef("q81_cms_topk", q81, Some(q81Sql)))
+}

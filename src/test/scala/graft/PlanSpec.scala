@@ -105,6 +105,29 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q77/q78/q79: governance pipelines never nested-loop") {
+    // q77 inherits q21's capped LSH join plus id→flag equi-joins; q78 is
+    // scan-fused row-local normalization + one groupBy; q79's percentile
+    // read-out joins two 3-row aggregates on an equi key. (q80/q81 are
+    // excluded by design: the brute-force ground-truth kernel and the
+    // 1-row total broadcast are intentional nested-loop shapes, same as
+    // q24 and q62.)
+    Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch")
+      .foreach { name =>
+        val s = planString(q(name))
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$name:\n${s.take(800)}")
+      }
+  }
+
+  test("q81: the CMS sketch build is two partial-agg shuffles, no join before the probe") {
+    // the sketch itself (words → cells → groupBy) must stay join-free;
+    // the only joins are the 10-row top-k probe and the 1-row total
+    val s = planString(q("q81_cms_topk"))
+    assert(s.contains("HashAggregate"), s.take(800))
+    assert(!s.contains("CartesianProduct"), s.take(800))
+  }
+
   test("q70: quantization is a pure map — no join, no window, one aggregate pair") {
     // the scan → project → partial agg → final agg shape; any join or
     // window here would mean the per-vector math stopped being row-local

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-5 governance queries (q77–q81) — the
+  * invariants each operator promises, checked at sf0.001 (the driver's
+  * DuckDB gate re-checks exact equality at sf0.01). */
+class TrainData2Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q77: every reported pair crosses the split, and val/train sides are typed right") {
+    val rows = q("q77_split_leakage").collect()
+    assert(rows.nonEmpty)
+    def isVal(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"q77:$id".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.charAt(0) < '3'
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (v, t) = (r.getLong(3), r.getLong(4))
+      assert(Set(a, b) == Set(v, t))
+      assert(isVal(v) && !isVal(t), s"pair ($a,$b): val/train sides mislabeled")
+    }
+  }
+
+  test("q78: canonical-URL groups partition the corpus (dup counts sum to n_docs)") {
+    val out = q("q78_url_dedup")
+    val total = out.agg(sum("n_dups")).head.getLong(0)
+    val nDocs = graft.engine.Tables.documents(spark, dir).count()
+    assert(total == nDocs, s"n_dups sum $total != corpus $nDocs")
+    assert(out.filter(col("keeper_doc") > col("last_doc")).isEmpty)
+    // normalization actually collapsed variants: fewer keys than docs
+    assert(out.count() < nDocs)
+  }
+
+  test("q79: merged-histogram quantile brackets the exact quantile at every p") {
+    val rows = q("q79_quantile_sketch").orderBy("p").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    rows.foreach { r =>
+      val (lo, hi, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hi == lo + 15)
+      assert(exact >= lo && exact <= hi, s"p=${r.getInt(0)}: $exact !in [$lo,$hi]")
+      assert(r.getBoolean(4))
+    }
+  }
+
+  test("q80: recall@k is n_hits/k with 0 <= n_hits <= k, one row per probe") {
+    val rows = q("q80_ann_recall").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getDouble(2) == hits / 10.0)
+    }
+  }
+
+  test("q81: CMS estimates are one-sided (est >= exact) and inside the 4N/w bound") {
+    val rows = q("q81_cms_topk").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"${r.getString(0)}: CMS undercounted")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+      assert(r.getBoolean(4), s"${r.getString(0)}: overcount outside bound")
+    }
+  }
+}
