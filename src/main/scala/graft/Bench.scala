@@ -25,6 +25,21 @@ object Bench {
     s
   }
 
+  /** Host-wide (user, system, idle, steal) jiffies from /proc/stat.
+    * proc_cpu_sec alone can't distinguish "the query did more work"
+    * from "each cycle did less work": this VM class shows runs where
+    * KERNEL time is 2× user time under full 32-thread saturation
+    * (scheduler/futex overhead), inflating saturating stages ~1.5×
+    * while sub-second queries are untouched. system ≫ user in the
+    * artifact = host-kernel overhead, not a plan regression; steal > 0
+    * = hypervisor contention. */
+  private def hostCpuTicks(): (Long, Long, Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (l(0) + l(1), l(2), l(3), if (l.length > 7) l(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +69,7 @@ object Bench {
         catch { case _: Throwable => })
     spark.catalog.clearCache()
 
+    val (hu0, hs0, hi0, hst0) = hostCpuTicks()
     val (gc0Count, gc0Ms) = gcTotals()
     val cpu0 = processCpuSec()
     val wall0 = System.nanoTime()
@@ -71,6 +87,7 @@ object Bench {
       name -> times
     }
 
+    val (hu1, hs1, hi1, hst1) = hostCpuTicks()
     val (gc1Count, gc1Ms) = gcTotals()
     val cpu1 = processCpuSec()
     val wallSec = (System.nanoTime() - wall0) / 1e9
@@ -92,7 +109,9 @@ object Bench {
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
     val diag = s""""wall_sec":${fmt(wallSec, 1)},"proc_cpu_sec":${fmt(cpu1 - cpu0, 1)},""" +
-      s""""gc_count":${gc1Count - gc0Count},"gc_sec":${fmt((gc1Ms - gc0Ms) / 1e3, 1)}"""
+      s""""gc_count":${gc1Count - gc0Count},"gc_sec":${fmt((gc1Ms - gc0Ms) / 1e3, 1)},""" +
+      s""""host_ticks":{"user":${hu1 - hu0},"system":${hs1 - hs0},""" +
+      s""""idle":${hi1 - hi0},"steal":${hst1 - hst0}}"""
     // Self-describing artifact: reps + the perf-relevant session config,
     // so round-over-round BENCH_r{N}.json comparisons carry their own
     // measurement conditions.
@@ -101,10 +120,11 @@ object Bench {
       s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
     // Key order is deliberate: the artifact is captured via `tail`, so if
     // the line ever exceeds the capture window it is the HEAD that gets
-    // cut — put per-rep detail first and the contract keys ("queries",
-    // "metric":"total") last so they always survive (round-4's artifact
-    // lost its total exactly this way).
-    println(s"""{"sf":"$sfDir",$env,$diag,"reps_sec":$repsJson,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    // cut — sacrificial per-rep detail first, then the contract keys
+    // ("queries", "metric":"total"), then the diagnosis block LAST so a
+    // truncated capture still shows cpu/gc/host-kernel evidence next to
+    // the total (round-4's artifact lost its total exactly this way).
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec",$diag}""")
     spark.stop()
   }
 }

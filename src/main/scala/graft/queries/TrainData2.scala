@@ -369,10 +369,122 @@ object TrainData2 {
       |    AS within_bound
       |FROM est ORDER BY exact_cnt DESC, w""".stripMargin
 
+  // ── q82: distributed BPE tokenizer training — the pair-count → merge
+  // iteration every modern tokenizer is trained with, run as relational
+  // algebra: the corpus collapses ONCE to (word, frequency) — after that
+  // every round touches only the vocabulary, never the corpus (the
+  // map-reduce BPE formulation; at 100 TB the vocab is MBs while the
+  // corpus is TBs, so rounds are effectively free). The greedy
+  // left-to-right merge of overlapping matches — BPE's one inherently
+  // sequential step — becomes closed-form gaps-and-islands: consecutive
+  // match positions group into runs (pos − row_number), and every
+  // odd-indexed position within a run merges ("aaaa" + (a,a) → merges
+  // at 1 and 3 → "aa","aa"). No recursion, no per-word UDF loop, and
+  // the oracle replays all three rounds exactly. ──
+  private val BpeRounds = 3
+
+  /** One BPE round over symbolization `syms(w, pos, sym)` with word
+    * weights `weights(w, f)`: top adjacent pair by (Σf DESC, pair ASC),
+    * greedy-merged via islands. Returns (next syms, 1-row merge record).
+    * Exposed to the spec for the overlapping-run semantics pin. */
+  private[graft] def bpeRound(syms: DataFrame, weights: DataFrame,
+                              round: Int): (DataFrame, DataFrame) = {
+    val nxt = syms.select(col("w"), (col("pos") - 1).as("pos"), col("sym").as("nsym"))
+    val adj = syms.join(nxt, Seq("w", "pos")).join(weights, "w")
+    val top = adj.groupBy(col("sym").as("L"), col("nsym").as("R"))
+      .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
+      .orderBy(col("weight").desc, col("L"), col("R")).limit(1)
+      .localCheckpoint() // 1 row; consumed by the match join AND the output
+    val matches = adj.join(broadcast(top.select("L", "R")),
+        col("sym") === col("L") && col("nsym") === col("R"))
+      .select(col("w"), col("pos"))
+    val kept = matches
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("w").orderBy("pos")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("w", "grp").orderBy("pos")))
+      .filter(col("rn") % 2 === 1)
+      .select(col("w"), col("pos"))
+    val merged = syms
+      .join(kept.withColumn("is_m", lit(true)), Seq("w", "pos"), "left")
+      .join(kept.select(col("w"), (col("pos") + 1).as("pos"),
+        lit(true).as("was_r")), Seq("w", "pos"), "left")
+      .filter(col("was_r").isNull) // right halves of merged pairs vanish
+      .join(nxt, Seq("w", "pos"), "left")
+      .select(col("w"),
+        row_number().over(Window.partitionBy("w").orderBy("pos")).as("pos"),
+        when(col("is_m"), concat(col("sym"), col("nsym"))).otherwise(col("sym"))
+          .as("sym"))
+      .localCheckpoint() // vocab-sized; next round consumes it twice
+    (merged, top.select(lit(round).as("round"), col("L").as("left_sym"),
+      col("R").as("right_sym"), col("weight"), col("n_words")))
+  }
+
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val weights = TrainData.docsParallel(spark, dir)
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // vocab-sized; joined every round
+    val syms0 = weights.select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    val (_, merges) = (1 to BpeRounds)
+      .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
+        val (s2, t) = bpeRound(s, weights, k)
+        (s2, acc :+ t)
+      }
+    merges.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** One oracle round: the CTE chain mirroring [[bpeRound]] exactly
+    * (pair count → top-1 → islands → renumbered merge). */
+  private def bpeRoundSql(k: Int): String = {
+    val s = s"s$k"
+    s"""a$k AS (SELECT a.w, a.pos, a.sym, b.sym AS nsym, w0.f
+      |  FROM $s a JOIN $s b ON a.w = b.w AND b.pos = a.pos + 1
+      |  JOIN w0 ON a.w = w0.w),
+      |t$k AS (SELECT sym AS L, nsym AS R, CAST(SUM(f) AS BIGINT) AS weight,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM a$k GROUP BY 1, 2 ORDER BY weight DESC, L, R LIMIT 1),
+      |m$k AS (SELECT a.w, a.pos FROM a$k a JOIN t$k t ON a.sym = t.L AND a.nsym = t.R),
+      |k$k AS (SELECT w, pos FROM (
+      |    SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
+      |    FROM (SELECT w, pos,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+      |      FROM m$k))
+      |  WHERE rn % 2 = 1),
+      |s${k + 1} AS (
+      |  SELECT w, CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+      |    CASE WHEN is_m THEN sym || nsym ELSE sym END AS sym
+      |  FROM (
+      |    SELECT s.w, s.pos, s.sym, k1.pos IS NOT NULL AS is_m, n.sym AS nsym
+      |    FROM $s s
+      |    LEFT JOIN k$k k1 ON s.w = k1.w AND s.pos = k1.pos
+      |    LEFT JOIN k$k k2 ON s.w = k2.w AND s.pos = k2.pos + 1
+      |    LEFT JOIN $s n ON s.w = n.w AND n.pos = s.pos + 1
+      |    WHERE k2.pos IS NULL))""".stripMargin
+  }
+
+  private val q82Sql =
+    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |s1 AS (SELECT w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+      |    unnest(list_transform(range(1, len(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1))) AS sym
+      |  FROM w0),
+      |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}
+      |SELECT * FROM (
+      |${(1 to BpeRounds).map(k =>
+         s"  SELECT $k AS round, L AS left_sym, R AS right_sym, weight, n_words FROM t$k")
+         .mkString("\n  UNION ALL\n")})
+      |ORDER BY round""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
     QueryDef("q79_quantile_sketch", q79, Some(q79Sql)),
     QueryDef("q80_ann_recall", q80, Some(q80Sql)),
-    QueryDef("q81_cms_topk", q81, Some(q81Sql)))
+    QueryDef("q81_cms_topk", q81, Some(q81Sql)),
+    QueryDef("q82_bpe_train", q82, Some(q82Sql)))
 }

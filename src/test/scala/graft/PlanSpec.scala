@@ -112,12 +112,12 @@ class PlanSpec extends SparkSpec {
     // excluded by design: the brute-force ground-truth kernel and the
     // 1-row total broadcast are intentional nested-loop shapes, same as
     // q24 and q62.)
-    Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch")
-      .foreach { name =>
-        val s = planString(q(name))
-        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-          s"$name:\n${s.take(800)}")
-      }
+    Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch",
+        "q82_bpe_train").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${s.take(800)}")
+    }
   }
 
   test("q81: the CMS sketch build is two partial-agg shuffles, no join before the probe") {

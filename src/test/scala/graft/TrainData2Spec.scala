@@ -56,6 +56,33 @@ class TrainData2Spec extends SparkSpec {
     }
   }
 
+  test("q82: three merge rounds, each with positive weight and a non-empty pair") {
+    val rows = q("q82_bpe_train").orderBy("round").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+    // merged symbols grow: a later round may merge a round-1 product, but
+    // every merge must concatenate previously existing symbols
+    assert(rows.forall(r => (r.getString(1) + r.getString(2)).length >= 2))
+  }
+
+  test("bpeRound: greedy left-to-right merge on an overlapping run (BPE's sequential step)") {
+    // "aaaa" + top pair (a,a): matches at 1,2,3 form ONE island; greedy
+    // takes 1 and 3 → exactly "aa","aa" — the case a naive
+    // all-matches-merge (or right-to-left scan) gets wrong.
+    import spark.implicits._
+    val syms = Seq(("aaaa", 1, "a"), ("aaaa", 2, "a"), ("aaaa", 3, "a"), ("aaaa", 4, "a"))
+      .toDF("w", "pos", "sym")
+    val weights = Seq(("aaaa", 1L)).toDF("w", "f")
+    val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
+    val m = merged.orderBy("pos").collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(m == Seq((1, "aa"), (2, "aa")), m)
+    val t = rec.head
+    assert((t.getString(1), t.getString(2), t.getLong(3), t.getLong(4)) == ("a", "a", 3L, 1L))
+  }
+
   test("q81: CMS estimates are one-sided (est >= exact) and inside the 4N/w bound") {
     val rows = q("q81_cms_topk").collect()
     assert(rows.length == 10)
