@@ -150,22 +150,32 @@ object TrainData2 {
   // `within_bin` asserts the sketch's ±binwidth guarantee. Scale: two
   // partial-aggregated groupBys; the windows below run over ≤256 bin
   // rows (the sketch read-out — bounded regardless of corpus size). ──
-  private def q79(spark: SparkSession, dir: String): DataFrame = {
-    val ps = explode(array(lit(50), lit(90), lit(99))).as("p")
+  /** Quantile read-out of a merged histogram `hist(bin, cnt)`: for each
+    * p ∈ {50,90,99}, the first bin whose cumulative count reaches
+    * ceil(p·N/100). The windows run over the ≤256-row bin table — the
+    * sketch, never the data. Shared by q79 (build + verify) and q83
+    * (incremental maintenance gate). */
+  private def histQuantiles(hist: DataFrame, out: String): DataFrame = {
     val wCum = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .select(explode(array(lit(50), lit(90), lit(99))).as("p"),
+        col("bin"), col("cum"), col("tot"))
+      .filter(col("cum") * 100 >= col("p") * col("tot"))
+      .groupBy("p").agg(min("bin").as(out))
+  }
+
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val ps = explode(array(lit(50), lit(90), lit(99))).as("p")
     val merged = TrainData.docsParallel(spark, dir)
       .select(col("source"), least(expr("n_chars div 16"), lit(255L)).as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("cnt")) // per-shard sketch
       .groupBy("bin").agg(sum("cnt").as("cnt"))              // sketch merge
-    val est = merged
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("tot", sum("cnt").over(wTot))
-      .select(ps, col("bin"), col("cum"), col("tot"))
-      .filter(col("cum") * 100 >= col("p") * col("tot"))
-      .groupBy("p").agg(min("bin").as("b"))
+    val est = histQuantiles(merged, "b")
     val vCum = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val vTot = Window.orderBy("v")
@@ -311,27 +321,19 @@ object TrainData2 {
   private val CmsDepth = 4
   private val CmsBoundFactor = 64 // overcount gate: (est-exact)*64 <= N, i.e. 4N/w
 
-  /** Row-`j` cell index of word col `w`: two md5 nibbles decoded via the
-    * shared instr() primitive (see q22 scaladoc in TrainData). */
-  private def cmsCell(j: String): Column = expr(
-    s"(instr('0123456789abcdef', substring(md5(w), 2*$j + 1, 1)) - 1) * 16" +
-      s" + (instr('0123456789abcdef', substring(md5(w), 2*$j + 2, 1)) - 1)")
-
   private def q81(spark: SparkSession, dir: String): DataFrame = {
     val js = explode(array((0 until CmsDepth).map(lit): _*)).as("j")
     val words = TrainData.docsParallel(spark, dir)
       .select(explode(TrainData.tokens(col("text"))).as("w"))
     // the merged sketch: ≤ 4×256 rows — checkpointed, consumed twice
-    val cells = words.select(col("w"), js)
-      .withColumn("cell", cmsCell("j"))
-      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    val cells = graft.operators.CountMin.cells(words, CmsDepth)
       .localCheckpoint()
     // N = total insertions = sum of any one row's cells (1-row scalar)
     val tot = cells.filter(col("j") === 0).agg(sum("cnt").as("n_total"))
     val exact = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("w")).limit(10)
     val est = exact.select(col("w"), col("exact_cnt"), js)
-      .withColumn("cell", cmsCell("j"))
+      .withColumn("cell", graft.operators.CountMin.cell("j"))
       .join(cells, Seq("j", "cell"))
       .groupBy("w", "exact_cnt").agg(min("cnt").as("cms_est"))
     est.crossJoin(broadcast(tot)) // 1-row total (q62 pattern)
@@ -480,11 +482,75 @@ object TrainData2 {
          .mkString("\n  UNION ALL\n")})
       |ORDER BY round""".stripMargin
 
+  // ── q83: incremental sketch maintenance — the property that makes
+  // mergeable sketches the right profile structure at 100 TB: when a new
+  // batch lands, the stored histogram is updated by ADDING the batch's
+  // histogram (one batch-only pass; the stored corpus is read zero
+  // times), and the gate proves merge(stored, batch) reads out the SAME
+  // quantiles as a full recompute — q50's incremental-MV contract
+  // applied to sketch state (q53's to exact dedup). The corpus splits
+  // 9:1 on a doc_id residue standing in for "already profiled" vs "new
+  // crawl batch". Scale: two filtered scans + bounded-bin read-outs; in
+  // production the stored histogram is a table and only the batch scan
+  // runs. ──
+  private def histOf(d: DataFrame): DataFrame =
+    d.select(least(expr("n_chars div 16"), lit(255L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+    val stored = histOf(d.filter(col("doc_id") % 10 =!= 0))
+    val batch = histOf(d.filter(col("doc_id") % 10 === 0))
+    val merged = stored.unionByName(batch) // sketch update = counter add
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    histQuantiles(merged, "b").join(histQuantiles(histOf(d), "bf"), "p")
+      .select(col("p").cast("int").as("p"),
+        (col("b") * 16).as("est_lo"), (col("bf") * 16).as("est_lo_full"),
+        (col("b") === col("bf")).as("consistent"))
+      .orderBy("p")
+  }
+
+  private val q83Sql =
+    """WITH stored AS (
+      |  SELECT LEAST(n_chars // 16, 255) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents WHERE doc_id % 10 != 0 GROUP BY 1),
+      |batch AS (
+      |  SELECT LEAST(n_chars // 16, 255) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+      |merged AS (
+      |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM (SELECT * FROM stored UNION ALL SELECT * FROM batch) GROUP BY 1),
+      |fullh AS (
+      |  SELECT LEAST(n_chars // 16, 255) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1),
+      |mcum AS (
+      |  SELECT bin,
+      |    CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      |  FROM merged),
+      |mest AS (
+      |  SELECT p, MIN(bin) AS b
+      |  FROM (SELECT unnest([50,90,99]) AS p, bin, cum, tot FROM mcum)
+      |  WHERE cum * 100 >= p * tot GROUP BY p),
+      |fcum AS (
+      |  SELECT bin,
+      |    CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      |  FROM fullh),
+      |fest AS (
+      |  SELECT p, MIN(bin) AS bf
+      |  FROM (SELECT unnest([50,90,99]) AS p, bin, cum, tot FROM fcum)
+      |  WHERE cum * 100 >= p * tot GROUP BY p)
+      |SELECT CAST(m.p AS INT) AS p, m.b * 16 AS est_lo, f.bf * 16 AS est_lo_full,
+      |  m.b = f.bf AS consistent
+      |FROM mest m JOIN fest f ON m.p = f.p ORDER BY p""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
     QueryDef("q79_quantile_sketch", q79, Some(q79Sql)),
     QueryDef("q80_ann_recall", q80, Some(q80Sql)),
     QueryDef("q81_cms_topk", q81, Some(q81Sql)),
-    QueryDef("q82_bpe_train", q82, Some(q82Sql)))
+    QueryDef("q82_bpe_train", q82, Some(q82Sql)),
+    QueryDef("q83_sketch_update", q83, Some(q83Sql)))
 }

@@ -217,6 +217,23 @@ object Streams {
       .select("doc_id", "ts")
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Streaming count-min sketch maintenance — the online form of the
+    * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
+    * doc's tokens hash into the depth×256 counter matrix via the same
+    * md5-nibble rows, and the running aggregation state IS the sketch.
+    * CMS merge is counter addition, so each micro-batch's increments
+    * commute with the stored counters — the same algebra that makes the
+    * batch sketch shard-mergeable makes it stream-updatable, and after
+    * any prefix of the stream the state equals the batch sketch of the
+    * rows seen so far (pinned in StreamsSpec). No watermark: the sketch
+    * is a monotone running total, not a windowed result, and its state
+    * is bounded at ≤ depth×256 rows by construction — the rare stateful
+    * aggregation that needs no eviction to stay finite. Run with
+    * Update/Complete output mode. */
+  def cmsCells(docs: DataFrame, depth: Int = 4): DataFrame =
+    graft.operators.CountMin.cells(
+      docs.select(explode(split(col("text"), " ")).as("w")), depth)
+
   /** Streaming upsert into a parquet layer via foreachBatch — the
     * streaming analog of the reference's cross-run ON CONFLICT bronze
     * load (bronze_loader.py:143-188), reusing the batch merge

@@ -314,4 +314,34 @@ class StreamsSpec extends SparkSpec {
       assert(sessions.size == 2) // user 1's second session still open
     } finally q.stop()
   }
+
+  test("cmsCells streaming state equals the batch sketch after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.cmsCells(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+
+    def sketchOf(texts: Seq[String]): Set[(Int, Int, Long)] =
+      graft.operators.CountMin.cells(
+        texts.toDF("text").select(explode(split(col("text"), " ")).as("w")))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+
+    def state(): Set[(Int, Int, Long)] = spark.table("cms")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+
+    try {
+      val b1 = Seq("spark join hash join", "row scan row")
+      in.addData(b1.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == sketchOf(b1)) // prefix 1: state == batch sketch
+
+      // a second micro-batch ADDS counters (CMS merge), never rebuilds
+      val b2 = Seq("join join join", "hash value")
+      in.addData(b2.zipWithIndex.map { case (t, i) => (10L + i, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == sketchOf(b1 ++ b2)) // prefix 2: still == batch of all
+      // bounded state: never more than depth x width cells
+      assert(state().size <= 4 * graft.operators.CountMin.Width)
+    } finally q.stop()
+  }
 }

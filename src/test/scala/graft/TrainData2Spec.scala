@@ -83,6 +83,17 @@ class TrainData2Spec extends SparkSpec {
     assert((t.getString(1), t.getString(2), t.getLong(3), t.getLong(4)) == ("a", "a", 3L, 1L))
   }
 
+  test("q83: incremental sketch update reads out identical quantiles to full recompute") {
+    val rows = q("q83_sketch_update").orderBy("p").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    rows.foreach { r =>
+      // histogram addition is exact, so merge(stored, batch) == full —
+      // equality, not tolerance
+      assert(r.getLong(1) == r.getLong(2), s"p=${r.getInt(0)} diverged")
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("q81: CMS estimates are one-sided (est >= exact) and inside the 4N/w bound") {
     val rows = q("q81_cms_topk").collect()
     assert(rows.length == 10)
