@@ -52,6 +52,50 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // SPARK_GRAFT_PROBE=sketch: the round-5 operators — corpus-linear
+    // sketch builds with CONSTANT state (CMS cells, histogram bins) and
+    // vocabulary-bound BPE rounds (the corpus is read once for the word
+    // count; every merge round after that touches only the vocab, so
+    // round wall should stay flat as the corpus multiplies).
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "sketch") {
+      val (words, tWords) = timed {
+        corpus.select(explode(split(col("text"), " ")).as("w"))
+          .localCheckpoint(true)
+      }
+      val nTok = words.count()
+      val (weights, tVocab) = timed {
+        words.groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint(true)
+      }
+      val vocab = weights.count()
+      val (cms, tCms) = timed {
+        graft.operators.CountMin.cells(words).localCheckpoint(true)
+      }
+      val cmsRows = cms.count()
+      val (hist, tHist) = timed {
+        corpus.select(least(expr("length(text) div 16"), lit(255L)).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      }
+      val histRows = hist.count()
+      val syms0 = weights.select(col("w"),
+          posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+        .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+      val bpe = (1 to 3).scanLeft((syms0, 0.0)) { case ((s, _), k) =>
+        val ((s2, rec), t) = timed {
+          val r = graft.queries.TrainData2.bpeRound(s, weights, k)
+          r._2.collect() // force the round (top pair + merge)
+          (r._1.localCheckpoint(true), r._2)
+        }
+        (s2, t)
+      }.drop(1).map(_._2)
+      println(s"""{"probe":"sketch","sf":"$sfDir","mult":$mult,"docs":$n,""" +
+        s""""tokens":$nTok,"vocab":$vocab,"cms_rows":$cmsRows,"hist_rows":$histRows,""" +
+        s""""words_sec":${f"$tWords%.2f"},"vocab_sec":${f"$tVocab%.2f"},""" +
+        s""""cms_sec":${f"$tCms%.2f"},"hist_sec":${f"$tHist%.2f"},""" +
+        s""""bpe_round_sec":[${bpe.map(t => f"$t%.2f").mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
     val (sigs, tSig) = timed {
       MinHashLsh.signatures(corpus).localCheckpoint(true)
     }
