@@ -545,6 +545,110 @@ object TrainData2 {
       |  m.b = f.bf AS consistent
       |FROM mest m JOIN fest f ON m.p = f.p ORDER BY p""".stripMargin
 
+  // ── q84: Bloom-pruned incremental dedup — q53's incremental exact
+  // dedup with the scale trick made explicit: the stored index's hash
+  // set collapses to a Bloom filter (one aggregation → KBs), the filter
+  // broadcasts, and every batch row that probes negative is DECLARED
+  // new row-locally (no false negatives) without touching the join;
+  // only Bloom-positive rows — true dups + ~1% false positives — reach
+  // the exact hash join. The result is provably Bloom-independent
+  // (false positives just take the slow path), which is why the oracle
+  // can hash-gate a query whose sketch bits are engine-specific. The
+  // batch is a synthetic re-crawl: every third doc keeps its text (a
+  // dup), the rest get a salt suffix (new) — both engines replay it. ──
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomPrune
+    val d = TrainData.docsParallel(spark, dir)
+    val storedH = d.select(sha2(col("text"), 256).as("h")).distinct()
+    val batch = d.select((col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh"),
+            (col("doc_id") % 5).cast("string"))).as("text"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    // the aggregated filter is MODEL STATE (the q54 centroid rationale):
+    // 8 KB here, MBs at production sizing — collected once and pushed
+    // back as a literal because `might_contain` requires a constant
+    // filter (it compiles the bit probe into codegen)
+    val bf = storedH.agg(
+      BloomPrune.bloomAgg(col("h"), expectedItems = 4096L, numBits = 65536L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probed = batch
+      .withColumn("__hit", BloomPrune.mightContain(lit(bf), col("h")))
+      .localCheckpoint() // consumed by both branches below
+    val definiteNew = probed.filter(!col("__hit"))
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val resolved = probed.filter(col("__hit"))
+      .join(storedH.withColumn("__dup", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("__dup"), lit(false)).as("is_dup"))
+    resolved.unionByName(definiteNew).orderBy("doc_id").limit(200)
+  }
+
+  private val q84Sql =
+    """WITH stored AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text
+      |         ELSE text || ' fresh' || CAST(doc_id % 5 AS VARCHAR) END AS text
+      |  FROM documents),
+      |b AS (SELECT doc_id, sha256(text) AS h FROM batch)
+      |SELECT b.doc_id,
+      |  EXISTS(SELECT 1 FROM stored s WHERE s.h = b.h) AS is_dup
+      |FROM b ORDER BY doc_id LIMIT 200""".stripMargin
+
+  // ── q85: sliding-window chunking with overlap — the embedding/RAG
+  // chunker: fixed 64-token windows at a 48-token stride (16-token
+  // overlap so no span is split across a boundary without context).
+  // Chunk k covers tokens [48k+1, 48k+64], truncated at the doc end;
+  // a chunk is emitted only if it contributes tokens the previous
+  // chunk didn't already cover (k = 0, or (k−1)·48 + 64 < n) — a naive
+  // "while start < n" loop also emits a final chunk that is pure
+  // overlap tail, a duplicate span an embedding pipeline would index
+  // twice (TrainData2Spec caught exactly that). Entirely row-local
+  // (explode + slice fused into the scan, zero shuffle before the
+  // output sort) — the writer would partition by hash(doc_id,
+  // chunk_id). Integer-only boundary math; the n ≤ 64 case is an
+  // explicit branch in BOTH engines because the subtraction would go
+  // negative there and `div` rounds toward zero in Spark but floors in
+  // DuckDB — the one input class where the engines disagree. ──
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  private def q85(spark: SparkSession, dir: String): DataFrame =
+    TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), TrainData.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")))
+      .filter(col("n_tok") > 0)
+      .withColumn("kmax", expr(
+        s"CASE WHEN n_tok <= $ChunkLen THEN 0" +
+          s" ELSE (n_tok - $ChunkLen - 1) div $ChunkStride + 1 END"))
+      .withColumn("chunk_id", explode(expr("sequence(0, kmax)")))
+      .withColumn("chunk_id", col("chunk_id").cast("int"))
+      .withColumn("chunk", expr(s"slice(t, chunk_id * $ChunkStride + 1, $ChunkLen)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tok_chunk"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+      .limit(300)
+
+  private val q85Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, t, len(t) AS n_tok,
+      |    CASE WHEN len(t) <= $ChunkLen THEN 0
+      |         ELSE (len(t) - $ChunkLen - 1) // $ChunkStride + 1 END AS kmax
+      |  FROM toks WHERE len(t) > 0),
+      |ex AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(0, kmax + 1)) AS INT) AS chunk_id,
+      |    t
+      |  FROM base)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(list_slice(t, chunk_id * $ChunkStride + 1,
+      |    chunk_id * $ChunkStride + $ChunkLen)) AS INT) AS n_tok_chunk,
+      |  array_to_string(list_slice(t, chunk_id * $ChunkStride + 1,
+      |    chunk_id * $ChunkStride + $ChunkLen), ' ') AS chunk_text
+      |FROM ex ORDER BY doc_id, chunk_id LIMIT 300""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -552,5 +656,7 @@ object TrainData2 {
     QueryDef("q80_ann_recall", q80, Some(q80Sql)),
     QueryDef("q81_cms_topk", q81, Some(q81Sql)),
     QueryDef("q82_bpe_train", q82, Some(q82Sql)),
-    QueryDef("q83_sketch_update", q83, Some(q83Sql)))
+    QueryDef("q83_sketch_update", q83, Some(q83Sql)),
+    QueryDef("q84_bloom_dedup", q84, Some(q84Sql)),
+    QueryDef("q85_chunk_overlap", q85, Some(q85Sql)))
 }

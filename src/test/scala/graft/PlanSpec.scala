@@ -113,7 +113,8 @@ class PlanSpec extends SparkSpec {
     // 1-row total broadcast are intentional nested-loop shapes, same as
     // q24 and q62.)
     Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch",
-        "q82_bpe_train").foreach { name =>
+        "q82_bpe_train", "q83_sketch_update", "q84_bloom_dedup",
+        "q85_chunk_overlap").foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$name:\n${s.take(800)}")

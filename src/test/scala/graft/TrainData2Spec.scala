@@ -94,6 +94,50 @@ class TrainData2Spec extends SparkSpec {
     }
   }
 
+  test("q84: bloom verdicts equal ground truth — every %3==0 re-crawl doc is a dup") {
+    val rows = q("q84_bloom_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // batch doc (id+100000) kept its text iff original doc_id %3 == 0 —
+      // exactly those must resolve as dups, bloom false positives or not
+      val expectDup = (r.getLong(0) - 100000L) % 3 == 0
+      assert(r.getBoolean(1) == expectDup, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q84: the bloom prefilter admits every true dup (no false negatives)") {
+    import graft.operators.BloomPrune
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => s"key$i").toDF("h")
+    val bf = keys.agg(BloomPrune.bloomAgg(col("h"), 512L, 8192L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probed = keys.withColumn("hit", BloomPrune.mightContain(lit(bf), col("h")))
+    assert(probed.filter(!col("hit")).isEmpty) // membership never missed
+    // and the filter actually prunes: most absent keys probe negative
+    val absent = (1L to 500L).map(i => s"other$i").toDF("h")
+      .withColumn("hit", BloomPrune.mightContain(lit(bf), col("h")))
+    assert(absent.filter(!col("hit")).count() > 400)
+  }
+
+  test("q85: chunks tile each doc at the stride with 16-token overlap") {
+    val rows = q("q85_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // interior chunks are exactly ChunkLen tokens; only the last may be short
+      sorted.init.foreach(c => assert(c._3 == 64))
+      assert(sorted.last._3 >= 1 && sorted.last._3 <= 64)
+      // consecutive chunks overlap by ChunkLen - ChunkStride = 16 tokens
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a._3 == 64 =>
+          val aToks = a._4.split(" "); val bToks = b._4.split(" ")
+          assert(aToks.drop(48).sameElements(bToks.take(aToks.length - 48)))
+        case _ =>
+      }
+    }
+  }
+
   test("q81: CMS estimates are one-sided (est >= exact) and inside the 4N/w bound") {
     val rows = q("q81_cms_topk").collect()
     assert(rows.length == 10)
