@@ -351,7 +351,109 @@ object Profile {
       |        FROM documents))
       |GROUP BY n_members ORDER BY n_members""".stripMargin
 
+  // ── q86: cohort retention matrix — the classic growth-analytics
+  // reshape the gold layer stops short of: customers cohorted by first
+  // order year, then each (cohort, year-offset) cell counts how many of
+  // that cohort came back. Two aggregations plus one broadcast-sized
+  // join back to cohort sizes; the per-cell retention is an exact
+  // BIGINT/BIGINT double division (deterministic IEEE on both engines).
+  // Scale: cohort assignment is one groupBy(cust) — the matrix itself
+  // is |cohorts|×|offsets| (tiny) no matter the fact size. ──
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"), year(col("o_orderdate")).as("y"))
+    val cohort = o.groupBy("cust").agg(min("y").as("cohort_y"))
+    val sizes = cohort.groupBy("cohort_y").agg(count(lit(1)).as("n_cohort"))
+    o.join(cohort, "cust")
+      .groupBy(col("cohort_y"), (col("y") - col("cohort_y")).as("offset_y"))
+      .agg(countDistinct("cust").as("n_active"))
+      .join(sizes, "cohort_y")
+      .select(col("cohort_y"), col("offset_y"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort_y", "offset_y")
+  }
+
+  private val q86Sql =
+    """WITH o AS (
+      |  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS y FROM orders),
+      |cohort AS (SELECT cust, MIN(y) AS cohort_y FROM o GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_y, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY 1),
+      |act AS (
+      |  SELECT c.cohort_y, o.y - c.cohort_y AS offset_y,
+      |    CAST(COUNT(DISTINCT o.cust) AS BIGINT) AS n_active
+      |  FROM o JOIN cohort c ON o.cust = c.cust GROUP BY 1, 2)
+      |SELECT a.cohort_y, a.offset_y, a.n_active, s.n_cohort,
+      |  CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+      |FROM act a JOIN sizes s ON a.cohort_y = s.cohort_y
+      |ORDER BY a.cohort_y, offset_y""".stripMargin
+
+  // ── q87: ordered event funnel — signup → click → purchase, each step
+  // within 72 h of the previous one and strictly after it (min-ts per
+  // step, time-bounded join to the prior step's per-user timestamp).
+  // The funnel table is 4 rows; step-over-step conversion is again an
+  // exact integer-ratio double. Scale: three filtered scans, each
+  // joined to a per-user 1-row step table that shrinks monotonically —
+  // all equi-joins on user_id, no window over the raw events. ──
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizonUs = 72L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(unix_micros(col("ts")) >= unix_micros(col("t1")) &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + horizonUs)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(unix_micros(col("ts")) >= unix_micros(col("t2")) &&
+        unix_micros(col("ts")) <= unix_micros(col("t2")) + horizonUs)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val steps = ev.select(countDistinct("user_id").as("n_users"))
+      .withColumn("step", lit("0_all"))
+      .unionByName(s1.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup")))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+    val w = Window.orderBy("step")
+    steps.withColumn("pct_of_prev",
+        when(lag(col("n_users"), 1).over(w).isNull, lit(1.0))
+          .otherwise(col("n_users").cast("double") / lag(col("n_users"), 1).over(w)))
+      .select(col("step"), col("n_users"), col("pct_of_prev"))
+      .orderBy("step")
+  }
+
+  private val q87Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= epoch_us(s1.t1)
+      |    AND epoch_us(e.ts) <= epoch_us(s1.t1) + 259200000000
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(s2.t2)
+      |    AND epoch_us(e.ts) <= epoch_us(s2.t2) + 259200000000
+      |  GROUP BY 1),
+      |steps AS (
+      |  SELECT '0_all' AS step, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+      |  UNION ALL SELECT '1_signup', CAST(COUNT(*) AS BIGINT) FROM s1
+      |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+      |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+      |SELECT step, n_users,
+      |  CASE WHEN LAG(n_users) OVER (ORDER BY step) IS NULL THEN CAST(1.0 AS DOUBLE)
+      |       ELSE CAST(n_users AS DOUBLE) / LAG(n_users) OVER (ORDER BY step) END
+      |    AS pct_of_prev
+      |FROM steps ORDER BY step""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q86_retention_matrix", q86, Some(q86Sql)),
+    QueryDef("q87_event_funnel", q87, Some(q87Sql)),
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
     QueryDef("q32_summary_stats", q32, Some(q32Sql)),

@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
     // q24 and q62.)
     Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch",
         "q82_bpe_train", "q83_sketch_update", "q84_bloom_dedup",
-        "q85_chunk_overlap").foreach { name =>
+        "q85_chunk_overlap", "q86_retention_matrix", "q87_event_funnel")
+      .foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$name:\n${s.take(800)}")

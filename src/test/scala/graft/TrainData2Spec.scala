@@ -138,6 +138,28 @@ class TrainData2Spec extends SparkSpec {
     }
   }
 
+  test("q86: retention cells are bounded by cohort size and offset 0 is full") {
+    val rows = q("q86_retention_matrix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // active <= cohort size
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      if (r.getInt(1) == 0) // every cohort member is active in their first year
+        assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("q87: funnel step counts are monotonically non-increasing") {
+    val rows = q("q87_event_funnel").orderBy("step").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_all", "1_signup", "2_click", "3_purchase"))
+    rows.map(_.getLong(1)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "a later step exceeded an earlier one")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("q81: CMS estimates are one-sided (est >= exact) and inside the 4N/w bound") {
     val rows = q("q81_cms_topk").collect()
     assert(rows.length == 10)
