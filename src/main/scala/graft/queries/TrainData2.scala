@@ -613,8 +613,11 @@ object TrainData2 {
   private val ChunkLen = 64
   private val ChunkStride = 48
 
-  private def q85(spark: SparkSession, dir: String): DataFrame =
-    TrainData.docsParallel(spark, dir)
+  /** The chunker proper over `docs(doc_id, text)` — exposed to the
+    * property spec (coverage / interior-fullness / new-token invariants
+    * on arbitrary token counts). */
+  private[graft] def chunked(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TrainData.tokens(col("text")).as("t"))
       .withColumn("n_tok", size(col("t")))
       .filter(col("n_tok") > 0)
@@ -627,6 +630,9 @@ object TrainData2 {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).as("n_tok_chunk"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
+
+  private def q85(spark: SparkSession, dir: String): DataFrame =
+    chunked(TrainData.docsParallel(spark, dir))
       .orderBy("doc_id", "chunk_id")
       .limit(300)
 

@@ -196,5 +196,114 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  // ── BPE round: the relational greedy merge (gaps-and-islands) must
+  // equal the textbook sequential left-to-right scan on arbitrary
+  // words, including overlapping-run pathologies ("aaaa") and ties. ──
+
+  private val bpeGen: Gen[List[(String, Long)]] = Gen.listOfN(12, for {
+    len <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    f <- Gen.choose(1L, 5L)
+  } yield (cs.mkString, f)).map(_.groupBy(_._1).map {
+    case (w, fs) => (w, fs.map(_._2).sum) }.toList)
+
+  test("bpeRound equals a sequential reference BPE step on random vocabularies") {
+    samples(bpeGen, 8).foreach { vocab =>
+      whenever(vocab.exists(_._1.length >= 2)) {
+        val syms = vocab.flatMap { case (w, _) =>
+          w.zipWithIndex.map { case (c, i) => (w, i + 1, c.toString) }
+        }.toDF("w", "pos", "sym")
+        val weights = vocab.toDF("w", "f")
+        val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
+
+        // reference: pair weights with overlap counting, total tie-break
+        val pairW = scala.collection.mutable.Map[(String, String), Long]()
+        val pairDocs = scala.collection.mutable.Map[(String, String), Set[String]]()
+        vocab.foreach { case (w, f) =>
+          w.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p(0).toString, p(1).toString)
+            pairW(k) = pairW.getOrElse(k, 0L) + f
+            pairDocs(k) = pairDocs.getOrElse(k, Set.empty) + w
+          }
+        }
+        val (bl, br) = pairW.keys.toSeq.minBy { case (l, r) =>
+          (-pairW((l, r)), l, r) }
+        val r0 = rec.head
+        assert((r0.getString(1), r0.getString(2)) == (bl, br))
+        assert(r0.getLong(3) == pairW((bl, br)))
+        assert(r0.getLong(4) == pairDocs((bl, br)).size.toLong)
+
+        // reference: greedy left-to-right merge per word
+        val want = vocab.map { case (w, _) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          val s = w.map(_.toString)
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == bl && s(i + 1) == br) {
+              out += bl + br; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          w -> out.toList
+        }.toMap
+        val got = merged.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+          .groupBy(_._1).map { case (w, cs) =>
+            w -> cs.sortBy(_._2).map(_._3).toList }
+        assert(got == want)
+      }
+    }
+  }
+
+  // ── Chunker: cover-all / interior-full / always-new-tokens on
+  // arbitrary token counts (boundary cases n = 64, 65, 112, 113…). ──
+  test("chunker covers every token exactly, interior chunks full, no pure-overlap tails") {
+    val ns = Seq(1, 2, 47, 48, 63, 64, 65, 96, 111, 112, 113, 160, 161, 257)
+    val docs = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = graft.queries.TrainData2.chunked(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3).split(" ").toSeq))
+      .groupBy(_._1)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong).sortBy(_._2).map(_._3).toSeq
+      // every token appears in order, exactly covered
+      assert(cs.head.head == "t1" && cs.last.last == s"t$n")
+      cs.init.foreach(c => assert(c.length == 64, s"n=$n interior short"))
+      // consecutive chunks: 16-token overlap when previous is full, and
+      // every chunk past the first contributes at least one new token
+      cs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.drop(48) == b.take(a.length - 48), s"n=$n overlap broken")
+          assert(b.length > a.length - 48, s"n=$n pure-overlap tail emitted")
+        case _ =>
+      }
+      // union of chunks == the doc's token set
+      assert(cs.flatten.distinct.length == n, s"n=$n coverage gap")
+    }
+  }
+
+  // ── CMS: one-sided estimates on random multisets — for every word,
+  // min-over-rows cell count >= its true count (never an undercount). ──
+  private val cmsGen: Gen[List[String]] = Gen.listOfN(60,
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+
+  test("count-min never undercounts on random multisets") {
+    import graft.operators.CountMin
+    samples(cmsGen, 6).foreach { words =>
+      val cells = CountMin.cells(words.toDF("w")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      exact.foreach { case (w, n) =>
+        val est = (0 until 4).map { j =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val cell = (Character.digit(h.charAt(2 * j), 16)) * 16 +
+            Character.digit(h.charAt(2 * j + 1), 16)
+          cells((j, cell))
+        }.min
+        assert(est >= n, s"$w undercounted: $est < $n")
+      }
+    }
+  }
+
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 }
