@@ -33,12 +33,12 @@ object Bench {
     * while sub-second queries are untouched. system ≫ user in the
     * artifact = host-kernel overhead, not a plan regression; steal > 0
     * = hypervisor contention. */
-  private def hostCpuTicks(): (Long, Long, Long, Long) =
+  private def hostCpuTicks(): Option[(Long, Long, Long, Long)] =
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      (l(0) + l(1), l(2), l(3), if (l.length > 7) l(7) else 0L)
-    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+      Some((l(0) + l(1), l(2), l(3), if (l.length > 7) l(7) else 0L))
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,7 +69,7 @@ object Bench {
         catch { case _: Throwable => })
     spark.catalog.clearCache()
 
-    val (hu0, hs0, hi0, hst0) = hostCpuTicks()
+    val host0 = hostCpuTicks()
     val (gc0Count, gc0Ms) = gcTotals()
     val cpu0 = processCpuSec()
     val wall0 = System.nanoTime()
@@ -87,7 +87,7 @@ object Bench {
       name -> times
     }
 
-    val (hu1, hs1, hi1, hst1) = hostCpuTicks()
+    val host1 = hostCpuTicks()
     val (gc1Count, gc1Ms) = gcTotals()
     val cpu1 = processCpuSec()
     val wallSec = (System.nanoTime() - wall0) / 1e9
@@ -108,23 +108,30 @@ object Bench {
     val total = results.map(_._2.min).sum
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
+    // null, not zeros, when either /proc/stat read failed: a fabricated
+    // all-zero delta would read as "idle host" and a mixed success would
+    // emit garbage negatives — corrupting the very diagnosis this exists for
+    val hostJson = (host0, host1) match {
+      case (Some((u0, s0, i0, st0)), Some((u1, s1, i1, st1))) =>
+        s"""{"user":${u1 - u0},"system":${s1 - s0},"idle":${i1 - i0},"steal":${st1 - st0}}"""
+      case _ => "null"
+    }
     val diag = s""""wall_sec":${fmt(wallSec, 1)},"proc_cpu_sec":${fmt(cpu1 - cpu0, 1)},""" +
       s""""gc_count":${gc1Count - gc0Count},"gc_sec":${fmt((gc1Ms - gc0Ms) / 1e3, 1)},""" +
-      s""""host_ticks":{"user":${hu1 - hu0},"system":${hs1 - hs0},""" +
-      s""""idle":${hi1 - hi0},"steal":${hst1 - hst0}}"""
+      s""""host_ticks":$hostJson"""
     // Self-describing artifact: reps + the perf-relevant session config,
     // so round-over-round BENCH_r{N}.json comparisons carry their own
     // measurement conditions.
     val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
-    // Key order is deliberate: the artifact is captured via `tail`, so if
-    // the line ever exceeds the capture window it is the HEAD that gets
-    // cut — sacrificial per-rep detail first, then the contract keys
-    // ("queries", "metric":"total"), then the diagnosis block LAST so a
-    // truncated capture still shows cpu/gc/host-kernel evidence next to
-    // the total (round-4's artifact lost its total exactly this way).
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec",$diag}""")
+    // Key order is survival priority under a `tail` capture (the HEAD of
+    // an over-long line is what gets cut): sacrificial per-rep detail
+    // first, then the diagnosis block, then the contract keys
+    // ("queries", "metric":"total","value") at the very END so they
+    // survive ANY window (round-4's artifact lost its total exactly by
+    // burying it behind per-query detail).
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,$diag,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -79,11 +79,14 @@ object ScaleProbe {
       val syms0 = weights.select(col("w"),
           posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
         .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+      // bpeRound already eagerly localCheckpoints its merged output — a
+      // second checkpoint here would double-materialize the vocab inside
+      // the timed block and inflate the published round numbers
       val bpe = (1 to 3).scanLeft((syms0, 0.0)) { case ((s, _), k) =>
         val ((s2, rec), t) = timed {
           val r = graft.queries.TrainData2.bpeRound(s, weights, k)
           r._2.collect() // force the round (top pair + merge)
-          (r._1.localCheckpoint(true), r._2)
+          r
         }
         (s2, t)
       }.drop(1).map(_._2)

@@ -389,8 +389,10 @@ object Profile {
       |ORDER BY a.cohort_y, offset_y""".stripMargin
 
   // ── q87: ordered event funnel — signup → click → purchase, each step
-  // within 72 h of the previous one and strictly after it (min-ts per
-  // step, time-bounded join to the prior step's per-user timestamp).
+  // within 72 h of the previous one and at-or-after it (inclusive >=
+  // bounds in BOTH engines: min-ts per step, time-bounded join to the
+  // prior step's per-user timestamp; a same-microsecond follow-up
+  // event counts as converted).
   // The funnel table is 4 rows; step-over-step conversion is again an
   // exact integer-ratio double. Scale: three filtered scans, each
   // joined to a per-user 1-row step table that shrinks monotonically —

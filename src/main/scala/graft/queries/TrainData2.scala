@@ -187,11 +187,17 @@ object TrainData2 {
       .select(ps, col("v"), col("cum"), col("tot"))
       .filter(col("cum") * 100 >= col("p") * col("tot"))
       .groupBy("p").agg(min("v").as("exact_val"))
+    // bin 255 is the overflow bin [4080, ∞): its upper edge is a floor
+    // on the cap, not a bracket, so the gate only checks the lower edge
+    // there — without this, one long-doc source (p99 ≥ 4096 chars)
+    // silently breaks the ±binwidth claim
     est.join(exact, "p")
       .select(col("p").cast("int").as("p"),
         (col("b") * 16).as("est_lo"), (col("b") * 16 + 15).as("est_hi"),
         col("exact_val"),
-        col("exact_val").between(col("b") * 16, col("b") * 16 + 15).as("within_bin"))
+        (col("exact_val") >= col("b") * 16 &&
+          (col("exact_val") <= col("b") * 16 + 15 || col("b") === 255))
+          .as("within_bin"))
       .orderBy("p")
   }
 
@@ -221,7 +227,8 @@ object TrainData2 {
       |  WHERE cum * 100 >= p * tot GROUP BY p)
       |SELECT CAST(e.p AS INT) AS p, b * 16 AS est_lo, b * 16 + 15 AS est_hi,
       |  x.exact_val,
-      |  x.exact_val BETWEEN b * 16 AND b * 16 + 15 AS within_bin
+      |  (x.exact_val >= b * 16
+      |    AND (x.exact_val <= b * 16 + 15 OR b = 255)) AS within_bin
       |FROM est e JOIN exact x ON e.p = x.p ORDER BY p""".stripMargin
 
   // ── q80: ANN recall@k — the metric that justifies an approximate
