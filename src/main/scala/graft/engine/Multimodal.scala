@@ -52,9 +52,18 @@ object Multimodal {
     * image still decodes, a corrupt "image" still reports null dims. */
   private[engine] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (content == null || content.length < 8) None
-    else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-      catch { case _: Exception => None }
+    else {
+      // Memory-cached stream, NOT ImageIO.read(InputStream): the default
+      // ImageIO disk cache spools every decode through an executor-local
+      // temp file — per-row temp-file churn in the featurize hot path.
+      // The payload is already fully in memory; cache there.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val img = javax.imageio.ImageIO.read(iis) // closes iis unless it returns null
+        if (img == null) { iis.close(); None } else Some(img)
+      } catch { case _: Exception => None }
+    }
 
   /** REAL feature path for a decoded image: 8 deterministic pixel
     * statistics — mean R/G/B, mean + stddev of Rec.601 luminance (all
@@ -64,11 +73,16 @@ object Multimodal {
   private[engine] def pixelEmbed(img: java.awt.image.BufferedImage): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0.0; var sl2 = 0.0
+    // bulk row reads: one getRGB call per scanline into a reused buffer —
+    // per-pixel getRGB(x, y) pays bounds checks + ColorModel conversion
+    // per call, an order of magnitude slower on megapixel payloads
+    val rowBuf = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = rowBuf(x)
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         sr += r; sg += g; sb += b
         val l = 0.299 * r + 0.587 * g + 0.114 * b
@@ -164,10 +178,17 @@ object Multimodal {
     * touched, `meta.width/height` are rewritten to the target box, and
     * the payload column stays `binary` with the same schema. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val scaled = udf { (content: Array[Byte], mw: Integer, mh: Integer) =>
+    // enforce the contract ONCE at the entry point: a non-positive box
+    // would otherwise crash only the rows that decode, deep inside the
+    // UDF, with a data-dependent BufferedImage stack trace
+    require(w > 0 && h > 0, s"resize: target box must be positive, got ${w}x$h")
+    // Returns (payload, format): the real-codec branch TRANSCODES to PNG,
+    // so meta.format must follow the bytes per row — copying the caller's
+    // format through would make the metadata lie about the content.
+    val scaled = udf { (content: Array[Byte], mw: Integer, mh: Integer, fmt: String) =>
       // NULL payload stays NULL (unfetched/corrupt markers must survive
       // the transform — substituting an empty buffer would hide them)
-      if (content == null) null
+      if (content == null) (null: Array[Byte], fmt)
       else decodeImage(content) match {
         case Some(img) =>
           val out = new java.awt.image.BufferedImage(w, h,
@@ -178,26 +199,34 @@ object Multimodal {
           g2.drawImage(img, 0, 0, w, h, null)
           g2.dispose()
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          bos.toByteArray
+          // memory-cached: the default ImageIO disk cache would spool the
+          // encode through a temp file per row (see decodeImage)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(out, "png", ios)
+          ios.close() // flushes the cache into bos
+          (bos.toByteArray, "png")
         case None =>
           val srcPx = math.max(Option(mw).map(_.toLong).getOrElse(0L) *
             Option(mh).map(_.toLong).getOrElse(0L), 1L)
           val n = math.min(content.length.toLong,
             math.max(1L, content.length.toLong * (w.toLong * h) / srcPx)).toInt
-          java.util.Arrays.copyOfRange(content, 0, n)
+          (java.util.Arrays.copyOfRange(content, 0, n), fmt)
       }
     }
     val newMeta = struct(
-      col("meta.format").as("format"),
+      col("__rz._2").as("format"),
       lit(w).as("width"), lit(h).as("height"),
       col("meta.duration_ms").as("duration_ms"))
-    media.withColumn("content",
+    media.withColumn("__rz",
         when(col("media_type") === "image",
-          scaled(col("content"), col("meta.width"), col("meta.height")))
+          scaled(col("content"), col("meta.width"), col("meta.height"),
+            col("meta.format"))))
+      .withColumn("content",
+        when(col("media_type") === "image", col("__rz._1"))
           .otherwise(col("content")))
       .withColumn("meta",
         when(col("media_type") === "image", newMeta).otherwise(col("meta")))
+      .drop("__rz")
   }
 
   /** Build a synthetic media table from `documents` (text bytes as payload)
