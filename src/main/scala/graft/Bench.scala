@@ -59,6 +59,14 @@ object Bench {
       // knob that sizes partitions to executor memory at 100 TB.
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.files.openCostInBytes", "1m")
+      // AQE coalescing defaults to parallelism-first, which refuses to
+      // coalesce below the core count — so every vocab-sized shuffle
+      // (band buckets, CC labels, sketch read-outs) runs 32 near-empty
+      // tasks and pays 32× task-dispatch/kernel overhead. Size-first
+      // with an 8 MB advisory target folds those to a handful of tasks
+      // while big shuffles (≥ cpus × 8 MB) keep full parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest scale factor: compiles every query's

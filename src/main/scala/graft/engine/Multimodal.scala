@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * The IMAGE path is a real codec: javax.imageio (pure JVM, no native
   * libs) decodes PNG/JPEG/BMP/GIF payloads, so featurize emits actual
   * decoded dimensions and pixel-statistic features, and resize really
-  * resamples and re-encodes. Audio/video codec work still needs native
-  * libraries not present in this environment — those steps remain STUBS
-  * with deterministic fakes, clearly marked below, as is the fallback
-  * for payloads no image reader understands. Everything Spark-side is
-  * real and tested: the schema contract, the mapPartitions batch shape
-  * (bounded memory per task at 100 TB), and the feature-column layout.
+  * resamples and re-encodes. The AUDIO path is likewise real:
+  * javax.sound.sampled (pure JVM) parses WAV/AIFF/AU containers,
+  * converts to 16-bit signed PCM, and emits the decoded sample rate,
+  * duration and RMS/peak/zero-crossing features. VIDEO codec work still
+  * needs native libraries not present in this environment — that step
+  * remains a STUB with a deterministic fake, clearly marked below, as is
+  * the fallback for payloads neither an image nor an audio reader
+  * understands. Everything Spark-side is real and tested: the schema
+  * contract, the mapPartitions batch shape (bounded memory per task at
+  * 100 TB), and the feature-column layout.
   */
 object Multimodal {
 
@@ -41,6 +45,10 @@ object Multimodal {
     // reader understood the payload) — not an echo of caller metadata
     StructField("decoded_width", IntegerType),
     StructField("decoded_height", IntegerType),
+    // real audio-codec output (null ⇔ no audio reader understood the
+    // payload): sample rate and duration parsed from the container
+    StructField("decoded_sample_rate", IntegerType),
+    StructField("decoded_duration_ms", LongType),
     StructField("feature", ArrayType(FloatType))))
 
   /** REAL codec — pure-JVM image decode via javax.imageio (PNG, JPEG,
@@ -59,10 +67,16 @@ object Multimodal {
       // The payload is already fully in memory; cache there.
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(content))
+      // close in finally: ImageIO.read only closes the stream itself on a
+      // successful non-null read, so the null/exception paths would leak
+      // the memory-cache buffer until GC. Double-close is NOT idempotent
+      // for ImageInputStreamImpl (it throws IOException("closed")), so
+      // the success path's second close must be swallowed.
       try {
-        val img = javax.imageio.ImageIO.read(iis) // closes iis unless it returns null
-        if (img == null) { iis.close(); None } else Some(img)
+        val img = javax.imageio.ImageIO.read(iis)
+        if (img == null) None else Some(img)
       } catch { case _: Exception => None }
+      finally try iis.close() catch { case _: java.io.IOException => () }
     }
 
   /** REAL feature path for a decoded image: 8 deterministic pixel
@@ -102,8 +116,89 @@ object Multimodal {
       1.0f)
   }
 
-  /** STUB — stands in for a real audio/video decode + model forward pass,
-    * and the fallback for payloads no image reader understands.
+  /** Decoded-audio summary: container-parsed rate/duration + sample
+    * statistics, produced by [[decodeAudio]]. */
+  private[engine] final case class AudioDecode(
+    sampleRate: Int, durationMs: Long, feature: Array[Float])
+
+  /** REAL codec — pure-JVM audio decode via javax.sound.sampled (WAV,
+    * AIFF, AU — the container formats the JVM registers readers for).
+    * None ⇔ no audio reader understood the bytes; like [[decodeImage]]
+    * that is a data condition, not an error, and the caller falls back
+    * to the byte-statistic stub. Non-16-bit or unsigned/µ-law payloads
+    * are converted to 16-bit signed PCM by the JVM's own converter so
+    * the sample statistics are encoding-independent. */
+  private[engine] def decodeAudio(content: Array[Byte]): Option[AudioDecode] =
+    if (content == null || content.length < 12) None
+    else {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+      var raw: AudioInputStream = null
+      var pcm: AudioInputStream = null
+      try {
+        raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val rf = raw.getFormat
+        pcm =
+          if (rf.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              rf.getSampleSizeInBits == 16) raw
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rf.getSampleRate,
+              16, rf.getChannels, rf.getChannels * 2, rf.getSampleRate, false),
+            raw)
+        Some(audioStats(pcm))
+      } catch { case _: Exception => None }
+      finally {
+        // AudioInputStream.close() is idempotent; pcm wraps raw, so close
+        // both defensively (the converter does not own the source)
+        if (pcm != null && !(pcm eq raw)) pcm.close()
+        if (raw != null) raw.close()
+      }
+    }
+
+  /** Sample statistics over a 16-bit signed PCM stream: RMS, peak,
+    * zero-crossing rate, DC offset (amplitudes normalized to [0,1] /
+    * [-1,1] by Short.MaxValue), plus log-length, rate and channel-count
+    * descriptors and the shared 1.0 decoded-flag — an 8-dim feature
+    * mirroring [[pixelEmbed]]'s layout. */
+  private def audioStats(pcm: javax.sound.sampled.AudioInputStream): AudioDecode = {
+    val fmt = pcm.getFormat
+    val bytes = pcm.readAllBytes() // payload is already in memory; bounded
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    var i = 0
+    var sumSq = 0.0; var sum = 0.0; var peak = 0; var crossings = 0L
+    var prevSign = 0
+    while (i < n) {
+      val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+      val hi = bytes(2 * i + (if (big) 0 else 1))
+      val s = (hi << 8) | lo
+      sumSq += s.toDouble * s; sum += s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val frames = if (fmt.getChannels > 0) n.toLong / fmt.getChannels else 0L
+    val rate = math.round(fmt.getSampleRate)
+    val durationMs = if (rate > 0) frames * 1000L / rate else 0L
+    val den = math.max(n, 1).toDouble
+    val full = Short.MaxValue.toDouble
+    AudioDecode(rate, durationMs, Array(
+      (math.sqrt(sumSq / den) / full).toFloat,
+      (peak / full).toFloat,
+      (crossings / den).toFloat,
+      ((sum / den / full + 1.0) / 2.0).toFloat, // DC offset, mapped to [0,1]
+      (math.log10(frames + 1.0) / 10.0).toFloat,
+      (fmt.getSampleRate / 96000.0).toFloat,
+      (fmt.getChannels / 8.0).toFloat,
+      1.0f))
+  }
+
+  /** STUB — stands in for a real video decode + model forward pass,
+    * and the fallback for payloads no image or audio reader understands.
     * Deterministic: a 8-dim "embedding" derived from byte statistics, so
     * tests and re-runs are stable. Swap this body for the real codec+model
     * call; the batching contract around it does not change. */
@@ -136,13 +231,19 @@ object Multimodal {
             val digest = java.security.MessageDigest.getInstance("MD5")
               .digest(bytes).map("%02x".format(_)).mkString
             decodeImage(bytes) match {
-              // real codec path: dims + features from the decoded pixels
+              // real image-codec path: dims + features from decoded pixels
               case Some(img) =>
                 Row(id, mt, bytes.length, digest,
-                  img.getWidth, img.getHeight, pixelEmbed(img))
-              case None =>
-                Row(id, mt, bytes.length, digest, null, null,
-                  decodeAndEmbedStub(bytes))
+                  img.getWidth, img.getHeight, null, null, pixelEmbed(img))
+              case None => decodeAudio(bytes) match {
+                // real audio-codec path: rate/duration + sample statistics
+                case Some(a) =>
+                  Row(id, mt, bytes.length, digest, null, null,
+                    a.sampleRate, a.durationMs, a.feature)
+                case None =>
+                  Row(id, mt, bytes.length, digest, null, null, null, null,
+                    decodeAndEmbedStub(bytes))
+              }
             }
           }
         }

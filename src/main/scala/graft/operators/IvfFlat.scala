@@ -191,4 +191,59 @@ object IvfFlat {
       .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
         col("cosine"), col("rk"))
   }
+
+  /** Table-backed search — the distributed-model variant of [[probe]],
+    * completing the story [[assignByTable]] starts: index build AND
+    * search run against the same versioned centroid table (`cent_id`
+    * INT, 1-based; `cvec` ARRAY<FLOAT>), so neither side of the index
+    * lifecycle embeds the model into the plan. The centroid relation is
+    * folded into one array-of-structs row and broadcast-hash-joined to
+    * the probe set on the same non-foldable pmod(hash) key trick as
+    * [[assignByTable]] (a literal key would constant-fold and degrade
+    * the join to the BroadcastNestedLoopJoin PlanSpec build-fails on);
+    * a posexplode then yields the P×k (probe, centroid) ranking rows.
+    * The candidate fetch and exact-cosine top-k re-rank are identical
+    * to [[probe]] — the corpus side still never shuffles.
+    *
+    * Semantics are identical to [[probe]] (nprobe nearest centroids by
+    * cosine, ties → lowest cent_id; per-probe top-k, ties → lowest
+    * candidate id) — gated by the same q76 oracle. */
+  def probeByTable(assigned: DataFrame, probes: DataFrame,
+                   centroids: DataFrame, nprobe: Int, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
+    // centroid count lives in the table, so the nprobe upper bound can't
+    // be require()d without an action; out-of-range nprobe degrades to
+    // "all clusters" (the brute-force limit), which is safe
+    require(nprobe >= 1, s"ivf_flat: nprobe=$nprobe must be >= 1")
+    require(k >= 1, s"ivf_flat: k=$k must be >= 1")
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val model = centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cvec"))))
+        .as("__cents"))
+      .withColumn("__one", one(col("__cents")))
+    val centRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("__pc_cos").desc, col("__cent_id"))
+    val probeClusters = probes
+      .withColumn("__one", one(col(probeVecCol)))
+      .join(broadcast(model), Seq("__one"))
+      .select(col(probeIdCol), col(probeVecCol),
+        posexplode(col("__cents")).as(Seq("__pos", "__c")))
+      .select(col(probeIdCol), col(probeVecCol),
+        col("__c").getField("cent_id").as("__cent_id"),
+        CosineSimilarity(col(probeVecCol), col("__c").getField("cvec")).as("__pc_cos"))
+      .withColumn("__cr", row_number().over(centRank))
+      .filter(col("__cr") <= nprobe)
+      .select(col(probeIdCol), col(probeVecCol), col("__cent_id"))
+    val kRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    assigned
+      .join(broadcast(probeClusters), col("cluster") === col("__cent_id"))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .withColumn("cosine", CosineSimilarity(col(probeVecCol), col(vecCol)))
+      .withColumn("rk", row_number().over(kRank).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
+        col("cosine"), col("rk"))
+  }
 }

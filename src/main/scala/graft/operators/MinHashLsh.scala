@@ -52,12 +52,19 @@ object MinHashLsh {
       .select(col(idCol) +:
         (1 to 4).map(j => element_at(col("__sig"), j).as(s"mh$j")): _*)
 
-  /** One row per (band, doc): band 1 keys on mh1||mh2, band 2 on mh3||mh4. */
+  /** One row per (band, doc): band 1 keys on mh1||mh2, band 2 on mh3||mh4.
+    * Single-pass: one explode of 2 (band, bk) structs per signature row —
+    * a narrow generate over ONE scan of `sigs`, where the union-of-2
+    * formulation read the (often checkpointed) signature relation once
+    * per band. */
   private def banded(sigs: DataFrame, idCol: String): DataFrame = {
     val base = sigs.select(col(idCol) +: (1 to 4).map(j => col(s"mh$j")): _*)
-    base.withColumn("band", lit(1)).withColumn("bk", concat(col("mh1"), col("mh2")))
-      .unionByName(
-        base.withColumn("band", lit(2)).withColumn("bk", concat(col("mh3"), col("mh4"))))
+    base.select((col(idCol) +: (1 to 4).map(j => col(s"mh$j"))) :+
+      explode(array(
+        struct(lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk")),
+        struct(lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))).as("bb"): _*)
+      .select((Seq(col(idCol)) ++ (1 to 4).map(j => col(s"mh$j")) ++
+        Seq(col("bb.band").as("band"), col("bb.bk").as("bk"))): _*)
   }
 
   /** Drop banded rows in buckets larger than `maxBucket` (the skew cap —

@@ -195,11 +195,21 @@ object TrainData {
   private val SimhashMaxBucket = 64
 
   private def q51(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashOf(spark, dir)
-    def bandRow(band: Int) = sh.select(col("doc_id"), col("simhash"),
+    // Materialize the fingerprints ONCE (localCheckpoint — GC-scoped, see
+    // q21): the banded relation is referenced by the bucket-size probe and
+    // by BOTH self-join sides, and without the checkpoint each reference
+    // re-runs the tokenize → md5 → 64-way majority-vote aggregation —
+    // the most expensive subtree in the query — up to 3× over.
+    val sh = simhashOf(spark, dir).localCheckpoint()
+    // Single-pass banding: one explode of 4 (band, bk) structs per row.
+    // The previous 4-way unionByName scanned the fingerprint relation
+    // once per band; the explode is a narrow generate over one scan.
+    val bandStructs = (1 to 4).map(band => struct(
       lit(band).as("band"),
-      shiftright(col("simhash"), 16 * (band - 1)).bitwiseAND(lit(65535L)).as("bk"))
-    val banded = (1 to 4).map(bandRow).reduce(_ unionByName _)
+      shiftright(col("simhash"), 16 * (band - 1)).bitwiseAND(lit(65535L)).as("bk")))
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bk").as("bk"))
     val small = banded.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= SimhashMaxBucket).select("band", "bk")
     val kept = banded.join(small, Seq("band", "bk"))
@@ -1604,15 +1614,17 @@ object TrainData {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = trainedCentroids(spark, dir)
-    // the trained model round-trips through a TABLE before assignment —
-    // the shape a persisted-at-rest quantizer has (q54's rationale); the
-    // probe side keeps the driver-held copy it already trained with
+    // the trained model round-trips through a TABLE, and BOTH sides of
+    // the index lifecycle consume it from there: corpus assignment
+    // (assignByTable) and probe ranking (probeByTable) — the shape a
+    // persisted-at-rest, versioned quantizer has (q54's rationale); no
+    // plan node ever embeds the k×dim literals
     val centTable = cents.zipWithIndex
       .map { case (v, i) => (i + 1, v) }.toDF("cent_id", "cvec")
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    IvfFlat.probe(IvfFlat.assignByTable(corpus, centTable), probes, cents,
-        nprobe = IvfNprobe, k = IvfTopK)
+    IvfFlat.probeByTable(IvfFlat.assignByTable(corpus, centTable), probes,
+        centTable, nprobe = IvfNprobe, k = IvfTopK)
       .orderBy("probe_id", "rk")
   }
 

@@ -195,4 +195,37 @@ class IvfFlatSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
+
+  test("probeByTable agrees with probe row-for-row, including centroid ties") {
+    val nprobe = 3; val k = 5
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val probes = corpusDf.filter(col("vec_id").isin(50L, 55L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "cand_id", "cluster", "cosine", "rk")
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(r => (r._1, r._5)).toSeq
+    val literal = rows(IvfFlat.probe(assigned, probes, cents, nprobe, k))
+    val tabled = rows(IvfFlat.probeByTable(assigned, probes, centTableDf(cents), nprobe, k))
+    assert(tabled == literal)
+    // duplicate centroids: the nprobe ranking must break the cosine tie
+    // to the lowest cent_id exactly like the literal path
+    val dup = Seq(cents.head, cents.head, cents(1))
+    val asgDup = IvfFlat.assign(corpusDf, dup)
+    val litDup = rows(IvfFlat.probe(asgDup, probes, dup, nprobe = 2, k))
+    val tabDup = rows(IvfFlat.probeByTable(asgDup, probes, centTableDf(dup), nprobe = 2, k))
+    assert(tabDup == litDup)
+  }
+
+  test("probeByTable plans broadcast hash joins only — model and probe list") {
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val probes = corpusDf.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val plan = IvfFlat.probeByTable(assigned, probes, centTableDf(cents),
+        nprobe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
 }

@@ -68,6 +68,58 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(fb(2) - 1.0f) < 1e-3, s"solid blue under 'audio' label: $fb")
   }
 
+  /** Real WAV bytes: 16-bit signed mono PCM at `rate` Hz — a square wave
+    * of amplitude `amp` with period 8 frames — via the JVM's own writer. */
+  private def wav(rate: Float, frames: Int, amp: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s: Int = if ((i / 4) % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("featurize REALLY decodes WAV payloads: rate, duration and sample stats") {
+    val payload = wav(rate = 8000f, frames = 8000, amp = 16384)
+    val df = media((1L, "audio", payload),
+      (2L, "image", payload), // WAV bytes under an image label still decode
+      (3L, "audio", "definitely not audio".getBytes("UTF-8")))
+    val out = Multimodal.featurize(df).orderBy("media_id").collect()
+
+    // container facts come from the BYTES: 8 kHz, 8000 frames = 1000 ms
+    assert(out(0).getAs[Int]("decoded_sample_rate") == 8000)
+    assert(out(0).getAs[Long]("decoded_duration_ms") == 1000L)
+    assert(out(0).isNullAt(out(0).fieldIndex("decoded_width")))
+    val f = out(0).getSeq[Float](out(0).fieldIndex("feature"))
+    // square wave: |sample| is constant, so RMS == peak == amp/32767
+    val amp = 16384f / 32767f
+    assert(math.abs(f(0) - amp) < 1e-4, s"rms: $f")
+    assert(math.abs(f(1) - amp) < 1e-4, s"peak: $f")
+    // period-8 square wave: one sign flip per 4 frames
+    assert(math.abs(f(2) - 0.25f) < 1e-3, s"zero-crossing rate: $f")
+    assert(math.abs(f(3) - 0.5f) < 1e-3, s"zero DC offset maps to 0.5: $f")
+    assert(math.abs(f(5) - 8000f / 96000f) < 1e-6, s"rate descriptor: $f")
+    assert(f(7) == 1.0f, "decoded-flag must be set on the real-codec path")
+
+    // sniffing trusts bytes, not the media_type label
+    assert(out(1).getAs[Int]("decoded_sample_rate") == 8000)
+    // …and undecodable payloads fall back to the stub with null audio facts
+    assert(out(2).isNullAt(out(2).fieldIndex("decoded_sample_rate")))
+    assert(out(2).isNullAt(out(2).fieldIndex("decoded_duration_ms")))
+    val stub = out(2).getSeq[Float](out(2).fieldIndex("feature"))
+    assert(math.abs(stub.sum - 1.0f) < 1e-5, "stub path is the byte histogram")
+
+    // determinism across runs
+    val again = Multimodal.featurize(df).orderBy("media_id").collect()
+    assert(again(0).getSeq[Float](again(0).fieldIndex("feature")) == f)
+  }
+
   test("resize REALLY resamples decodable images and re-encodes deterministic PNG") {
     val src = png(8, 8, 0x00ff00)
     val df = media((1L, "image", src))
