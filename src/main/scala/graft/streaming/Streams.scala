@@ -253,6 +253,68 @@ object Streams {
       }
       .start()
 
+  /** Streaming SCD2 dimension maintenance — the silver layer's last
+    * batch-only piece made continuous: each micro-batch of (key, attrs,
+    * version-timestamp) rows is collapsed to its latest version per key
+    * and applied onto the dimension's parquet state with the SAME
+    * [[graft.engine.Silver.scd2Apply]] the batch path uses (expire
+    * changed keys, insert new current versions), so the two paths cannot
+    * diverge semantically. Intermediate versions WITHIN one micro-batch
+    * collapse to the latest — the reference's batch loader does the same
+    * to a crawl batch (silver_etl.py:145-181).
+    *
+    * IDEMPOTENCE PIN — the effective-from timestamp is derived from the
+    * BATCH (max of `effectiveCol`), never from wall-clock: scd2Apply
+    * stamps `valid_from` on inserts and `valid_to` on expirations with
+    * it, so a wall-clock stamp would make a replayed micro-batch (the
+    * standard restart window: offsets logged, commit marker torn) write
+    * a DIFFERENT state than the original run — same-attrs rows wouldn't
+    * re-expire (change detection sees no diff), but a key that changed
+    * twice across the tear would version at a drifted boundary. With the
+    * batch-derived stamp, re-applying a committed batch detects zero
+    * changes against the already-applied state and rewrites it verbatim
+    * — convergence proven on disk by StreamRestartSpec.
+    *
+    * Scale: the per-batch rewrite is DIM-sized (key cardinality), not
+    * corpus-sized — the SCD2 join is batch-vs-current on the key, both
+    * sides one row per key, broadcastable when the batch is small. The
+    * swap-rewrite keeps a `__old` backup until the new snapshot lands
+    * ([[graft.engine.Pipeline.overwriteParquet]]); a dimension too large
+    * to rewrite per batch wants the partition-splice shape of
+    * [[incrementalGoldSink]] keyed on a stable hash of the key. */
+  def scd2Sink(batches: DataFrame, dimPath: String, checkpoint: String,
+               key: String, attrs: Seq[String],
+               effectiveCol: String = "ingestion_timestamp")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // empty micro-batch = no-op (see incrementalGoldSink: an empty
+        // write would poison later reads and replay forever)
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          // materialize once: the batch feeds the effective-stamp probe,
+          // the dedup and the apply
+          val batch = b.toDF().localCheckpoint()
+          val effType = batch.schema(effectiveCol).dataType
+          val eff = lit(batch.agg(max(col(effectiveCol))).head.get(0)).cast(effType)
+          val latest = graft.engine.Silver.dedupLatest(
+            batch, Seq(key), Seq(col(effectiveCol).desc))
+            .select((key +: attrs).map(col): _*)
+          val current = graft.engine.Pipeline.readRecoverable(spark, dimPath)
+            .getOrElse(latest.limit(0)
+              .withColumn("valid_from", lit(null).cast(effType))
+              .withColumn("valid_to", lit(null).cast(effType))
+              .withColumn("is_current", lit(true)))
+          val next = graft.engine.Silver.scd2Apply(current, latest, key, attrs, eff)
+          // localCheckpoint materializes the new state BEFORE the swap
+          // rewrites the very files it was read from
+          graft.engine.Pipeline.overwriteParquet(next.localCheckpoint(), dimPath)
+        }
+        ()
+      }
+      .start()
+
   /** Continuous gold maintenance — the streaming analog of the batch
     * partition-splice MV refresh (`Gold.dailySummaryIncremental`, q50):
     * each micro-batch of fact rows

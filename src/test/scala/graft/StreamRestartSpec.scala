@@ -128,4 +128,57 @@ class StreamRestartSpec extends SparkSpec {
     assert(mvOnDisk.collect().toSet == fullRecompute.collect().toSet,
       "post-replay MV must equal a full recompute from the fact layer")
   }
+
+  test("scd2Sink: replaying a committed batch converges; one current row per key") {
+    val base = Files.createTempDirectory("graft-tear-scd2").toString
+    val (inDir, dim, cp) = (s"$base/in", s"$base/dim", s"$base/cp")
+    val schema = StructType.fromDDL(
+      "account_id STRING, followers LONG, display_name STRING, " +
+        "ingestion_timestamp TIMESTAMP")
+    def addFile(rows: (String, Long, String, Timestamp)*): Unit =
+      rows.toSeq.toDF("account_id", "followers", "display_name", "ingestion_timestamp")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def start() = Streams.scd2Sink(
+      spark.readStream.schema(schema).parquet(inDir), dim, cp,
+      key = "account_id", attrs = Seq("followers", "display_name"))
+    def state = spark.read.parquet(dim)
+
+    // batch 1: two fresh keys, plus an intra-batch double version of a1
+    // (latest-per-key collapse: only the 100-follower version lands)
+    addFile(
+      ("a1", 50L, "Ada", ts("2024-01-01 00:00:00")),
+      ("a1", 100L, "Ada", ts("2024-01-01 12:00:00")),
+      ("a2", 10L, "Bob", ts("2024-01-01 12:00:00")))
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    assert(state.count() == 2, "intra-batch versions collapse to latest")
+    assert(state.filter(col("account_id") === "a1")
+      .head.getAs[Long]("followers") == 100L)
+
+    // batch 2: a1 changes, a2 unchanged (must NOT re-version), a3 new
+    addFile(
+      ("a1", 200L, "Ada", ts("2024-01-02 00:00:00")),
+      ("a2", 10L, "Bob", ts("2024-01-02 00:00:00")),
+      ("a3", 5L, "Cid", ts("2024-01-02 00:00:00")))
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    val before = state.collect().map(_.toString).sorted.toSeq
+    assert(state.count() == 4, "a1 expired+reinserted, a2 untouched, a3 inserted")
+    // the expired a1 version closes at the BATCH-derived stamp, not wall-clock
+    val expired = state.filter(col("account_id") === "a1" && !col("is_current")).head
+    assert(expired.getAs[Timestamp]("valid_to") == ts("2024-01-02 00:00:00"),
+      s"valid_to must come from the batch: $expired")
+
+    // mid-batch kill: batch 2's apply ran but its commit marker is gone —
+    // the replayed apply must detect zero changes and rewrite verbatim
+    tearLastCommit(cp)
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    assert(state.collect().map(_.toString).sorted.toSeq == before,
+      "replayed SCD2 apply must converge to the identical dimension state")
+    // invariant: exactly one current row per key, expired rows closed
+    val perKey = state.filter(col("is_current"))
+      .groupBy("account_id").count().collect()
+    assert(perKey.length == 3 && perKey.forall(_.getLong(1) == 1L),
+      "exactly one current row per key after replay")
+    assert(state.filter(!col("is_current") && col("valid_to").isNull).count() == 0,
+      "every expired row carries a close timestamp")
+  }
 }
