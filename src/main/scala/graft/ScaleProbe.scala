@@ -90,11 +90,23 @@ object ScaleProbe {
         }
         (s2, t)
       }.drop(1).map(_._2)
+      // batched rounds (q88): same per-round wall class, up to M=8
+      // merges each — the round-count-to-reach-a-vocabulary divides by
+      // the reported merges/round
+      val bpeBatch = (1 to 2).scanLeft((syms0, 0.0, 0)) { case ((s, _, _), k) =>
+        val ((s2, nm), t) = timed {
+          val (s2, rec) = graft.queries.TrainData2.bpeBatchRound(s, weights, k)
+          (s2, rec.collect().length)
+        }
+        (s2, t, nm)
+      }.drop(1)
       println(s"""{"probe":"sketch","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""tokens":$nTok,"vocab":$vocab,"cms_rows":$cmsRows,"hist_rows":$histRows,""" +
         s""""words_sec":${f"$tWords%.2f"},"vocab_sec":${f"$tVocab%.2f"},""" +
         s""""cms_sec":${f"$tCms%.2f"},"hist_sec":${f"$tHist%.2f"},""" +
-        s""""bpe_round_sec":[${bpe.map(t => f"$t%.2f").mkString(",")}]}""")
+        s""""bpe_round_sec":[${bpe.map(t => f"$t%.2f").mkString(",")}],""" +
+        s""""bpe_batch_round_sec":[${bpeBatch.map(t => f"${t._2}%.2f").mkString(",")}],""" +
+        s""""bpe_batch_merges":[${bpeBatch.map(_._3).mkString(",")}]}""")
       spark.stop()
       return
     }

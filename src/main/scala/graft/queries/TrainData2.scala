@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.operators.{IvfFlat, MinHashLsh}
 
-/** Round-5 training-data operators: corpus governance and index-quality
-  * measurement on top of the round-4 curation stack (TrainData.scala).
+/** Round-5+ training-data operators: corpus governance, index-quality
+  * measurement, sketch maintenance and tokenizer training on top of the
+  * round-4 curation stack (TrainData.scala). Registered queries:
+  * q77 split-leakage audit, q78 URL dedup, q79 mergeable quantile
+  * sketch, q80 ANN recall@k, q81 count-min heavy hitters, q82 BPE
+  * training, q83 incremental sketch maintenance, q84 Bloom-pruned
+  * incremental dedup, q85 overlap-aware chunking, q88 batched BPE.
   *
-  * The five queries here close gaps a production 100 TB curation pipeline
+  * The first five close gaps a production 100 TB curation pipeline
   * still had after q20–q76:
   *   - q77: train/val SPLIT LEAKAGE audit — near-dup pairs that straddle a
   *     deterministic holdout split (the self-split analog of q57/q64's
@@ -324,7 +329,16 @@ object TrainData2 {
   // `within_bound`). Deterministic hashes — unlike Misra-Gries — make
   // the whole sketch insertion-order-free, hence hash-gated. Scale:
   // two partial-aggregated shuffles over the token stream; sketch
-  // state is 1024 rows no matter the corpus size. ──
+  // state is 1024 rows no matter the corpus size.
+  //
+  // CAVEAT on the gate: 4N/w is the EXPECTED-overcount bound times a
+  // safety factor, not a worst case (the CMS guarantee ε = e/w holds
+  // only with probability 1 − e^−depth per query). It holds on the
+  // pinned sf0.001–sf0.1 corpora — which is what the hash gate
+  // replays — but a different corpus/word distribution could
+  // legitimately push one heavy hitter past it without any engine bug;
+  // if the test corpora ever vary, widen CmsBoundFactor or demote
+  // `within_bound` to a tolerance column (the q38/q71 pattern). ──
   private val CmsDepth = 4
   private val CmsBoundFactor = 64 // overcount gate: (est-exact)*64 <= N, i.e. 4N/w
 
@@ -392,6 +406,39 @@ object TrainData2 {
   // the oracle replays all three rounds exactly. ──
   private val BpeRounds = 3
 
+  /** Greedy-apply the match set of `pairs(L, R)` onto `syms` via
+    * gaps-and-islands (the shared apply step of [[bpeRound]] and
+    * [[bpeBatchRound]]). For more than one pair the CALLER guarantees
+    * the pairs are pairwise symbol-disjoint — then match intervals of
+    * different pairs can never overlap (an overlap at a shared position
+    * forces a shared symbol), every consecutive-position run is
+    * single-pair, and the odd-parity rule within runs is exactly the
+    * per-pair greedy left-to-right merge. */
+  private def bpeApply(syms: DataFrame, nxt: DataFrame, adj: DataFrame,
+                       pairs: DataFrame): DataFrame = {
+    val matches = adj.join(broadcast(pairs.select("L", "R")),
+        col("sym") === col("L") && col("nsym") === col("R"))
+      .select(col("w"), col("pos"))
+    val kept = matches
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("w").orderBy("pos")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("w", "grp").orderBy("pos")))
+      .filter(col("rn") % 2 === 1)
+      .select(col("w"), col("pos"))
+    syms
+      .join(kept.withColumn("is_m", lit(true)), Seq("w", "pos"), "left")
+      .join(kept.select(col("w"), (col("pos") + 1).as("pos"),
+        lit(true).as("was_r")), Seq("w", "pos"), "left")
+      .filter(col("was_r").isNull) // right halves of merged pairs vanish
+      .join(nxt, Seq("w", "pos"), "left")
+      .select(col("w"),
+        row_number().over(Window.partitionBy("w").orderBy("pos")).as("pos"),
+        when(col("is_m"), concat(col("sym"), col("nsym"))).otherwise(col("sym"))
+          .as("sym"))
+      .localCheckpoint() // vocab-sized; next round consumes it twice
+  }
+
   /** One BPE round over symbolization `syms(w, pos, sym)` with word
     * weights `weights(w, f)`: top adjacent pair by (Σf DESC, pair ASC),
     * greedy-merged via islands. Returns (next syms, 1-row merge record).
@@ -404,27 +451,7 @@ object TrainData2 {
       .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
       .orderBy(col("weight").desc, col("L"), col("R")).limit(1)
       .localCheckpoint() // 1 row; consumed by the match join AND the output
-    val matches = adj.join(broadcast(top.select("L", "R")),
-        col("sym") === col("L") && col("nsym") === col("R"))
-      .select(col("w"), col("pos"))
-    val kept = matches
-      .withColumn("grp",
-        col("pos") - row_number().over(Window.partitionBy("w").orderBy("pos")))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("w", "grp").orderBy("pos")))
-      .filter(col("rn") % 2 === 1)
-      .select(col("w"), col("pos"))
-    val merged = syms
-      .join(kept.withColumn("is_m", lit(true)), Seq("w", "pos"), "left")
-      .join(kept.select(col("w"), (col("pos") + 1).as("pos"),
-        lit(true).as("was_r")), Seq("w", "pos"), "left")
-      .filter(col("was_r").isNull) // right halves of merged pairs vanish
-      .join(nxt, Seq("w", "pos"), "left")
-      .select(col("w"),
-        row_number().over(Window.partitionBy("w").orderBy("pos")).as("pos"),
-        when(col("is_m"), concat(col("sym"), col("nsym"))).otherwise(col("sym"))
-          .as("sym"))
-      .localCheckpoint() // vocab-sized; next round consumes it twice
+    val merged = bpeApply(syms, nxt, adj, top)
     (merged, top.select(lit(round).as("round"), col("L").as("left_sym"),
       col("R").as("right_sym"), col("weight"), col("n_words")))
   }
@@ -445,17 +472,18 @@ object TrainData2 {
     merges.reduce(_.unionByName(_)).orderBy("round")
   }
 
-  /** One oracle round: the CTE chain mirroring [[bpeRound]] exactly
-    * (pair count → top-1 → islands → renumbered merge). */
-  private def bpeRoundSql(k: Int): String = {
-    val s = s"s$k"
+  /** Adjacency CTE `a$k` over symbolization `s$k` — shared front of the
+    * q82 and q88 oracle rounds. */
+  private def bpeAdjSql(k: Int): String =
     s"""a$k AS (SELECT a.w, a.pos, a.sym, b.sym AS nsym, w0.f
-      |  FROM $s a JOIN $s b ON a.w = b.w AND b.pos = a.pos + 1
-      |  JOIN w0 ON a.w = w0.w),
-      |t$k AS (SELECT sym AS L, nsym AS R, CAST(SUM(f) AS BIGINT) AS weight,
-      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
-      |  FROM a$k GROUP BY 1, 2 ORDER BY weight DESC, L, R LIMIT 1),
-      |m$k AS (SELECT a.w, a.pos FROM a$k a JOIN t$k t ON a.sym = t.L AND a.nsym = t.R),
+      |  FROM s$k a JOIN s$k b ON a.w = b.w AND b.pos = a.pos + 1
+      |  JOIN w0 ON a.w = w0.w)""".stripMargin
+
+  /** Islands + renumbered-merge CTEs `m$k`/`k$k`/`s${k+1}` applying the
+    * selection CTE `t$k(L, R, …)` onto `s$k` — the oracle mirror of
+    * [[bpeApply]], shared by the q82 and q88 rounds. */
+  private def bpeApplySql(k: Int): String =
+    s"""m$k AS (SELECT a.w, a.pos FROM a$k a JOIN t$k t ON a.sym = t.L AND a.nsym = t.R),
       |k$k AS (SELECT w, pos FROM (
       |    SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
       |    FROM (SELECT w, pos,
@@ -467,12 +495,20 @@ object TrainData2 {
       |    CASE WHEN is_m THEN sym || nsym ELSE sym END AS sym
       |  FROM (
       |    SELECT s.w, s.pos, s.sym, k1.pos IS NOT NULL AS is_m, n.sym AS nsym
-      |    FROM $s s
+      |    FROM s$k s
       |    LEFT JOIN k$k k1 ON s.w = k1.w AND s.pos = k1.pos
       |    LEFT JOIN k$k k2 ON s.w = k2.w AND s.pos = k2.pos + 1
-      |    LEFT JOIN $s n ON s.w = n.w AND n.pos = s.pos + 1
+      |    LEFT JOIN s$k n ON s.w = n.w AND n.pos = s.pos + 1
       |    WHERE k2.pos IS NULL))""".stripMargin
-  }
+
+  /** One oracle round: the CTE chain mirroring [[bpeRound]] exactly
+    * (pair count → top-1 → islands → renumbered merge). */
+  private def bpeRoundSql(k: Int): String =
+    s"""${bpeAdjSql(k)},
+      |t$k AS (SELECT sym AS L, nsym AS R, CAST(SUM(f) AS BIGINT) AS weight,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM a$k GROUP BY 1, 2 ORDER BY weight DESC, L, R LIMIT 1),
+      |${bpeApplySql(k)}""".stripMargin
 
   private val q82Sql =
     s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
@@ -488,6 +524,116 @@ object TrainData2 {
          s"  SELECT $k AS round, L AS left_sym, R AS right_sym, weight, n_words FROM t$k")
          .mkString("\n  UNION ALL\n")})
       |ORDER BY round""".stripMargin
+
+  // ── q88: BATCHED BPE — q82's merge loop with the driver-synchronous
+  // round count divided by M: each round selects the top-M adjacent
+  // pairs that are PAIRWISE SYMBOL-DISJOINT and applies all of them in
+  // one pass. Production vocabularies need thousands of merges, and
+  // with one merge per round the (corpus-independent but synchronous)
+  // rounds dominate wall clock — batching rounds is the standard
+  // amortization. Disjointness is what keeps the batch EXACT rather
+  // than approximately-applied: if no symbol appears in two selected
+  // pairs, a match interval [p, p+1] of one pair can never overlap a
+  // match of another (overlap at a shared position forces a shared
+  // symbol), so the combined match set splits into per-pair runs and
+  // q82's gaps-and-islands parity merge applies verbatim ([[bpeApply]]
+  // is literally shared). Selection is by RANK DOMINANCE — a candidate
+  // survives iff NO higher-ranked candidate (weight DESC, L, R) shares
+  // a symbol with it — not sequential greedy-over-selected: dominance
+  // is one anti-join here and one NOT EXISTS in the oracle,
+  // deterministic, recursion-free. It can select fewer pairs than
+  // greedy when a conflict chain occurs (rank 2 blocks rank 3 even
+  // though rank 2 was itself blocked by rank 1) — that costs round
+  // efficiency, never correctness. Candidates are cut to a top-C
+  // window first so the dominance join is a ≤C×C broadcast; C and M
+  // are part of the operator definition, shared with the oracle. ──
+  private val BpeBatchM = 8
+  private val BpeBatchWindow = 64
+  private val BpeBatchRounds = 2
+
+  /** One batched BPE round: top-M symbol-disjoint pairs by rank
+    * dominance, all applied in a single [[bpeApply]] pass. Returns
+    * (next syms, ≤M-row merge record with within-round merge_rank).
+    * Exposed to the spec for the disjointness / conflict-skip pins. */
+  private[graft] def bpeBatchRound(syms: DataFrame, weights: DataFrame,
+                                   round: Int, m: Int = BpeBatchM)
+      : (DataFrame, DataFrame) = {
+    val nxt = syms.select(col("w"), (col("pos") - 1).as("pos"), col("sym").as("nsym"))
+    val adj = syms.join(nxt, Seq("w", "pos")).join(weights, "w")
+    // distributed top-C (TakeOrderedAndProject) FIRST, then rank inside
+    // the ≤C-row relation — the bounded single-partition-window class
+    // (≤256 rows) this codebase documents; never a global rank window.
+    // Lossless for the dominance test: any dominator of a rank ≤ C
+    // candidate has rank < C, so it is inside the window too.
+    val cand = adj.groupBy(col("sym").as("L"), col("nsym").as("R"))
+      .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
+      .orderBy(col("weight").desc, col("L"), col("R")).limit(BpeBatchWindow)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("weight").desc, col("L"), col("R"))))
+      .localCheckpoint() // ≤C rows; both sides of the dominance anti-join
+    val sel = cand.as("p").join(cand.as("q"),
+        col("q.rnk") < col("p.rnk") &&
+          (col("q.L") === col("p.L") || col("q.L") === col("p.R") ||
+            col("q.R") === col("p.L") || col("q.R") === col("p.R")),
+        "left_anti")
+      .orderBy("rnk").limit(m)
+      .localCheckpoint() // ≤M rows; match join AND merge record
+    val merged = bpeApply(syms, nxt, adj, sel)
+    (merged, sel.select(lit(round).as("round"),
+      row_number().over(Window.orderBy("rnk")).as("merge_rank"),
+      col("L").as("left_sym"), col("R").as("right_sym"),
+      col("weight"), col("n_words")))
+  }
+
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    val weights = TrainData.docsParallel(spark, dir)
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // vocab-sized; joined every round
+    val syms0 = weights.select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    val (_, merges) = (1 to BpeBatchRounds)
+      .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
+        val (s2, t) = bpeBatchRound(s, weights, k)
+        (s2, acc :+ t)
+      }
+    merges.reduce(_.unionByName(_)).orderBy("round", "merge_rank")
+  }
+
+  /** One batched oracle round: candidate window → dominance NOT EXISTS
+    * → top-M → the shared apply chain. */
+  private def bpeBatchRoundSql(k: Int): String =
+    s"""${bpeAdjSql(k)},
+      |c$k AS (SELECT L, R, weight, n_words,
+      |    ROW_NUMBER() OVER (ORDER BY weight DESC, L, R) AS rnk
+      |  FROM (SELECT sym AS L, nsym AS R, CAST(SUM(f) AS BIGINT) AS weight,
+      |      CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |    FROM a$k GROUP BY 1, 2)
+      |  ORDER BY rnk LIMIT $BpeBatchWindow),
+      |t$k AS (SELECT * FROM c$k p
+      |  WHERE NOT EXISTS (SELECT 1 FROM c$k q
+      |    WHERE q.rnk < p.rnk AND (q.L = p.L OR q.L = p.R
+      |      OR q.R = p.L OR q.R = p.R))
+      |  ORDER BY rnk LIMIT $BpeBatchM),
+      |${bpeApplySql(k)}""".stripMargin
+
+  private val q88Sql =
+    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |s1 AS (SELECT w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+      |    unnest(list_transform(range(1, len(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1))) AS sym
+      |  FROM w0),
+      |${(1 to BpeBatchRounds).map(bpeBatchRoundSql).mkString(",\n")}
+      |SELECT * FROM (
+      |${(1 to BpeBatchRounds).map(k =>
+         s"""  SELECT $k AS round,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY rnk) AS INT) AS merge_rank,
+           |    L AS left_sym, R AS right_sym, weight, n_words FROM t$k""".stripMargin)
+         .mkString("\n  UNION ALL\n")})
+      |ORDER BY round, merge_rank""".stripMargin
 
   // ── q83: incremental sketch maintenance — the property that makes
   // mergeable sketches the right profile structure at 100 TB: when a new
@@ -671,5 +817,6 @@ object TrainData2 {
     QueryDef("q82_bpe_train", q82, Some(q82Sql)),
     QueryDef("q83_sketch_update", q83, Some(q83Sql)),
     QueryDef("q84_bloom_dedup", q84, Some(q84Sql)),
-    QueryDef("q85_chunk_overlap", q85, Some(q85Sql)))
+    QueryDef("q85_chunk_overlap", q85, Some(q85Sql)),
+    QueryDef("q88_bpe_batch", q88, Some(q88Sql)))
 }

@@ -83,6 +83,80 @@ class TrainData2Spec extends SparkSpec {
     assert((t.getString(1), t.getString(2), t.getLong(3), t.getLong(4)) == ("a", "a", 3L, 1L))
   }
 
+  test("q88: batched rounds select pairwise symbol-disjoint merges, ranked within round") {
+    val rows = q("q88_bpe_batch").orderBy("round", "merge_rank").collect()
+    assert(rows.nonEmpty)
+    val byRound = rows.groupBy(_.getInt(0))
+    assert(byRound.keySet == Set(1, 2))
+    byRound.foreach { case (round, rs) =>
+      // merge_rank is dense from 1, at most M=8 per round
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"round $round ranks")
+      assert(rs.length <= 8)
+      assert(rs.forall(r => r.getLong(4) > 0 && r.getLong(5) > 0))
+      // the EXACTNESS precondition: no symbol appears in two selected
+      // pairs of one round (this is what lets one bpeApply pass equal
+      // M sequential greedy applications)
+      val syms = rs.flatMap(r => Seq(r.getString(2), r.getString(3)))
+      val perPair = rs.toSeq.map(r => Set(r.getString(2), r.getString(3)))
+      perPair.combinations(2).foreach { pair =>
+        assert((pair(0) & pair(1)).isEmpty, s"round $round shares symbols: ${syms.toSeq}")
+      }
+    }
+    // batching actually batches: strictly more merges than rounds
+    assert(rows.length > 2, "expected multiple merges per round")
+  }
+
+  test("bpeBatchRound: m=1 degenerates to bpeRound (same merge, same symbolization)") {
+    import spark.implicits._
+    val words = Seq(("abab", 3L), ("abc", 2L), ("dd", 1L))
+    val syms = words.toDF("w", "f").select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    val weights = words.toDF("w", "f")
+    val (m1, r1) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
+    val (m2, r2) = graft.queries.TrainData2.bpeBatchRound(syms, weights, 1, m = 1)
+    assert(r2.select("left_sym", "right_sym", "weight", "n_words").collect().toSeq ==
+      r1.select("left_sym", "right_sym", "weight", "n_words").collect().toSeq)
+    assert(m2.orderBy("w", "pos").collect().toSeq == m1.orderBy("w", "pos").collect().toSeq)
+  }
+
+  test("bpeBatchRound: dominance skips a conflicting pair but keeps disjoint lower ranks") {
+    // pair weights: (a,b)=5, (b,c)=4, (d,e)=3 — (b,c) shares b with the
+    // higher-ranked (a,b) and must be skipped; (d,e) conflicts with
+    // NOTHING selected-or-ranked-above-it except (b,c)… which ranks
+    // above it and shares no symbol, so (d,e) survives. One round must
+    // merge ab and de but leave "bc" unmerged.
+    import spark.implicits._
+    val words = Seq(("ab", 5L), ("bc", 4L), ("de", 3L))
+    val syms = words.toDF("w", "f").select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(
+      syms, words.toDF("w", "f"), 1)
+    val sel = rec.orderBy("merge_rank").collect()
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(sel == Seq(("a", "b"), ("d", "e")), sel)
+    val out = merged.orderBy("w", "pos").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    assert(out == Map("ab" -> Seq("ab"), "bc" -> Seq("b", "c"), "de" -> Seq("de")))
+  }
+
+  test("bpeBatchRound: overlapping run inside a batch still merges greedily") {
+    // "aaaa" with top pair (a,a) PLUS the disjoint (d,e) in one batch:
+    // the island parity must still take positions 1 and 3 only.
+    import spark.implicits._
+    val words = Seq(("aaaa", 5L), ("de", 1L))
+    val syms = words.toDF("w", "f").select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(
+      syms, words.toDF("w", "f"), 1)
+    assert(rec.count() == 2)
+    val out = merged.orderBy("w", "pos").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    assert(out == Map("aaaa" -> Seq("aa", "aa"), "de" -> Seq("de")))
+  }
+
   test("q83: incremental sketch update reads out identical quantiles to full recompute") {
     val rows = q("q83_sketch_update").orderBy("p").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
