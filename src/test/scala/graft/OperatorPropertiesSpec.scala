@@ -305,5 +305,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: observed FP rate within 2x theory across sizings, zero false negatives") {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.operators.BloomPrune
+    // (items, bits): the shipped q84 sizing plus a 10-bits/item pair —
+    // pins the "size ~10x items for ≈1% false positives" scaladoc claim
+    // (BloomPrune.scala). Keys are fixed strings, so the observed rate
+    // is deterministic; the 2x margin absorbs key-set hash luck, not
+    // run-to-run variance.
+    val nProbe = 20000L
+    Seq((512L, 5120L), (2048L, 20480L), (4096L, 65536L)).foreach { case (n, m) =>
+      val stored = (0L until n).map(i => s"stored-$i").toDF("k")
+      val bf = stored.agg(BloomPrune.bloomAgg(col("k"), n, m))
+        .head.getAs[Array[Byte]](0)
+      val probes = (0L until nProbe).map(i => s"probe-$i").toDF("k")
+      val fp = probes.filter(BloomPrune.mightContain(lit(bf), col("k"))).count()
+      // optimal k = round(m/n * ln 2) (Spark's own sizing); theory
+      // p = (1 - e^{-kn/m})^k
+      val k = math.max(1L, math.round(m.toDouble / n * math.log(2))).toInt
+      val pTheory = math.pow(1 - math.exp(-k * n.toDouble / m), k)
+      val bound = math.max(2 * pTheory * nProbe, 10.0)
+      assert(fp <= bound,
+        s"n=$n m=$m: $fp FPs > bound $bound (theory ~${pTheory * nProbe})")
+      val fn = stored.filter(not(BloomPrune.mightContain(lit(bf), col("k")))).count()
+      assert(fn == 0L, s"n=$n m=$m: bloom false negatives impossible, got $fn")
+    }
+  }
+
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 }
