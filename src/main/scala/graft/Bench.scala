@@ -25,14 +25,18 @@ object Bench {
     s
   }
 
-  /** Host-wide (user, system, idle, steal) jiffies from /proc/stat.
-    * proc_cpu_sec alone can't distinguish "the query did more work"
-    * from "each cycle did less work": this VM class shows runs where
-    * KERNEL time is 2× user time under full 32-thread saturation
-    * (scheduler/futex overhead), inflating saturating stages ~1.5×
-    * while sub-second queries are untouched. system ≫ user in the
-    * artifact = host-kernel overhead, not a plan regression; steal > 0
-    * = hypervisor contention. */
+  /** Host-wide (user+nice, system, idle, steal) jiffies from
+    * /proc/stat — the emitted key is `user_nice` because nice is folded
+    * into it, and `idle` is pure idle (iowait is NOT added, it counts
+    * as busy-ish here) — anyone diffing against raw /proc/stat columns
+    * should expect exactly that aggregation. proc_cpu_sec alone can't
+    * distinguish "the query did more work" from "each cycle did less
+    * work": this VM class shows runs where KERNEL time is 2× user time
+    * under full 32-thread saturation (scheduler/futex overhead),
+    * inflating saturating stages ~1.5× while sub-second queries are
+    * untouched. system ≫ user_nice in the artifact = host-kernel
+    * overhead, not a plan regression; steal > 0 = hypervisor
+    * contention. */
   private def hostCpuTicks(): Option[(Long, Long, Long, Long)] =
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines()
@@ -121,7 +125,7 @@ object Bench {
     // emit garbage negatives — corrupting the very diagnosis this exists for
     val hostJson = (host0, host1) match {
       case (Some((u0, s0, i0, st0)), Some((u1, s1, i1, st1))) =>
-        s"""{"user":${u1 - u0},"system":${s1 - s0},"idle":${i1 - i0},"steal":${st1 - st0}}"""
+        s"""{"user_nice":${u1 - u0},"system":${s1 - s0},"idle":${i1 - i0},"steal":${st1 - st0}}"""
       case _ => "null"
     }
     val diag = s""""wall_sec":${fmt(wallSec, 1)},"proc_cpu_sec":${fmt(cpu1 - cpu0, 1)},""" +
@@ -133,13 +137,27 @@ object Bench {
     val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
+    // Outlier forensics that SURVIVES the tail capture: a query whose
+    // rep spread says "one-off contention" (max > 2× min at min > 0.3 s
+    // — the r5 q46 shape) carries its full rep array RIGHT NEXT to the
+    // contract keys, so the driver artifact can adjudicate the outlier
+    // without the local file. A clean run emits {} (~20 chars of
+    // window); this is the only per-rep detail inside the window — the
+    // full reps_sec up front can never fit (the 87-entry queries map
+    // alone is ~2 KB).
+    val outJson = results
+      .filter { case (_, ts) => ts.min > 0.3 && ts.max > 2 * ts.min }
+      .sortBy { case (_, ts) => -ts.min }.take(5) // bound the window cost
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // Key order is survival priority under a `tail` capture (the HEAD of
     // an over-long line is what gets cut): sacrificial per-rep detail
-    // first, then the diagnosis block, then the contract keys
-    // ("queries", "metric":"total","value") at the very END so they
-    // survive ANY window (round-4's artifact lost its total exactly by
-    // burying it behind per-query detail).
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,$diag,"queries":$qs,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    // first, then the diagnosis block, then "queries", then the
+    // rep-spread outliers, then the contract keys
+    // ("metric":"total","value") at the very END so they survive ANY
+    // window (round-4's artifact lost its total exactly by burying it
+    // behind per-query detail).
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,$diag,"queries":$qs,"rep_outliers":$outJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
   }
 }
