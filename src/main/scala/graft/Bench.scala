@@ -51,7 +51,17 @@ object Bench {
     // codegen loops (the sf0.001 warmup is too small to trigger C2), the
     // later reps are the steady state a long-running cluster job sees.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Comma-separated query-name prefixes; empty = whole suite. Profiling
+    // aid only — the driver never sets it, so official artifacts always
+    // cover every query.
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val maxPartitionBytes = "8m"
+    // Overridable for A/B profiling of the AQE coalesce policy (see the
+    // comment below); the committed defaults are the measured winners.
+    val sizeFirstCoalesce =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_SIZE_FIRST", "true").toBoolean
+    val advisoryBytes = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,14 +79,17 @@ object Bench {
       // tasks and pays 32× task-dispatch/kernel overhead. Size-first
       // with an 8 MB advisory target folds those to a handful of tasks
       // while big shuffles (≥ cpus × 8 MB) keep full parallelism.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        (!sizeFirstCoalesce).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest scale factor: compiles every query's
     // codegen and primes JIT/parquet-footer caches, so timed runs measure
     // the query, not first-touch compilation.
-    SparkEntry.queries.values
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    selected.map(_._2)
       .foreach(fn => try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => })
     spark.catalog.clearCache()
@@ -86,10 +99,17 @@ object Bench {
     val cpu0 = processCpuSec()
     val wall0 = System.nanoTime()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws must be LOUD: r6's silent `-1L` catch recorded
+    // broken queries at their exception latency (0.06 s) — a bench that
+    // reports a broken query as *fast* is worse than one that crashes.
+    // Failed names land in an "errors" key inside the tail window and the
+    // process exits nonzero.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       // Isolation: no query may ride on (or pay for) another query's
@@ -112,9 +132,10 @@ object Bench {
       "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // 2 dp: the artifact is captured as the LAST 2000 chars of stdout
-    // (sbt's [success] epilogue included), so the survival budget for
-    // `"queries":{...},"metric":"total",...` is ~1900 chars — 75 queries
-    // at 2 dp is ~1856; 3 dp (1931) already overflowed the window.
+    // (sbt's [success] epilogue included). At 87+ queries the full map
+    // (~2.2 KB) no longer fits whole — it sits BEFORE the diag/contract
+    // keys so its HEAD is what truncates; whatever survives is still
+    // per-query data, and the committed bench_local file has all of it.
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
@@ -136,7 +157,9 @@ object Bench {
     // measurement conditions.
     val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
-      s""""cache_policy":"localCheckpoint per query, clearCache between queries","aqe":${spark.conf.get("spark.sql.adaptive.enabled")}"""
+      s""""cache_policy":"localCheckpoint per query, clearCache between queries",""" +
+      s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
+      s""""aqe_size_first":$sizeFirstCoalesce,"aqe_advisory":"$advisoryBytes""""
     // Outlier forensics that SURVIVES the tail capture: a query whose
     // rep spread says "one-off contention" (max > 2× min at min > 0.3 s
     // — the r5 q46 shape) carries its full rep array RIGHT NEXT to the
@@ -150,14 +173,20 @@ object Bench {
       .sortBy { case (_, ts) => -ts.min }.take(5) // bound the window cost
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val errJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Key order is survival priority under a `tail` capture (the HEAD of
     // an over-long line is what gets cut): sacrificial per-rep detail
-    // first, then the diagnosis block, then "queries", then the
-    // rep-spread outliers, then the contract keys
-    // ("metric":"total","value") at the very END so they survive ANY
-    // window (round-4's artifact lost its total exactly by burying it
-    // behind per-query detail).
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,$diag,"queries":$qs,"rep_outliers":$outJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    // first (at 87+ queries it can NEVER fit the 2000-char window — it
+    // lives for the committed bench_local file only), then "queries"
+    // (partially truncatable), then the rep-spread outliers, then the
+    // diagnosis block (~130 chars: cpu/wall/gc/host_ticks — r6 buried
+    // these before "queries" and they were truncated out exactly when
+    // they were needed to prove host contention), then "errors", then
+    // the contract keys ("metric":"total","value") at the very END so
+    // they survive ANY window.
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"rep_outliers":$outJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
+    // Broken queries must fail the run visibly, not just textually.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -24,17 +24,31 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
-    * (`legacy.parquet.nanosAsLong`) and rebuild a microsecond timestamp —
-    * truncation, matching what any ns→us conversion does. The conf is a
-    * runtime SQLConf, safe to set per-call on a shared session.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. NANOS is rejected by
+    * Spark's vectorized reader ([PARQUET_TYPE_ILLEGAL]), so we always set
+    * `legacy.parquet.nanosAsLong` (a runtime SQLConf, safe per-call on a
+    * shared session): nanos data then loads as a raw LongType we rebuild
+    * into a microsecond timestamp (truncation, matching any ns→us
+    * conversion), while micros data loads as a native timestamp we pass
+    * through untouched. Branching on the LOADED type — not an assumed
+    * physical type — keeps both generations working.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      // integer div — ns epoch (~1.7e18) overflows double's 53-bit mantissa
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div — ns epoch (~1.7e18) overflows double's 53-bit mantissa
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet micros with isAdjustedToUTC=false loads as TIMESTAMP_NTZ;
+        // downstream uses unix_micros & co. which demand TIMESTAMP. Every
+        // entry point pins the session zone to UTC, so this cast is a pure
+        // type change (identity on the epoch value) — same instants the
+        // nanos path produced.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TIMESTAMP: use as-is
+    }
   }
 }
