@@ -127,7 +127,14 @@ object Multimodal {
     * that is a data condition, not an error, and the caller falls back
     * to the byte-statistic stub. Non-16-bit or unsigned/µ-law payloads
     * are converted to 16-bit signed PCM by the JVM's own converter so
-    * the sample statistics are encoding-independent. */
+    * the sample statistics are encoding-independent.
+    *
+    * COST (bench note): landing this real decode moved q36 from ~0.5 s
+    * to ~0.7-1.2 s local at sf0.1 — container parse + PCM conversion +
+    * a full pass over every sample is genuine per-byte work the former
+    * stub skipped. The spend is row-local (scales linearly, no shuffle
+    * impact) and is the price of real rate/duration/RMS/peak/zero-cross
+    * features instead of byte statistics. */
   private[engine] def decodeAudio(content: Array[Byte]): Option[AudioDecode] =
     if (content == null || content.length < 12) None
     else {
