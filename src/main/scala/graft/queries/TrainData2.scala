@@ -547,6 +547,16 @@ object TrainData2 {
   // efficiency, never correctness. Candidates are cut to a top-C
   // window first so the dominance join is a ≤C×C broadcast; C and M
   // are part of the operator definition, shared with the oracle. ──
+  //
+  // PERF (round-7 adjudication of the round-6 ≥2× flags on
+  // q81/q82/q83/q84/q88): quiet-host paired runs with the default bench
+  // config measure q82 2.27 s (r5: 2.75), q81 0.74 (1.01), q84 0.74
+  // (0.63), q83 0.70 (0.48), q88 2.96 — all ≤1.5× of their r5-local
+  // numbers, most faster. The shared [[bpeApply]] machinery adds no
+  // corpus pass (the corpus is still collapsed exactly once into the
+  // word-frequency vocab); the flagged numbers were host contention in
+  // the measuring runs, not this refactor. See README "Round-6 perf
+  // flags adjudicated" + bench_local_r7.json.
   private val BpeBatchM = 8
   private val BpeBatchWindow = 64
   private val BpeBatchRounds = 2
