@@ -525,6 +525,63 @@ object TrainData2 {
          .mkString("\n  UNION ALL\n")})
       |ORDER BY round""".stripMargin
 
+  // ── q89: BPE ENCODE / compression trajectory — the APPLY side of q82:
+  // run the trained merges over the corpus symbolization and read out,
+  // after every round, the total corpus length in symbols
+  // (Σ over words of frequency × symbols-per-word). This is the "did
+  // training help" gauge a tokenizer pipeline watches: round 0 is the
+  // raw character length, each merge round shrinks the total by exactly
+  // the weight of the pair it merged, and the trajectory is the
+  // fertility curve (symbols per word) vocabulary sizing reads. Scale:
+  // the tallies are vocab-sized aggregations over the per-round
+  // symbolizations q82 already materializes (localCheckpoint per
+  // round) — the corpus is still touched exactly once, and each tally
+  // is one partial-aggregated shuffle producing ONE row. The 4-row
+  // saved_vs_raw window is the bounded single-partition-window class
+  // (≤ BpeRounds+1 rows). ──
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val weights = TrainData.docsParallel(spark, dir)
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // vocab-sized; joined every round AND every tally
+    val syms0 = weights.select(col("w"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+    // total corpus symbols under symbolization `s`: each (w, pos) row is
+    // one symbol occurrence in the vocab, weighted by the word's corpus
+    // frequency — Σ f is exact integer arithmetic, order-independent
+    def tally(s: DataFrame, round: Int): DataFrame =
+      s.join(weights, "w").agg(sum("f").as("total_syms"))
+        .select(lit(round).as("round"), col("total_syms"))
+    val (tallies, _) = (1 to BpeRounds)
+      .foldLeft((Seq(tally(syms0, 0)), syms0)) { case ((acc, s), k) =>
+        val (s2, _) = bpeRound(s, weights, k)
+        (acc :+ tally(s2, k), s2)
+      }
+    val w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    tallies.reduce(_.unionByName(_))
+      .withColumn("saved_vs_raw", first("total_syms").over(w) - col("total_syms"))
+      .orderBy("round")
+  }
+
+  private val q89Sql =
+    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |s1 AS (SELECT w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+      |    unnest(list_transform(range(1, len(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1))) AS sym
+      |  FROM w0),
+      |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+      |tallies AS (
+      |${(0 to BpeRounds).map(r =>
+         s"""  SELECT $r AS round, (SELECT CAST(SUM(w0.f) AS BIGINT)
+           |    FROM s${r + 1} s JOIN w0 ON s.w = w0.w) AS total_syms""".stripMargin)
+         .mkString("\n  UNION ALL\n")})
+      |SELECT round, total_syms,
+      |  FIRST_VALUE(total_syms) OVER (ORDER BY round) - total_syms AS saved_vs_raw
+      |FROM tallies ORDER BY round""".stripMargin
+
   // ── q88: BATCHED BPE — q82's merge loop with the driver-synchronous
   // round count divided by M: each round selects the top-M adjacent
   // pairs that are PAIRWISE SYMBOL-DISJOINT and applies all of them in
@@ -828,5 +885,6 @@ object TrainData2 {
     QueryDef("q83_sketch_update", q83, Some(q83Sql)),
     QueryDef("q84_bloom_dedup", q84, Some(q84Sql)),
     QueryDef("q85_chunk_overlap", q85, Some(q85Sql)),
-    QueryDef("q88_bpe_batch", q88, Some(q88Sql)))
+    QueryDef("q88_bpe_batch", q88, Some(q88Sql)),
+    QueryDef("q89_bpe_encode", q89, Some(q89Sql)))
 }

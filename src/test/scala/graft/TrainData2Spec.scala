@@ -106,6 +106,20 @@ class TrainData2Spec extends SparkSpec {
     assert(rows.length > 2, "expected multiple merges per round")
   }
 
+  test("q89: encode trajectory starts at raw char mass and strictly shrinks each round") {
+    val rows = q("q89_bpe_encode").orderBy("round").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val totals = rows.map(_.getLong(1)).toSeq
+    // round 0 = raw corpus length in characters (whitespace tokenization)
+    val raw = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(totals.head == raw, s"round-0 total ${totals.head} != raw char mass $raw")
+    // each trained merge has positive weight → ≥1 occurrence merges → strict drop
+    totals.sliding(2).foreach { case Seq(a, b) => assert(b < a, totals) }
+    rows.foreach(r => assert(r.getLong(2) == totals.head - r.getLong(1)))
+  }
+
   test("bpeBatchRound: m=1 degenerates to bpeRound (same merge, same symbolization)") {
     import spark.implicits._
     val words = Seq(("abab", 3L), ("abc", 2L), ("dd", 1L))
