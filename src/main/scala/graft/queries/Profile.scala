@@ -453,9 +453,80 @@ object Profile {
       |    AS pct_of_prev
       |FROM steps ORDER BY step""".stripMargin
 
+  // ── q90: event-rate spike detection — the monitoring query every event
+  // pipeline runs over its ingest stream: per (event_type, hour) counts on
+  // a GAP-FREE hour spine (missing hours are real zeros — a window over
+  // observed rows only would silently shrink the baseline), then a
+  // trailing 24-hour z-score flags hours where the count exceeds the
+  // trailing mean by > 3σ. The verdict is computed entirely in integer
+  // cross-multiplied form (the q55 pattern): with S = Σcnt, Q = Σcnt²
+  // over the 24 trailing hours, z > 3 ⇔ 24·cnt − S > 0 AND
+  // (24·cnt − S)² > 9·(24·Q − S²) — no float mean/stddev, so both
+  // engines agree bit-for-bit (naive vs Welford variance would differ in
+  // ulps). A dead-flat baseline (den2 = 0) spikes on any positive excess,
+  // deliberately. Longs are exact here up to ~10⁹ events/hour (squares
+  // approach 2⁶³ beyond that — at that volume move S/Q to DECIMAL).
+  // Scale: one partial-aggregated count shuffle at (type, hour) grain —
+  // the spine join and window run on the AGGREGATED relation (hours ×
+  // types, KBs at any corpus size), never on raw events. ──
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val spine = ev.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val filled = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    filled
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s_win", sum("cnt").over(w))
+      .withColumn("q_win", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n_win") === 24)
+      .withColumn("num", col("cnt") * col("n_win") - col("s_win"))
+      .withColumn("den2", col("n_win") * col("q_win") - col("s_win") * col("s_win"))
+      .filter(col("num") > 0 && col("num") * col("num") > lit(9L) * col("den2"))
+      .select(col("event_type"), col("h").as("hour"), col("cnt"),
+        col("s_win"), col("q_win"), col("num"), col("den2"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val q90Sql =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+      |counts AS (
+      |  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+      |rng AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM rng),
+      |filled AS (
+      |  SELECT s.event_type, s.h, COALESCE(c.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h),
+      |st AS (
+      |  SELECT event_type, h, cnt,
+      |    COUNT(*) OVER w AS n_win,
+      |    CAST(SUM(cnt) OVER w AS BIGINT) AS s_win,
+      |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS q_win
+      |  FROM filled
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, h AS hour, cnt, s_win, q_win,
+      |  cnt * n_win - s_win AS num,
+      |  n_win * q_win - s_win * s_win AS den2
+      |FROM st
+      |WHERE n_win = 24 AND cnt * n_win - s_win > 0
+      |  AND (cnt * n_win - s_win) * (cnt * n_win - s_win)
+      |    > 9 * (n_win * q_win - s_win * s_win)
+      |ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q86_retention_matrix", q86, Some(q86Sql)),
     QueryDef("q87_event_funnel", q87, Some(q87Sql)),
+    QueryDef("q90_rate_spike", q90, Some(q90Sql)),
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
     QueryDef("q32_summary_stats", q32, Some(q32Sql)),

@@ -38,4 +38,21 @@ class ProfileSpec extends SparkSpec {
         s"${r.getString(0)}: merged-sketch estimate drifted past 5% of $users")
     }
   }
+
+  test("q90: every flagged hour exceeds its trailing mean by > 3 sigma (float replay)") {
+    val rows = SparkEntry.queries("q90_rate_spike")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, s, q) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (num, den2) = (r.getLong(5), r.getLong(6))
+      // the emitted integers are internally consistent with n_win = 24
+      assert(num == cnt * 24 - s && den2 == 24 * q - s * s)
+      assert(den2 >= 0, "variance numerator can't be negative")
+      // and the integer verdict agrees with the float z-score it encodes
+      val mean = s / 24.0
+      val sd = math.sqrt(den2 / (24.0 * 24.0))
+      assert(cnt > mean && (cnt - mean) * (cnt - mean) > 9.0 * sd * sd - 1e-9,
+        s"${r.getString(0)} @ ${r.get(1)}: cnt=$cnt mean=$mean sd=$sd not a >3-sigma spike")
+    }
+  }
 }
