@@ -523,10 +523,109 @@ object Profile {
       |    > 9 * (n_win * q_win - s_win * s_win)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ── q91: per-column profile drift between batches — the data-quality
+  // audit (deequ / Great-Expectations class) a pipeline runs before
+  // admitting a new crawl batch: profile each column in the stored
+  // corpus (doc_id % 10 != 0) and the incoming batch (% 10 == 0), then
+  // flag drift. Categorical columns (lang, source) compare VALUE SHARES
+  // — drift ⇔ |share_a − share_b| > 5 points, evaluated as
+  // |a·TB − b·TA|·20 > TA·TB in integers; numeric n_chars compares the
+  // MEAN (|mean_a/mean_b − 1| > 5%, as |sa·cb − sb·ca|·20 > sb·ca) and
+  // min/max extremes (relative move > 5%). No float division anywhere
+  // in a verdict, so both engines agree exactly (the q55/q90 pattern).
+  // Output is stacked (metric, key, a, b, drift) — the long layout a
+  // quality dashboard stores per batch. Scale: two filtered scans →
+  // partial-agg groupBys at VALUE grain; the share windows run over the
+  // ≤|distinct values| aggregate (the bounded single-partition-window
+  // class). In production the stored-side profile is persisted state
+  // and only the batch scan runs — same incremental contract as q83. ──
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val a = d.filter(col("doc_id") % 10 =!= 0)
+    val b = d.filter(col("doc_id") % 10 === 0)
+    def catDrift(c: String): DataFrame = {
+      val pa = a.groupBy(col(c).as("key")).agg(count(lit(1)).as("a"))
+      val pb = b.groupBy(col(c).as("key")).agg(count(lit(1)).as("b"))
+      val w = Window.partitionBy(lit(1))
+      pa.join(pb, Seq("key"), "full_outer")
+        .select(lit(s"share:$c").as("metric"), col("key"),
+          coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
+        .withColumn("ta", sum("a").over(w)).withColumn("tb", sum("b").over(w))
+        .withColumn("drift",
+          abs(col("a") * col("tb") - col("b") * col("ta")) * 20 > col("ta") * col("tb"))
+        .drop("ta", "tb")
+    }
+    def numDrift: DataFrame = {
+      // both batch profiles in ONE conditional-aggregation pass — a 1-row
+      // join of two scalar aggregates would constant-fold its literal key
+      // and plan as a nested loop; this is one scan and no join at all
+      val isA = col("doc_id") % 10 =!= 0
+      val j = d.agg(
+        count(when(isA, 1)).as("ca"), sum(when(isA, col("n_chars"))).as("sa"),
+        min(when(isA, col("n_chars"))).as("mna"),
+        max(when(isA, col("n_chars"))).as("mxa"),
+        count(when(!isA, 1)).as("cb"), sum(when(!isA, col("n_chars"))).as("sb"),
+        min(when(!isA, col("n_chars"))).as("mnb"),
+        max(when(!isA, col("n_chars"))).as("mxb"))
+      j.select(lit("nchars:mean").as("metric"), lit(null: String).as("key"),
+          col("sa").as("a"), col("sb").as("b"),
+          (abs(col("sa") * col("cb") - col("sb") * col("ca")) * 20 >
+            col("sb") * col("ca")).as("drift"))
+        .unionByName(j.select(lit("nchars:min").as("metric"),
+          lit(null: String).as("key"), col("mna").as("a"), col("mnb").as("b"),
+          (abs(col("mna") - col("mnb")) * 20 > col("mnb")).as("drift")))
+        .unionByName(j.select(lit("nchars:max").as("metric"),
+          lit(null: String).as("key"), col("mxa").as("a"), col("mxb").as("b"),
+          (abs(col("mxa") - col("mxb")) * 20 > col("mxb")).as("drift")))
+    }
+    catDrift("lang").unionByName(catDrift("source")).unionByName(numDrift)
+      .orderBy("metric", "key")
+  }
+
+  private val q91Sql =
+    """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+      |a AS (SELECT * FROM d WHERE doc_id % 10 != 0),
+      |b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+      |cat AS (
+      |  SELECT metric, key, a, b,
+      |    CAST(SUM(a) OVER (PARTITION BY metric) AS BIGINT) AS ta,
+      |    CAST(SUM(b) OVER (PARTITION BY metric) AS BIGINT) AS tb
+      |  FROM (
+      |    SELECT 'share:lang' AS metric, COALESCE(pa.key, pb.key) AS key,
+      |      COALESCE(pa.a, 0) AS a, COALESCE(pb.b, 0) AS b
+      |    FROM (SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS a FROM a GROUP BY 1) pa
+      |    FULL OUTER JOIN
+      |      (SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS b FROM b GROUP BY 1) pb
+      |      ON pa.key = pb.key
+      |    UNION ALL
+      |    SELECT 'share:source', COALESCE(pa.key, pb.key),
+      |      COALESCE(pa.a, 0), COALESCE(pb.b, 0)
+      |    FROM (SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS a FROM a GROUP BY 1) pa
+      |    FULL OUTER JOIN
+      |      (SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS b FROM b GROUP BY 1) pb
+      |      ON pa.key = pb.key)),
+      |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS ca, CAST(SUM(n_chars) AS BIGINT) AS sa,
+      |    MIN(n_chars) AS mna, MAX(n_chars) AS mxa FROM a),
+      |sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS cb, CAST(SUM(n_chars) AS BIGINT) AS sb,
+      |    MIN(n_chars) AS mnb, MAX(n_chars) AS mxb FROM b)
+      |SELECT metric, key, a, b, ABS(a * tb - b * ta) * 20 > ta * tb AS drift
+      |FROM cat
+      |UNION ALL
+      |SELECT 'nchars:mean', NULL, sa, sb, ABS(sa * cb - sb * ca) * 20 > sb * ca
+      |FROM sa, sb
+      |UNION ALL
+      |SELECT 'nchars:min', NULL, mna, mnb, ABS(mna - mnb) * 20 > mnb FROM sa, sb
+      |UNION ALL
+      |SELECT 'nchars:max', NULL, mxa, mxb, ABS(mxa - mxb) * 20 > mxb FROM sa, sb
+      |ORDER BY metric, key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q86_retention_matrix", q86, Some(q86Sql)),
     QueryDef("q87_event_funnel", q87, Some(q87Sql)),
     QueryDef("q90_rate_spike", q90, Some(q90Sql)),
+    QueryDef("q91_profile_drift", q91, Some(q91Sql)),
     QueryDef("q30_null_profile", q30, Some(q30Sql)),
     QueryDef("q31_score_labels", q31, Some(q31Sql)),
     QueryDef("q32_summary_stats", q32, Some(q32Sql)),

@@ -105,14 +105,16 @@ class PlanSpec extends SparkSpec {
       }
   }
 
-  test("q77-q90 (minus q80/q81/q88): governance and analytics pipelines never nested-loop") {
+  test("q77-q91 (minus q80/q81/q88): governance and analytics pipelines never nested-loop") {
     // q77 inherits q21's capped LSH join plus id→flag equi-joins; q78/q85
     // are scan-fused row-local transforms + one groupBy; q79/q83 join
     // bounded read-outs on equi keys; q82's match join broadcasts the
     // 1-row winning pair on two equi columns; q84's bloom ships as a
     // literal; q86/q87 are equi-joins to per-key aggregates; q89's
     // tallies are equi-joins of vocab-sized rounds onto the weights;
-    // q90's spine fill is a left equi-join at (type, hour) grain.
+    // q90's spine fill is a left equi-join at (type, hour) grain;
+    // q91's profile joins are full-outer on the value key and a 1-row
+    // literal-key equi pair.
     // (q80/q81 are excluded by design: the brute-force ground-truth
     // kernel and the 1-row total broadcast are intentional nested-loop
     // shapes, same as q24 and q62; q88's ≤64-row dominance anti-join is
@@ -120,7 +122,7 @@ class PlanSpec extends SparkSpec {
     Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch",
         "q82_bpe_train", "q83_sketch_update", "q84_bloom_dedup",
         "q85_chunk_overlap", "q86_retention_matrix", "q87_event_funnel",
-        "q89_bpe_encode", "q90_rate_spike")
+        "q89_bpe_encode", "q90_rate_spike", "q91_profile_drift")
       .foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

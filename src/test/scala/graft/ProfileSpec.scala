@@ -39,6 +39,29 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("q91: share masses conserve the corpus and drift flags replay in rationals") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q91_profile_drift")(spark, dir).collect()
+    val n = graft.engine.Tables.documents(spark, dir).count()
+    Seq("share:lang", "share:source").foreach { m =>
+      val rs = rows.filter(_.getString(0) == m)
+      assert(rs.nonEmpty)
+      // every document lands in exactly one (batch, value) cell
+      assert(rs.map(r => r.getLong(2) + r.getLong(3)).sum == n, m)
+      val (ta, tb) = (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum)
+      rs.foreach { r =>
+        val (a, b) = (r.getLong(2), r.getLong(3))
+        // the emitted flag replays from the emitted integers alone:
+        // |a/ta - b/tb| > 1/20 cross-multiplied (exact, no float division)
+        val expected = math.abs(a * tb - b * ta) * 20 > ta * tb
+        assert(r.getBoolean(4) == expected, s"$m/${r.getString(1)}")
+      }
+    }
+    Seq("nchars:mean", "nchars:min", "nchars:max").foreach { m =>
+      assert(rows.count(_.getString(0) == m) == 1, m)
+    }
+  }
+
   test("q90: every flagged hour exceeds its trailing mean by > 3 sigma (float replay)") {
     val rows = SparkEntry.queries("q90_rate_spike")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
