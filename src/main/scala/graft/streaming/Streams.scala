@@ -95,6 +95,62 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class HourCount(event_type: String, hour_idx: Long, cnt: Long)
+  final case class SpikeState(counts: Map[Long, Long], firstHour: Long,
+                              maxHour: Long)
+  final case class Spike(event_type: String, hour_idx: Long, cnt: Long,
+                         s_win: Long, q_win: Long, num: Long, den2: Long)
+
+  /** Streaming event-rate spike monitor — the live analog of batch q90:
+    * consumes watermark-FINALIZED hourly counts (the [[windowedCounts]]
+    * append output, hours as epoch-hour indices) and keeps, per
+    * event_type, a trailing-24-hour baseline in a bounded ring of
+    * (hour → count). A row spikes when 24·cnt − S > 0 and
+    * (24·cnt − S)² > 9·(24·Q − S²) — the same integer cross-multiplied
+    * >3σ verdict as the batch query, with UNOBSERVED hours counting as
+    * real zeros (only observed hours can spike: cnt = 0 makes the excess
+    * non-positive, so evaluating at observed hours loses nothing). After
+    * any in-order prefix the emitted verdicts equal batch q90 over that
+    * prefix (pinned in StreamsSpec). State per key is ≤ 25 map entries,
+    * evicted as the hour high-water advances — bounded regardless of
+    * stream length; no timeout is needed because verdicts emit on
+    * arrival, not on silence. Input contract: per key, finalized hours
+    * arrive in event-time order (append-mode window finalization follows
+    * the watermark, which guarantees exactly that across micro-batches);
+    * inside one micro-batch the group iterator is sorted here. */
+  def spikeVerdicts(hourly: Dataset[HourCount]): Dataset[Spike] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpikeState, Spike](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[HourCount], state: GroupState[SpikeState]) =>
+          var st = state.getOption.getOrElse(SpikeState(Map.empty, Long.MaxValue, Long.MinValue))
+          val out = Seq.newBuilder[Spike]
+          rows.toSeq.sortBy(_.hour_idx).foreach { r =>
+            val h = r.hour_idx
+            val first = math.min(st.firstHour, h)
+            if (h - first >= 24) {
+              val win = (h - 24) until h
+              val s = win.map(st.counts.getOrElse(_, 0L)).sum
+              val q = win.map(i => { val c = st.counts.getOrElse(i, 0L); c * c }).sum
+              val num = r.cnt * 24 - s
+              val den2 = 24 * q - s * s
+              if (num > 0 && num * num > 9 * den2)
+                out += Spike(etype, h, r.cnt, s, q, num, den2)
+            }
+            val maxH = math.max(st.maxHour, h)
+            // keep exactly the hours any future in-order row can need:
+            // the next hour's window starts at maxH + 1 - 24
+            st = SpikeState(
+              (st.counts + (h -> r.cnt)).filter(_._1 >= maxH - 23),
+              first, maxH)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream–stream interval join — attribution: each `actions` row (e.g.
     * a purchase) matches `triggers` rows (e.g. clicks) by key within
     * `[action.ts − horizon, action.ts]`. Both sides carry watermarks and

@@ -344,4 +344,40 @@ class StreamsSpec extends SparkSpec {
       assert(state().size <= 4 * graft.operators.CountMin.Width)
     } finally q.stop()
   }
+
+  test("spikeVerdicts streaming output equals batch q90 on the same hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch side: q90's spike rows, hours converted to epoch-hour idx
+    val batch = SparkEntry.queries("q90_rate_spike")(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(hour) div 3600000000").as("h"),
+        col("cnt"), col("s_win"), col("q_win"), col("num"), col("den2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(batch.nonEmpty)
+    // the stream input: the same observed (type, hour, cnt) rows — gaps
+    // stay gaps; the operator's implied-zero baseline must reconstruct
+    // the batch spine semantics
+    val hourly = graft.engine.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[Streams.HourCount].collect().sortBy(r => (r.hour_idx, r.event_type))
+    val in = MemoryStream[Streams.HourCount]
+    val q = Streams.spikeVerdicts(in.toDS())
+      .writeStream.format("memory").queryName("spikes").outputMode("append").start()
+    try {
+      // feed in three in-order chunks (the append-mode finalization
+      // order the operator's contract names)
+      val cut1 = hourly.length / 3; val cut2 = 2 * hourly.length / 3
+      Seq(hourly.take(cut1), hourly.slice(cut1, cut2), hourly.drop(cut2))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = spark.table("spikes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(streamed == batch,
+        s"streaming/batch spike sets differ: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
