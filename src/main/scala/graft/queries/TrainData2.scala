@@ -582,6 +582,71 @@ object TrainData2 {
       |  FIRST_VALUE(total_syms) OVER (ORDER BY round) - total_syms AS saved_vs_raw
       |FROM tallies ORDER BY round""".stripMargin
 
+  // ── q92: PageRank over the corpus link graph — crawl-frontier /
+  // canonical-copy authority scoring (when a near-dup cluster picks its
+  // canonical copy, the most-linked one usually is the original). The
+  // link graph is derived deterministically from the corpus (doc i
+  // links to (31i² + 97j) mod n for j = 1..3, self-links dropped — the
+  // quadratic term makes in-degrees skewed, 0..20 at n=500, so there is
+  // real authority structure to rank; a linear map would be a
+  // permutation per j and PageRank would be uniform) so
+  // both engines replay the same edges; the iteration itself is
+  // [[graft.operators.PageRank]]'s integer fixed-point formulation —
+  // ranks in millionths, truncating division, order-independent integer
+  // sums — which is what lets an ITERATIVE float-free PageRank be
+  // hash-gated against DuckDB exactly. Scale: per iteration one
+  // src-keyed equi-join + one dst-keyed partial agg over the edge
+  // table; rank state is node-sized and checkpointed per round (the CC
+  // operator's pattern). n is a driver scalar (count), the same bounded
+  // model state as q65's offset. ──
+  private val PrIters = 3
+
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    val d = TrainData.docsParallel(spark, dir).select(col("doc_id"))
+    val n = Tables.documents(spark, dir).count()
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("j") * 97) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val nodes = d.select(col("doc_id").as("node"))
+    val nIn = edges.groupBy("dst").agg(count(lit(1)).as("n_in"))
+    PageRank.ranks(edges, nodes, iters = PrIters)
+      .join(nIn, col("node") === col("dst"), "left")
+      .select(col("node").as("doc_id"), col("rank").as("rank_u"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"))
+      .orderBy(col("rank_u").desc, col("doc_id")).limit(20)
+  }
+
+  /** One oracle iteration: contribution CTE `c$k` off `r${k-1}`, then
+    * reassignment CTE `r$k` — the CTE mirror of one [[PageRank.ranks]]
+    * round. */
+  private def prRoundSql(k: Int): String =
+    s"""c$k AS (
+      |  SELECT e.dst, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+      |  FROM e JOIN r${k - 1} r ON e.src = r.node
+      |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+      |r$k AS (
+      |  SELECT d.doc_id AS node,
+      |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+      |  FROM d LEFT JOIN c$k c ON d.doc_id = c.dst)""".stripMargin
+
+  private val q92Sql =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+      |e AS (SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |      (doc_id * doc_id * 31 + j * 97) % (SELECT COUNT(*) FROM documents) AS dst
+      |    FROM (SELECT doc_id, unnest([1,2,3]) AS j FROM documents))
+      |  WHERE dst != src),
+      |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank FROM d),
+      |${(1 to PrIters).map(prRoundSql).mkString(",\n")},
+      |nin AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_in FROM e GROUP BY 1)
+      |SELECT r.node AS doc_id, r.rank AS rank_u, COALESCE(n.n_in, 0) AS n_in
+      |FROM r$PrIters r LEFT JOIN nin n ON r.node = n.dst
+      |ORDER BY rank_u DESC, doc_id LIMIT 20""".stripMargin
+
   // ── q88: BATCHED BPE — q82's merge loop with the driver-synchronous
   // round count divided by M: each round selects the top-M adjacent
   // pairs that are PAIRWISE SYMBOL-DISJOINT and applies all of them in
@@ -886,5 +951,6 @@ object TrainData2 {
     QueryDef("q84_bloom_dedup", q84, Some(q84Sql)),
     QueryDef("q85_chunk_overlap", q85, Some(q85Sql)),
     QueryDef("q88_bpe_batch", q88, Some(q88Sql)),
-    QueryDef("q89_bpe_encode", q89, Some(q89Sql)))
+    QueryDef("q89_bpe_encode", q89, Some(q89Sql)),
+    QueryDef("q92_pagerank", q92, Some(q92Sql)))
 }

@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
       }
   }
 
-  test("q77-q91 (minus q80/q81/q88): governance and analytics pipelines never nested-loop") {
+  test("q77-q92 (minus q80/q81/q88): governance and analytics pipelines never nested-loop") {
     // q77 inherits q21's capped LSH join plus id→flag equi-joins; q78/q85
     // are scan-fused row-local transforms + one groupBy; q79/q83 join
     // bounded read-outs on equi keys; q82's match join broadcasts the
@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
     // tallies are equi-joins of vocab-sized rounds onto the weights;
     // q90's spine fill is a left equi-join at (type, hour) grain;
     // q91's profile joins are full-outer on the value key and a 1-row
-    // literal-key equi pair.
+    // literal-key equi pair; q92's iterations are src-keyed equi-joins
+    // plus dst-keyed partial aggs.
     // (q80/q81 are excluded by design: the brute-force ground-truth
     // kernel and the 1-row total broadcast are intentional nested-loop
     // shapes, same as q24 and q62; q88's ≤64-row dominance anti-join is
@@ -122,7 +123,8 @@ class PlanSpec extends SparkSpec {
     Seq("q77_split_leakage", "q78_url_dedup", "q79_quantile_sketch",
         "q82_bpe_train", "q83_sketch_update", "q84_bloom_dedup",
         "q85_chunk_overlap", "q86_retention_matrix", "q87_event_funnel",
-        "q89_bpe_encode", "q90_rate_spike", "q91_profile_drift")
+        "q89_bpe_encode", "q90_rate_spike", "q91_profile_drift",
+        "q92_pagerank")
       .foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

@@ -120,6 +120,34 @@ class TrainData2Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) == totals.head - r.getLong(1)))
   }
 
+  test("q92: distributed fixed-point PageRank equals a sequential in-memory replay") {
+    val rows = q("q92_pagerank").collect()
+    assert(rows.length == 20)
+    // replay the exact integer recurrence single-threaded from scratch
+    val n = graft.engine.Tables.documents(spark, dir).count()
+    val edges = (0L until n).flatMap(src =>
+      (1 to 3).map(j => (src, (src * src * 31 + j * 97) % n)).filter(e => e._1 != e._2))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = (0L until n).map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = (0L until n).map(d => d -> (150000L + 85L * contrib.getOrElse(d, 0L) / 100L)).toMap
+    }
+    val nIn = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = rank.toSeq.sortBy { case (d, r) => (-r, d) }.take(20)
+    rows.zip(expected).foreach { case (row, (d, r)) =>
+      assert(row.getLong(0) == d && row.getLong(1) == r,
+        s"rank mismatch at doc ${row.getLong(0)}")
+      assert(row.getLong(2) == nIn.getOrElse(d, 0L))
+    }
+    // every rank is at least the base mass, and in-link asymmetry
+    // actually separated the authorities from the long tail
+    assert(rows.forall(_.getLong(1) >= 150000L))
+    assert(rank.values.max > rank.values.min,
+      "degenerate graph: all ranks equal, the spec would pin nothing")
+  }
+
   test("bpeBatchRound: m=1 degenerates to bpeRound (same merge, same symbolization)") {
     import spark.implicits._
     val words = Seq(("abab", 3L), ("abc", 2L), ("dd", 1L))
