@@ -332,5 +332,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("integer cross-multiplied verdicts agree with exact rational tests (q90/q91 kernel)") {
+    // The engine-exactness trick behind q90's >3σ spike test and q91's
+    // share/mean drift tests: every float comparison p/q > r/s is
+    // evaluated as p·s > r·q in integers. Property: the integer form
+    // equals exact rational arithmetic (BigDecimal, no rounding) on
+    // random inputs — including the boundary cases float division
+    // would misjudge.
+    val cnts = Gen.listOfN(24, Gen.chooseNum(0L, 2000L))
+    samples(cnts.flatMap(w => Gen.chooseNum(0L, 4000L).map(c => (w, c))), 200)
+      .foreach { case (win, cnt) =>
+        val s = win.sum
+        val q = win.map(c => c * c).sum
+        val num = cnt * 24 - s
+        val den2 = 24 * q - s * s
+        val intVerdict = num > 0 && num * num > 9 * den2
+        // exact reference: the same comparison in unbounded BigInt —
+        // equality here proves the long arithmetic never overflowed and
+        // the verdict equals exact rational (cnt − mean) > 3σ (both
+        // sides cross-multiplied by the positive 24² denominator)
+        val exact = num > 0 &&
+          BigInt(num).pow(2) > BigInt(9) * BigInt(den2)
+        assert(intVerdict == exact, s"win=$win cnt=$cnt")
+        assert(den2 >= 0, "variance numerator negative — sum/square bookkeeping broken")
+        assert(BigInt(24) * BigInt(q) - BigInt(s).pow(2) == BigInt(den2),
+          "den2 overflowed long")
+      }
+    // share drift: |a/ta - b/tb| > 1/20 ⇔ |a·tb − b·ta|·20 > ta·tb
+    val shares = for {
+      a <- Gen.chooseNum(0L, 100000L); ta <- Gen.chooseNum(1L, 1000000L)
+      b <- Gen.chooseNum(0L, 100000L); tb <- Gen.chooseNum(1L, 1000000L)
+    } yield (a, ta, b, tb)
+    samples(shares, 500).foreach { case (a, ta, b, tb) =>
+      val intVerdict = math.abs(a * tb - b * ta) * 20 > ta * tb
+      val exact = (BigInt(a) * tb - BigInt(b) * ta).abs * 20 > BigInt(ta) * tb
+      assert(intVerdict == exact, s"a=$a/$ta b=$b/$tb")
+    }
+  }
+
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 }
