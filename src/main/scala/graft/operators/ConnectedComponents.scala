@@ -39,13 +39,27 @@ object ConnectedComponents {
     * `comp` is the smallest node id in the node's component. Self-loops
     * are ignored; edges may appear in any orientation or multiplicity.
     *
+    * Two-level execution: distributed star rounds contract the edge set
+    * (each round shrinks it toward one edge per non-root node); the
+    * moment the CURRENT edge set fits `localSolveMaxEdges` (a fixed
+    * driver budget — 4M edges ≈ 64 MB of longs, NOT data-proportional)
+    * the remainder is collected and finished with union-find in O(E·α).
+    * Rationale: the tail rounds of any O(log n) contraction run on tiny
+    * data where per-round shuffle+checkpoint latency dominates — at 100
+    * TB the first rounds do the real work and still run distributed;
+    * the hybrid only replaces the last few latency-bound rounds. The
+    * same trick is standard in MapReduce CC practice (finish small
+    * residual graphs in one reducer, cf. Kiveris et al. §6 scaling
+    * discussion). `localSolveMaxEdges = 0` forces the pure distributed
+    * path (specs pin both paths to identical output).
+    *
     * Telemetry: rounds-to-converge and the per-round edge count are
     * logged at INFO (`connected-components round k: n edges`) — on a
     * real cluster a round count creeping toward `maxIter`, or an edge
     * count that stops shrinking, is the first sign of a pathological
     * component long before the loud non-convergence failure fires. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
-            maxIter: Int = 25): DataFrame = {
+            maxIter: Int = 25, localSolveMaxEdges: Long = 4000000L): DataFrame = {
     // localCheckpoint (not persist): each round derives from the last, so
     // an uncut LINEAGE doubles per iteration and the planner itself OOMs
     // long before the data does — truncating the plan per round is the
@@ -56,6 +70,43 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
+
+    val spark = e.sparkSession
+
+    /** Finish a ≤`localSolveMaxEdges` edge set with union-find (attach
+      * the larger root under the smaller, so every tree root IS the
+      * component minimum; path compression on `find`). The collect is
+      * bounded by the fixed budget — it never grows with input size,
+      * because the caller only routes here once the (contracting) edge
+      * set is provably under the cap. */
+    def localSolve(df: DataFrame): DataFrame = {
+      val es = df.select(col("u"), col("v")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(a: Long): Long = {
+        var x = a
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent.update(x, gp)
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      es.foreach { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent.update(rv, ru) else parent.update(ru, rv)
+        }
+      }
+      val nodes = scala.collection.mutable.LongMap.empty[Boolean]
+      es.foreach { r => nodes.update(r.getLong(0), true); nodes.update(r.getLong(1), true) }
+      val out = nodes.keysIterator.map(n => (n, find(n))).toSeq
+      if (log.isInfoEnabled)
+        log.info(s"connected-components local finish: ${es.length} edges, ${out.size} nodes")
+      spark.createDataFrame(out).toDF("node", "comp")
+    }
 
     /** Fixpoint ⟺ star forest, which needs BOTH properties: (a) no node
       * appears as child and parent (depth 1), and (b) every child has
@@ -80,6 +131,11 @@ object ConnectedComponents {
         .head()
       (row.getLong(0) == 0L, row.getLong(1))
     }
+
+    // Route small inputs straight to the local finish: one count on the
+    // just-checkpointed normalized edges replaces the whole round loop.
+    if (localSolveMaxEdges > 0 && e.count() <= localSolveMaxEdges)
+      return localSolve(e)
 
     var iter = 0
     var converged = starForestProbe(e)._1
@@ -117,6 +173,13 @@ object ConnectedComponents {
       if (log.isInfoEnabled)
         log.info(s"connected-components round $iter: $edgeCount edges" +
           (if (converged) " (converged)" else ""))
+      // Contraction shrinks the edge set round over round; the moment it
+      // fits the driver budget, the remaining latency-bound tail rounds
+      // are one union-find. (The star rounds preserve the node set — a
+      // node is either a local minimum or someone's larger neighbor — so
+      // the residual graph still carries every original node.)
+      if (!converged && localSolveMaxEdges > 0 && edgeCount <= localSolveMaxEdges)
+        return localSolve(e)
     }
     // a silently-unconverged result would mislabel components downstream
     // (dedup would keep multiple "keepers" per true group) — fail loudly.

@@ -160,12 +160,39 @@ class OperatorPropertiesSpec extends SparkSpec {
   test("connected components: a 200-node chain converges within the default budget") {
     import graft.operators.ConnectedComponents
     // the worst case for min-label propagation (O(diameter)); alternating
-    // stars must close it in O(log n) rounds — well inside maxIter = 25
+    // stars must close it in O(log n) rounds — well inside maxIter = 25.
+    // localSolveMaxEdges = 0 forces the pure distributed path (the
+    // default budget would route a 199-edge graph to the local finish).
     val chain = (0L until 199L).map(i => (i, i + 1))
-    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b")
+    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b",
+        localSolveMaxEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 200 && got.forall(_._2 == 0L),
       "every chain node must label to component 0")
+  }
+
+  test("connected components: hybrid local finish equals the pure distributed path") {
+    import graft.operators.ConnectedComponents
+    samples(edgeGen, 4).foreach { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val hybrid = ConnectedComponents(df, "a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = ConnectedComponents(df, "a", "b", localSolveMaxEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(hybrid == dist, s"hybrid/distributed disagree on ${edges}")
+      }
+    }
+    // mid-loop handoff: a budget below the input size runs distributed
+    // rounds until contraction fits, then finishes locally — labels must
+    // be identical to the full solve either way
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val mid = ConnectedComponents(chain.toDF("a", "b"), "a", "b",
+        localSolveMaxEdges = 59L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mid.length == 61 && mid.forall(_._2 == 0L),
+      s"mid-loop handoff mislabeled the chain: ${mid.toSeq.sorted.take(10)}")
   }
 
   test("connected components equal brute-force union-find on random graphs") {

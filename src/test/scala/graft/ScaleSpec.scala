@@ -57,8 +57,11 @@ class ScaleSpec extends SparkSpec {
     // a 64-node path graph is the adversarial case for min-label
     // propagation (diameter 63 -> 63 rounds); alternating stars must
     // finish inside ~2*log2(64)+slack rounds or throw.
+    // localSolveMaxEdges = 0: this test is about the DISTRIBUTED round
+    // budget, so the hybrid local finish must not short-circuit it.
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val comps = graft.operators.ConnectedComponents(chain, "a", "b", maxIter = 14)
+    val comps = graft.operators.ConnectedComponents(chain, "a", "b", maxIter = 14,
+      localSolveMaxEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(comps.length == 64 && comps.forall(_._2 == 0L))
   }
