@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Corpus hygiene & governance operators — round-7 additions closing the
+  * remaining "day two" gaps of a production training-data pipeline:
+  *
+  *   - q93: EVAL-BUDGET APPORTIONMENT — given a fixed evaluation budget
+  *     (N docs to hold out / annotate), allocate an exact integer count
+  *     per (lang, source) stratum proportional to token mass using
+  *     largest-remainder (Hamilton) apportionment: floor the quotas,
+  *     hand the leftover seats to the largest remainders under a unique
+  *     total order. Integer-exact, so Σ alloc == budget by construction
+  *     and both engines agree bit-for-bit (no float shares).
+  *   - q94: CANARY SCAN — benchmark-canary detection (BIG-bench style
+  *     GUID strings): extract GUID-shaped candidate tokens row-locally
+  *     with a regex, then equi-join against the canary list. The
+  *     extract-then-equi-join shape is the scalable plan: per-pattern
+  *     substring scans (LIKE-joins) are nested-loop at any size, while
+  *     candidate extraction is fused into the scan and the join key is
+  *     hashable. Canaries are planted deterministically (q44's PII
+  *     pattern) so both engines see identical text.
+  *   - q95: DOMAIN BLOCKLIST FILTER — web-corpus URL governance next to
+  *     q78's canonicalization: per-doc host → registered domain + TLD,
+  *     subdomain policy rule (row-local prefix test) plus a registered-
+  *     domain blocklist (broadcast equi-join), with per-TLD doc/token
+  *     retention accounting. Precedence is pinned (subdomain rule fires
+  *     before the list) so the attribution is deterministic.
+  *   - q96: TEXT NORMALIZATION — the unicode-hygiene pass every crawl
+  *     corpus runs before tokenization: strip zero-width characters,
+  *     normalize controls (tab/CR/LF) and NBSP to spaces, collapse runs,
+  *     trim. Dirt is injected deterministically per doc-id residue; the
+  *     cleaner must restore the original text EXACTLY (n_restored ==
+  *     n_docs is part of the gated output — a self-checking invariant,
+  *     not just a count).
+  *
+  * Reference framing: the reference's transform stage normalizes HTML
+  * and empty strings (src/transformer/transformer.py:40-78,
+  * data_quality.py:24-54) and never audits its eval split, canaries or
+  * crawl domains; these are the at-scale generalizations of that
+  * cleaning stage to corpus governance.
+  */
+object Hygiene {
+
+  // ── q93: eval-budget apportionment (largest remainder / Hamilton).
+  // Stratum grain = (lang, source); quota_i = tok_i * B / Σtok in exact
+  // integer arithmetic: floor + remainder, leftover seats go to the
+  // largest remainders with (lang, source) as the unique tie-break.
+  // Scale: one corpus aggregation to ≤ |langs|×|sources| rows; the
+  // windows run at that aggregated grain (≤ hundreds of rows on any
+  // corpus), never over raw documents — the q07/q90 pattern. ──
+  private val EvalBudget = 1000L
+
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+    val all = Window.partitionBy()
+    val ranked = strata
+      .withColumn("total_tok", sum("n_tok").over(all))
+      .withColumn("floor_alloc",
+        expr(s"(n_tok * $EvalBudget) div total_tok"))
+      .withColumn("rem", (col("n_tok") * EvalBudget) % col("total_tok"))
+      .withColumn("leftover", lit(EvalBudget) - sum("floor_alloc").over(all))
+      .withColumn("rnk", row_number().over(
+        all.orderBy(col("rem").desc, col("lang"), col("source"))))
+    ranked
+      .withColumn("extra", when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tok"),
+        col("floor_alloc"), col("extra"),
+        (col("floor_alloc") + col("extra")).as("alloc"))
+      .orderBy("lang", "source")
+  }
+
+  private val q93Sql =
+    s"""WITH strata AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY lang, source),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(SUM(n_tok) OVER () AS BIGINT) AS total_tok,
+      |    (n_tok * $EvalBudget) // CAST(SUM(n_tok) OVER () AS BIGINT) AS floor_alloc,
+      |    (n_tok * $EvalBudget) % CAST(SUM(n_tok) OVER () AS BIGINT) AS rem
+      |  FROM strata),
+      |seats AS (
+      |  SELECT *,
+      |    $EvalBudget - CAST(SUM(floor_alloc) OVER () AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rnk
+      |  FROM ranked)
+      |SELECT lang, source, n_docs, n_tok,
+      |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
+      |  CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |  CAST(floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM seats ORDER BY lang, source""".stripMargin
+
+  // ── q94: canary scan. Canary GUIDs are planted into every 37th doc
+  // (guid chosen by doc_id % 5); detection extracts GUID-shaped tokens
+  // row-locally (regexp fused into the scan) and equi-joins the tiny
+  // canary list (broadcast) — never a per-pattern LIKE scan, which
+  // cannot hash-join and degrades to a nested loop over patterns ×
+  // corpus. Zero-hit canaries stay in the report (right join): "canary
+  // absent" is the finding that matters most. ──
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val canaries = spark.range(0, 5)
+      .select(col("id").as("canary_id"),
+        concat(lit("canary-"),
+          md5(concat(lit("canary:"), col("id").cast("string")))).as("guid"))
+    val injected = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 37 === 0,
+          concat(col("text"), lit(" canary-"),
+            md5(concat(lit("canary:"), (col("doc_id") % 5).cast("string")))))
+          .otherwise(col("text")).as("text2"))
+    val hits = injected
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text2"),
+          lit("canary-[0-9a-f]{32}"), lit(0))).as("guid"))
+      .groupBy("guid")
+      .agg(count(lit(1)).as("n_hits"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    broadcast(canaries).join(hits, Seq("guid"), "left")
+      .select(col("canary_id"), col("guid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("canary_id")
+  }
+
+  private val q94Sql =
+    """WITH canaries AS (
+      |  SELECT k AS canary_id,
+      |    'canary-' || md5('canary:' || CAST(k AS VARCHAR)) AS guid
+      |  FROM range(5) t(k)),
+      |injected AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 37 = 0
+      |      THEN text || ' canary-' || md5('canary:' || CAST(doc_id % 5 AS VARCHAR))
+      |      ELSE text END AS text2
+      |  FROM documents),
+      |hit AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text2, 'canary-[0-9a-f]{32}')) AS guid
+      |  FROM injected),
+      |agg AS (
+      |  SELECT guid, COUNT(*) AS n_hits, MIN(doc_id) AS first_doc,
+      |    MAX(doc_id) AS last_doc
+      |  FROM hit GROUP BY guid)
+      |SELECT c.canary_id, c.guid,
+      |  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+      |  a.first_doc, a.last_doc
+      |FROM canaries c LEFT JOIN agg a USING (guid)
+      |ORDER BY canary_id""".stripMargin
+
+  // ── q95: domain blocklist filter. Hosts are synthesized from
+  // (source, doc_id) residues exactly like q78's raw URLs; governance
+  // applies two rule shapes a crawl pipeline actually has: a row-local
+  // subdomain policy (ads.* never enters the corpus — fused into the
+  // scan) and a registered-domain blocklist (tiny, broadcast equi-join).
+  // Precedence subdomain > list is pinned so attribution counts are
+  // deterministic. Rollup grain = TLD. ──
+  private val BlockedDomains = Seq(
+    "src1.example.com", "src3.example.com", "src4.example.net",
+    "src7.example.io", "src12.example.org")
+
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = BlockedDomains.toDF("blocked_domain")
+    val hosts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        when(col("doc_id") % 4 === 0, "com").when(col("doc_id") % 4 === 1, "org")
+          .when(col("doc_id") % 4 === 2, "net").otherwise("io").as("tld"),
+        (col("doc_id") % 11 < 3).as("is_ads"))
+      .withColumn("registered",
+        concat(col("source"), lit(".example."), col("tld")))
+    hosts.join(broadcast(blocklist),
+        col("registered") === col("blocked_domain"), "left")
+      .withColumn("verdict",
+        when(col("is_ads"), "blocked_subdomain")
+          .when(col("blocked_domain").isNotNull, "blocked_domain")
+          .otherwise("kept"))
+      .groupBy("tld")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("verdict") === "blocked_subdomain", 1L).otherwise(0L))
+          .as("n_blocked_subdomain"),
+        sum(when(col("verdict") === "blocked_domain", 1L).otherwise(0L))
+          .as("n_blocked_domain"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "kept", col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+      .orderBy("tld")
+  }
+
+  private val q95Sql =
+    s"""WITH blocklist(blocked_domain) AS (
+      |  VALUES ${BlockedDomains.map(d => s"('$d')").mkString(", ")}),
+      |hosts AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      WHEN 2 THEN 'net' ELSE 'io' END AS tld,
+      |    doc_id % 11 < 3 AS is_ads
+      |  FROM documents),
+      |ruled AS (
+      |  SELECT h.*,
+      |    CASE WHEN h.is_ads THEN 'blocked_subdomain'
+      |      WHEN b.blocked_domain IS NOT NULL THEN 'blocked_domain'
+      |      ELSE 'kept' END AS verdict
+      |  FROM hosts h
+      |  LEFT JOIN blocklist b
+      |    ON h.source || '.example.' || h.tld = b.blocked_domain)
+      |SELECT tld, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN verdict = 'blocked_subdomain' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_blocked_subdomain,
+      |  CAST(SUM(CASE WHEN verdict = 'blocked_domain' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_blocked_domain,
+      |  CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN verdict = 'kept' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+      |FROM ruled GROUP BY tld ORDER BY tld""".stripMargin
+
+  // ── q96: text normalization. Dirt injected by doc-id residue: %5 → a
+  // leading "\t ", %11 → every space becomes NBSP, %3 → trailing
+  // " \u200B\u200B", %7 → trailing CRLF. The cleaner strips zero-width
+  // code points, maps controls+NBSP to spaces, collapses runs, trims —
+  // and must restore the ORIGINAL text exactly (n_restored is gated, so
+  // an over- or under-aggressive cleaner fails the oracle, not just a
+  // counter). Everything is row-local, fused into the scan — the whole
+  // query is one aggregation at (lang) grain. ──
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("dirty", concat(
+        when(col("doc_id") % 5 === 0, "\t ").otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          regexp_replace(col("text"), " ", "\u00A0")).otherwise(col("text")),
+        when(col("doc_id") % 3 === 0, " \u200B\u200B").otherwise(""),
+        when(col("doc_id") % 7 === 0, "\r\n").otherwise("")))
+      .withColumn("clean", trim(regexp_replace(regexp_replace(regexp_replace(
+        col("dirty"),
+        "[\u200B\u200C\u200D\uFEFF]", ""),
+        "[\t\r\n\u00A0]", " "),
+        " +", " ")))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dirty") =!= col("text"), 1L).otherwise(0L)).as("n_dirty"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_zero_width"),
+        sum(when(col("doc_id") % 11 === 0, 1L).otherwise(0L)).as("n_nbsp"),
+        sum(length(col("dirty")) - length(col("clean"))).cast("long")
+          .as("chars_removed"),
+        sum(when(col("clean") === col("text"), 1L).otherwise(0L)).as("n_restored"))
+      .orderBy("lang")
+  }
+
+  private val q96Sql =
+    """WITH dirtied AS (
+      |  SELECT lang, doc_id, text,
+      |    (CASE WHEN doc_id % 5 = 0 THEN chr(9) || ' ' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN replace(text, ' ', chr(160)) ELSE text END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8203) || chr(8203) ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN chr(13) || chr(10) ELSE '' END) AS dirty
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT lang, doc_id, text, dirty,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+      |      '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+      |      '[' || chr(9) || chr(13) || chr(10) || chr(160) || ']', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS clean
+      |  FROM dirtied)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dirty != text THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+      |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_width,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nbsp,
+      |  CAST(SUM(length(dirty) - length(clean)) AS BIGINT) AS chars_removed,
+      |  CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+      |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q93_eval_allocation", q93, Some(q93Sql)),
+    QueryDef("q94_canary_scan", q94, Some(q94Sql)),
+    QueryDef("q95_domain_filter", q95, Some(q95Sql)),
+    QueryDef("q96_text_normalize", q96, Some(q96Sql)))
+}

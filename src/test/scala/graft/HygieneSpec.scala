@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-7 hygiene/governance queries (q93–q96) —
+  * the invariants each operator promises, checked at sf0.001 (the
+  * driver's DuckDB gate re-checks exact equality at sf0.01). */
+class HygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q93: apportionment is exact — allocations sum to the budget, extras go to top remainders") {
+    val rows = q("q93_eval_allocation").collect()
+    assert(rows.nonEmpty)
+    val alloc = rows.map(_.getAs[Long]("alloc")).sum
+    assert(alloc == 1000L, s"allocations sum to $alloc, not the 1000 budget")
+    // every allocation is floor or floor+1, never more
+    rows.foreach { r =>
+      val d = r.getAs[Long]("alloc") - r.getAs[Long]("floor_alloc")
+      assert(d == 0L || d == 1L, s"stratum got $d extra seats")
+    }
+    // monotone-ish sanity: a stratum with zero tokens gets zero
+    assert(rows.forall(r => r.getAs[Long]("n_tok") > 0 || r.getAs[Long]("alloc") == 0L))
+  }
+
+  test("q94: every planted canary is found with exactly the planted frequency") {
+    val rows = q("q94_canary_scan").orderBy("canary_id").collect()
+    assert(rows.length == 5, "every canary appears in the report")
+    // expectation straight from the plant rule: docs with id%37==0, keyed id%5
+    val expected = graft.engine.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 37 === 0)
+      .groupBy((col("doc_id") % 5).as("canary_id"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first"))
+      .collect().map(r => r.getAs[Long]("canary_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("first"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("canary_id")
+      expected.get(id) match {
+        case Some((n, first)) =>
+          assert(r.getAs[Long]("n_hits") == n && r.getAs[Long]("first_doc") == first,
+            s"canary $id: got (${r.getAs[Long]("n_hits")}, ${r.getAs[Long]("first_doc")}), want ($n, $first)")
+        case None => // un-planted canary: reported, zero hits, null first_doc
+          assert(r.getAs[Long]("n_hits") == 0L && r.isNullAt(r.fieldIndex("first_doc")),
+            s"absent canary $id must report 0 hits / null first_doc")
+      }
+    }
+  }
+
+  test("q95: verdict counts partition every TLD's docs; ads precedence over blocklist") {
+    val rows = q("q95_domain_filter").collect()
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    assert(total == graft.engine.Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val parts = r.getAs[Long]("n_blocked_subdomain") +
+        r.getAs[Long]("n_blocked_domain") + r.getAs[Long]("n_kept")
+      assert(parts == r.getAs[Long]("n_total"),
+        s"tld ${r.getAs[String]("tld")}: verdicts don't partition ($parts)")
+    }
+    // ~3/11 of docs are ads-blocked regardless of domain list membership
+    assert(rows.map(_.getAs[Long]("n_blocked_subdomain")).sum > 0)
+  }
+
+  test("q96: the cleaner restores every document exactly") {
+    val rows = q("q96_text_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_restored") == r.getAs[Long]("n_docs"),
+        s"lang ${r.getAs[String]("lang")}: cleaner failed to restore " +
+          s"${r.getAs[Long]("n_docs") - r.getAs[Long]("n_restored")} docs")
+      assert(r.getAs[Long]("chars_removed") >= r.getAs[Long]("n_dirty"),
+        "every dirty doc must lose at least one injected char")
+    }
+  }
+
+  test("q93-q96 plans: no cartesian products or nested-loop joins") {
+    Seq("q93_eval_allocation", "q94_canary_scan", "q95_domain_filter",
+        "q96_text_normalize").foreach { name =>
+      val s = q(name).queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${s.take(400)}")
+    }
+  }
+}
