@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,13 +55,15 @@ object Hygiene {
   // corpus), never over raw documents — the q07/q90 pattern. ──
   private val EvalBudget = 1000L
 
-  private def q93(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared Hamilton-apportionment core (q93 summary, q97 selection):
+    * per-(lang, source) stratum rows with exact integer `alloc`. */
+  private def allocations(spark: SparkSession, dir: String): DataFrame = {
     val strata = Tables.documents(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
     val all = Window.partitionBy()
-    val ranked = strata
+    strata
       .withColumn("total_tok", sum("n_tok").over(all))
       .withColumn("floor_alloc",
         expr(s"(n_tok * $EvalBudget) div total_tok"))
@@ -69,16 +71,20 @@ object Hygiene {
       .withColumn("leftover", lit(EvalBudget) - sum("floor_alloc").over(all))
       .withColumn("rnk", row_number().over(
         all.orderBy(col("rem").desc, col("lang"), col("source"))))
-    ranked
       .withColumn("extra", when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
-      .select(col("lang"), col("source"), col("n_docs"), col("n_tok"),
-        col("floor_alloc"), col("extra"),
-        (col("floor_alloc") + col("extra")).as("alloc"))
-      .orderBy("lang", "source")
+      .withColumn("alloc", col("floor_alloc") + col("extra"))
   }
 
-  private val q93Sql =
-    s"""WITH strata AS (
+  private def q93(spark: SparkSession, dir: String): DataFrame =
+    allocations(spark, dir)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tok"),
+        col("floor_alloc"), col("extra"), col("alloc"))
+      .orderBy("lang", "source")
+
+  /** Oracle twin of [[allocations]] — CTEs ending in
+    * `seats(lang, source, n_docs, n_tok, floor_alloc, extra, alloc)`. */
+  private val allocCtes =
+    s"""strata AS (
       |  SELECT lang, source, COUNT(*) AS n_docs,
       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
       |  FROM documents GROUP BY lang, source),
@@ -88,15 +94,21 @@ object Hygiene {
       |    (n_tok * $EvalBudget) // CAST(SUM(n_tok) OVER () AS BIGINT) AS floor_alloc,
       |    (n_tok * $EvalBudget) % CAST(SUM(n_tok) OVER () AS BIGINT) AS rem
       |  FROM strata),
-      |seats AS (
+      |seated AS (
       |  SELECT *,
       |    $EvalBudget - CAST(SUM(floor_alloc) OVER () AS BIGINT) AS leftover,
       |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rnk
-      |  FROM ranked)
-      |SELECT lang, source, n_docs, n_tok,
-      |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
-      |  CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
-      |  CAST(floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |  FROM ranked),
+      |seats AS (
+      |  SELECT lang, source, n_docs, n_tok,
+      |    CAST(floor_alloc AS BIGINT) AS floor_alloc,
+      |    CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |    CAST(floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |  FROM seated)""".stripMargin
+
+  private val q93Sql =
+    s"""WITH $allocCtes
+      |SELECT lang, source, n_docs, n_tok, floor_alloc, extra, alloc
       |FROM seats ORDER BY lang, source""".stripMargin
 
   // ── q94: canary scan. Canary GUIDs are planted into every 37th doc
@@ -277,9 +289,152 @@ object Hygiene {
       |  CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
       |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q97: stratified eval-set SELECTION — the apply side of q93: given
+  // the exact per-stratum allocations, pick exactly `alloc` docs per
+  // (lang, source), ordered by a deterministic per-doc hash (the same
+  // key-hashed reproducibility as q59/q67 sampling: the picked set is
+  // identical on every run, engine and partitioning). The literal
+  // rn <= budget pre-filter is WindowGroupLimit-eligible (no stratum can
+  // ever receive more than the whole budget), so at scale each window
+  // partition emits at most `budget` rows from the rank pushdown BEFORE
+  // the tiny alloc join applies the exact per-stratum cut. ──
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = allocations(spark, dir).select("lang", "source", "alloc")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("q97:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "source").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= EvalBudget) // literal bound -> WindowGroupLimit
+      .join(alloc, Seq("lang", "source"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        col("rn").cast("long").as("pick_rank"))
+      .orderBy("lang", "source", "pick_rank")
+  }
+
+  private val q97Sql =
+    s"""WITH $allocCtes,
+      |hashed AS (
+      |  SELECT doc_id, lang, source,
+      |    md5('q97:' || CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |rns AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hk, doc_id) AS rn
+      |  FROM hashed)
+      |SELECT r.lang, r.source, r.doc_id, CAST(r.rn AS BIGINT) AS pick_rank
+      |FROM rns r JOIN seats s ON r.lang = s.lang AND r.source = s.source
+      |WHERE r.rn <= s.alloc
+      |ORDER BY r.lang, r.source, pick_rank""".stripMargin
+
+  // ── q98: LSH RECALL AUDIT — measures what the production near-dup
+  // filter (capped MinHash-LSH + strong signature agreement, q49's edge
+  // set) actually catches, against exact shingle-Jaccard ground truth
+  // computed for a deterministic audit slice (doc_id % 10 = 7 — the
+  // residue is the audit-rate knob). Truth = pairs with exact bigram
+  // Jaccard > 1/2, tested integer cross-multiplied (2·|A∩B| >
+  // |A|+|B|−|A∩B| — no float boundary). Per probe: candidate pairs,
+  // truth pairs, and truth∩candidates — recall and precision read off
+  // as exact integer ratios. Scale: the probe slice joins the corpus
+  // shingle table on the shingle key (the q57 decontam shape — an
+  // equi-join, never per-pair scans); the LSH side reuses the capped
+  // banded candidates unchanged. ──
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MinHashLsh
+    val d = Tables.documents(spark, dir)
+    val isProbe = (c: Column) => c % 10 === 7
+    // exact ground truth over the audit slice
+    val sh = TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
+      .localCheckpoint() // consumed by probe slice, corpus explode, sizes
+    val sizes = sh.select(col("doc_id"), size(col("sg")).as("n_sg"))
+    val pex = sh.filter(isProbe(col("doc_id")))
+      .select(col("doc_id").as("p_id"), explode(col("sg")).as("s"))
+    val cex = sh.select(col("doc_id").as("c_id"), explode(col("sg")).as("s"))
+    val inter = pex.join(cex, Seq("s"))
+      .filter(col("c_id") =!= col("p_id"))
+      .groupBy("p_id", "c_id").agg(count(lit(1)).as("n_inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("p_id"), col("n_sg").as("n_p")), "p_id")
+      .join(sizes.select(col("doc_id").as("c_id"), col("n_sg").as("n_c")), "c_id")
+      .filter(col("n_inter") * 2 > col("n_p") + col("n_c") - col("n_inter"))
+      .select("p_id", "c_id")
+      .localCheckpoint() // tiny; consumed by the truth count AND the semi-join
+    // what the production filter caught
+    val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
+      .localCheckpoint()
+    val strong = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
+      .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
+    val candP = strong
+      .select(col("doc_a").as("p_id"), col("doc_b").as("c_id"))
+      .filter(isProbe(col("p_id")))
+      .unionByName(strong.select(col("doc_b").as("p_id"), col("doc_a").as("c_id"))
+        .filter(isProbe(col("p_id"))))
+      .localCheckpoint() // tiny; consumed by the cand count AND the semi-join
+    val nTruth = truth.groupBy("p_id").agg(count(lit(1)).as("n_truth"))
+    val nCand = candP.groupBy("p_id").agg(count(lit(1)).as("n_cand"))
+    val nFound = truth.join(candP, Seq("p_id", "c_id"), "left_semi")
+      .groupBy("p_id").agg(count(lit(1)).as("n_found"))
+    d.filter(isProbe(col("doc_id"))).select(col("doc_id").as("probe_doc"))
+      .join(nTruth, col("probe_doc") === nTruth("p_id"), "left").drop("p_id")
+      .join(nCand, col("probe_doc") === nCand("p_id"), "left").drop("p_id")
+      .join(nFound, col("probe_doc") === nFound("p_id"), "left").drop("p_id")
+      .select(col("probe_doc"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      // report only probes where the audit has signal: any truth or any
+      // candidate (all-zero rows are the corpus-sized trivial majority)
+      .filter(col("n_truth") > 0 || col("n_cand") > 0)
+      .orderBy("probe_doc")
+  }
+
+  private val q98Sql =
+    s"""WITH ${TrainData.lshCandidateCtes},
+      |strong AS (
+      |  SELECT doc_a, doc_b FROM cand WHERE n_sig_match >= ${TrainData.LshStrongMatch}),
+      |candp AS (
+      |  SELECT doc_a AS p_id, doc_b AS c_id FROM strong WHERE doc_a % 10 = 7
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM strong WHERE doc_b % 10 = 7),
+      |sizes AS (SELECT doc_id, len(sg) AS n_sg FROM sh),
+      |pex AS (SELECT doc_id AS p_id, unnest(sg) AS s FROM sh WHERE doc_id % 10 = 7),
+      |cex AS (SELECT doc_id AS c_id, unnest(sg) AS s FROM sh),
+      |inter AS (
+      |  SELECT p_id, c_id, COUNT(*) AS n_inter
+      |  FROM pex p JOIN cex c ON p.s = c.s AND c.c_id != p.p_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT i.p_id, i.c_id
+      |  FROM inter i
+      |  JOIN sizes a ON i.p_id = a.doc_id
+      |  JOIN sizes b ON i.c_id = b.doc_id
+      |  WHERE i.n_inter * 2 > a.n_sg + b.n_sg - i.n_inter),
+      |counts AS (
+      |  SELECT p.doc_id AS probe_doc,
+      |    CAST(COALESCE(t.n, 0) AS BIGINT) AS n_truth,
+      |    CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_cand,
+      |    CAST(COALESCE(f.n, 0) AS BIGINT) AS n_found
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) p
+      |  LEFT JOIN (SELECT p_id, COUNT(*) AS n FROM truth GROUP BY 1) t
+      |    ON p.doc_id = t.p_id
+      |  LEFT JOIN (SELECT p_id, COUNT(*) AS n FROM candp GROUP BY 1) cp
+      |    ON p.doc_id = cp.p_id
+      |  LEFT JOIN (SELECT p_id, COUNT(*) AS n FROM truth tr
+      |             WHERE EXISTS (SELECT 1 FROM candp c2
+      |               WHERE c2.p_id = tr.p_id AND c2.c_id = tr.c_id)
+      |             GROUP BY 1) f
+      |    ON p.doc_id = f.p_id)
+      |SELECT * FROM counts
+      |WHERE n_truth > 0 OR n_cand > 0
+      |ORDER BY probe_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_eval_allocation", q93, Some(q93Sql)),
     QueryDef("q94_canary_scan", q94, Some(q94Sql)),
     QueryDef("q95_domain_filter", q95, Some(q95Sql)),
-    QueryDef("q96_text_normalize", q96, Some(q96Sql)))
+    QueryDef("q96_text_normalize", q96, Some(q96Sql)),
+    QueryDef("q97_stratified_pick", q97, Some(q97Sql)),
+    QueryDef("q98_lsh_recall", q98, Some(q98Sql)))
 }

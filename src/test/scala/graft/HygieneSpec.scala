@@ -73,12 +73,48 @@ class HygieneSpec extends SparkSpec {
     }
   }
 
-  test("q93-q96 plans: no cartesian products or nested-loop joins") {
-    Seq("q93_eval_allocation", "q94_canary_scan", "q95_domain_filter",
-        "q96_text_normalize").foreach { name =>
-      val s = q(name).queryExecution.executedPlan.toString
-      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-        s"$name: ${s.take(400)}")
+  test("q97: per-stratum picks = min(alloc, stratum size), hash-deterministic, and bounded-window planned") {
+    val picks = q("q97_stratified_pick")
+    val perStratum = picks.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_picked"), max("pick_rank").as("max_rank"))
+      .collect()
+    val alloc = SparkEntry.queries("q93_eval_allocation")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("alloc"), r.getAs[Long]("n_docs"))).toMap
+    perStratum.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val (a, nDocs) = alloc(key)
+      val want = math.min(a, nDocs)
+      assert(r.getAs[Long]("n_picked") == want,
+        s"stratum $key picked ${r.getAs[Long]("n_picked")}, want min($a, $nDocs)")
+      // ranks are contiguous 1..n_picked (no holes from the alloc cut)
+      assert(r.getAs[Long]("max_rank") == want)
     }
+    // the literal rank bound plans as a partial-mode group limit
+    val s = picks.queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"), s.take(800))
+  }
+
+  test("q98: found <= truth and found <= cand per probe; planted dups are audited") {
+    val rows = q("q98_lsh_recall").collect()
+    assert(rows.nonEmpty, "the audit slice must have signal at sf0.001")
+    rows.foreach { r =>
+      val (t, c, f) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_found"))
+      assert(f <= t && f <= c,
+        s"probe ${r.getAs[Long]("probe_doc")}: found $f exceeds truth $t or cand $c")
+    }
+    // the audit is not vacuous: some probe has ground-truth near-dups
+    assert(rows.exists(_.getAs[Long]("n_truth") > 0))
+  }
+
+  test("q93-q98 plans: no cartesian products or nested-loop joins") {
+    Seq("q93_eval_allocation", "q94_canary_scan", "q95_domain_filter",
+        "q96_text_normalize", "q97_stratified_pick", "q98_lsh_recall")
+      .foreach { name =>
+        val s = q(name).queryExecution.executedPlan.toString
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$name: ${s.take(400)}")
+      }
   }
 }

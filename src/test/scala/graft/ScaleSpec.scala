@@ -53,6 +53,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned lake: a date predicate prunes to one partition at the scan") {
+    // The 100 TB layout contract: facts land partitioned by date, and a
+    // date predicate must prune DIRECTORIES at planning time (read 1/3
+    // of the files), not filter rows after a full scan.
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = (0 until 300).map(i =>
+      (i.toLong, "2024-01-%02d".format(i % 3 + 1), i * 2L))
+      .toDF("id", "event_date", "v")
+    df.write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-02").agg(sum("v"))
+    // sparkPlan, not executedPlan: AQE wraps the adaptive root and hides
+    // the scan leaves until execution
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the date predicate must plan as a partition filter, not a data filter")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"scanned ${scan.selectedPartitions.partitionCount} partitions, want exactly 1")
+    assert(q.collect()(0).getLong(0) ==
+      (0 until 300).filter(_ % 3 == 1).map(_ * 2L).sum)
+  }
+
+  test("ORC round-trips with schema and values intact (columnar sink breadth)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", i / 7.0)).toDF("id", "s", "x")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC keeps the writer's non-null flags; compare names and types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 500)
+    assert(back.filter(col("id") === 123).collect()(0).getString(1) == "v123")
+  }
+
   test("connected components converge in O(log n) rounds on a worst-case chain") {
     // a 64-node path graph is the adversarial case for min-label
     // propagation (diameter 63 -> 63 rounds); alternating stars must
