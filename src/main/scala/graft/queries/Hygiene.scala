@@ -430,11 +430,132 @@ object Hygiene {
       |WHERE n_truth > 0 OR n_cand > 0
       |ORDER BY probe_doc""".stripMargin
 
+  // ── q99: INCREMENTAL cluster-label maintenance — q53/q73/q83's
+  // incremental contract applied to near-dup clustering: the stored
+  // (node → comp) labels from the prior corpus stand in for the old
+  // RAW edge set (labels are node-sized and already star-shaped; the
+  // old candidate pairs — potentially far larger — are never re-read),
+  // and only the new batch's pairs join them. CC over stored-stars ∪
+  // new-pairs must equal CC over ALL pairs from scratch — that
+  // equivalence IS the oracle gate (the oracle full-recomputes).
+  // Candidate pairs are derived once over the full corpus (incremental
+  // CANDIDATE generation is q73's contract; this query owns the
+  // label-merge step). n_batch_members attributes each cluster's share
+  // of new-batch docs. ──
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, MinHashLsh}
+    val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
+      .localCheckpoint()
+    val pairs = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
+      .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // consumed by the old slice AND the new slice
+    val oldPairs = pairs
+      .filter(col("doc_a") % 4 =!= 0 && col("doc_b") % 4 =!= 0)
+    val newPairs = pairs
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+    // stored state: the prior run's labels (node-sized star forest)
+    val stored = ConnectedComponents(oldPairs, "doc_a", "doc_b")
+    val merged = ConnectedComponents(
+      stored.select(col("node").as("doc_a"), col("comp").as("doc_b"))
+        .unionByName(newPairs), "doc_a", "doc_b")
+    merged
+      .groupBy(col("comp").as("keeper_doc"))
+      .agg(count(lit(1)).as("cluster_size"), max("node").as("max_doc"),
+        sum(when(col("node") % 4 === 0, 1L).otherwise(0L)).as("n_batch_members"))
+      .orderBy("keeper_doc")
+  }
+
+  private val q99Sql =
+    s"""WITH RECURSIVE ${TrainData.lshCandidateCtes},
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE n_sig_match >= ${TrainData.LshStrongMatch}),
+      |${TrainData.ccClosureSql("pairs", "doc_a", "doc_b")}
+      |SELECT comp AS keeper_doc, COUNT(*) AS cluster_size, MAX(node) AS max_doc,
+      |  CAST(SUM(CASE WHEN node % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_batch_members
+      |FROM comps GROUP BY comp ORDER BY keeper_doc""".stripMargin
+
+  // ── q100: CLUSTER-AWARE SPLIT ASSIGNMENT — the remediation for what
+  // q77 audits: assigning train/val per-document leaks near-duplicate
+  // signal across the split; assigning per-CLUSTER (every member takes
+  // the hash of its cluster keeper; singletons hash their own id)
+  // guarantees zero cross-split near-dup pairs BY CONSTRUCTION — and
+  // that zero is part of the gated output (leak_pairs), not a comment.
+  // Same 3/16 val rate and key-hash determinism as q77/q59. Scale: one
+  // clustering pass (shared with q49), a node-sized label left-join,
+  // and a 1-row leak audit broadcast onto the per-split rollup. ──
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, MinHashLsh}
+    val d = Tables.documents(spark, dir)
+    val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
+      .localCheckpoint()
+    val pairs = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
+      .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // consumed by the labels AND the leak audit
+    val labels = ConnectedComponents(pairs, "doc_a", "doc_b")
+    val assigned = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .withColumn("group_key", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(concat(lit("q100:"), col("group_key").cast("string"))),
+          1, 1) < "3", "val").otherwise("train"))
+      .localCheckpoint() // consumed by the rollup AND the leak audit
+    val leak = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("leak_pairs"))
+      // non-foldable never-null key (IvfFlat's trick): pmod(hash(data), 1)
+      // is always 0 but the planner can't fold it, so the 1-row audit
+      // joins as a BroadcastHashJoin — not a nested loop (a literal key
+      // constant-folds the condition away and degrades to BNLJ)
+      .withColumn("__k", pmod(hash(col("leak_pairs")), lit(1)))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        countDistinct("group_key").as("n_groups"))
+      .withColumn("__k", pmod(hash(col("split")), lit(1)))
+      .join(broadcast(leak), "__k").drop("__k")
+      .orderBy("split")
+  }
+
+  private val q100Sql =
+    s"""WITH RECURSIVE ${TrainData.lshCandidateCtes},
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE n_sig_match >= ${TrainData.LshStrongMatch}),
+      |${TrainData.ccClosureSql("pairs", "doc_a", "doc_b")},
+      |assigned AS (
+      |  SELECT d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+      |    COALESCE(c.comp, d.doc_id) AS group_key,
+      |    CASE WHEN substr(md5('q100:'
+      |        || CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 1) < '3'
+      |      THEN 'val' ELSE 'train' END AS split
+      |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+      |leak AS (
+      |  SELECT CAST(SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leak_pairs
+      |  FROM pairs p
+      |  JOIN assigned a ON p.doc_a = a.doc_id
+      |  JOIN assigned b ON p.doc_b = b.doc_id)
+      |SELECT s.split, s.n_docs, s.n_tok, s.n_groups, l.leak_pairs
+      |FROM (
+      |  SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
+      |  FROM assigned GROUP BY split) s
+      |CROSS JOIN leak l
+      |ORDER BY s.split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_eval_allocation", q93, Some(q93Sql)),
     QueryDef("q94_canary_scan", q94, Some(q94Sql)),
     QueryDef("q95_domain_filter", q95, Some(q95Sql)),
     QueryDef("q96_text_normalize", q96, Some(q96Sql)),
     QueryDef("q97_stratified_pick", q97, Some(q97Sql)),
-    QueryDef("q98_lsh_recall", q98, Some(q98Sql)))
+    QueryDef("q98_lsh_recall", q98, Some(q98Sql)),
+    QueryDef("q99_incremental_clusters", q99, Some(q99Sql)),
+    QueryDef("q100_cluster_split", q100, Some(q100Sql)))
 }

@@ -637,7 +637,7 @@ object TrainData {
     * yields `comps(node, comp)` with comp = component minimum; the
     * oracle mirror of [[ConnectedComponents]], shared by every
     * clustering oracle (q49/q52/q66/q75). */
-  private def ccClosureSql(edges: String, a: String, b: String): String =
+  private[queries] def ccClosureSql(edges: String, a: String, b: String): String =
     s"""sym AS (
       |  SELECT $a AS a, $b AS b FROM $edges
       |  UNION SELECT $b, $a FROM $edges),

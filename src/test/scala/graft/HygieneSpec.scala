@@ -108,9 +108,33 @@ class HygieneSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_truth") > 0))
   }
 
-  test("q93-q98 plans: no cartesian products or nested-loop joins") {
+  test("q99: incremental label merge equals clustering from scratch") {
+    // the oracle gate proves merge == full recompute vs DuckDB; this pins
+    // the same equivalence engine-side, directly on the summary rows
+    val merged = q("q99_incremental_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = q("q49_neardup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == scratch,
+      s"incremental clusters diverge from scratch: ${merged.diff(scratch).take(3)}")
+  }
+
+  test("q100: cluster-aware split leaks zero near-dup pairs and partitions the corpus") {
+    val rows = q("q100_cluster_split").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("leak_pairs") == 0L,
+      s"cluster-keyed split must leak no pairs, got ${r.getAs[Long]("leak_pairs")}"))
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.engine.Tables.documents(spark, dir).count())
+    // the doc-level split q77 audits DOES leak here — the remediation is real
+    val leaked = SparkEntry.queries("q77_split_leakage")(spark, dir).count()
+    assert(leaked > 0, "q77's doc-level split should show leakage at sf0.001")
+  }
+
+  test("q93-q100 plans: no cartesian products or nested-loop joins") {
     Seq("q93_eval_allocation", "q94_canary_scan", "q95_domain_filter",
-        "q96_text_normalize", "q97_stratified_pick", "q98_lsh_recall")
+        "q96_text_normalize", "q97_stratified_pick", "q98_lsh_recall",
+        "q99_incremental_clusters", "q100_cluster_split")
       .foreach { name =>
         val s = q(name).queryExecution.executedPlan.toString
         assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
