@@ -549,6 +549,85 @@ object Hygiene {
       |CROSS JOIN leak l
       |ORDER BY s.split""".stripMargin
 
+  // ── q101: FUZZY VOCABULARY JOIN — edit-distance-1 word pairing via
+  // deletion-neighborhood hashing (FastSS): each vocab word emits
+  // itself plus every single-character deletion as join keys; two words
+  // within distance 1 ALWAYS share a key (w2 is a deletion of w1, or
+  // both delete the substituted position), so candidate generation is
+  // an equi-join on the variant key — never the quadratic
+  // levenshtein-everything cross join. Exact levenshtein == 1 then
+  // verifies candidates (both engines' classic DP, integer-exact), and
+  // pairs fold typo → canonical by (higher frequency, lexicographic)
+  // — the vocab-normalization step (typo folding) a tokenizer pipeline
+  // runs before counting. Typos are planted deterministically (q44's
+  // pattern): every 13th doc's first word loses its 2nd character.
+  // Scale: variants ≈ (len+1)·|vocab| rows — vocab-sized (MBs at 100 TB
+  // corpus), one equi-join, and the corpus itself is touched once for
+  // the word count. ──
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+      .withColumn("fw", substring_index(col("text"), " ", 1))
+      .withColumn("text2",
+        when(col("doc_id") % 13 === 0 && length(col("fw")) >= 3,
+          concat(expr("substring(fw, 1, 1)"), expr("substring(fw, 3)"),
+            expr("case when instr(text, ' ') > 0" +
+              " then substring(text, instr(text, ' ')) else '' end")))
+          .otherwise(col("text")))
+    val vocab = d.select(explode(split(col("text2"), " ")).as("w"))
+      .filter(length(col("w")) >= 3)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val vars = vocab.withColumn("v", explode(expr(
+        "array_union(array(w), transform(sequence(1, length(w))," +
+          " i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))")))
+    val cand = vars.select(col("w").as("w1"), col("f").as("f1"), col("v"))
+      .join(vars.select(col("w").as("w2"), col("f").as("f2"), col("v")), "v")
+      .filter(col("w1") < col("w2"))
+      .select("w1", "f1", "w2", "f2").distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+    cand
+      .withColumn("is1Typo",
+        col("f1") < col("f2") || (col("f1") === col("f2") && col("w1") > col("w2")))
+      .select(
+        when(col("is1Typo"), col("w1")).otherwise(col("w2")).as("variant_w"),
+        when(col("is1Typo"), col("f1")).otherwise(col("f2")).as("f_variant"),
+        when(col("is1Typo"), col("w2")).otherwise(col("w1")).as("canonical_w"),
+        when(col("is1Typo"), col("f2")).otherwise(col("f1")).as("f_canonical"))
+      .orderBy("variant_w", "canonical_w")
+  }
+
+  private val q101Sql =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 AND len(split_part(text, ' ', 1)) >= 3
+      |      THEN substr(split_part(text, ' ', 1), 1, 1)
+      |        || substr(split_part(text, ' ', 1), 3)
+      |        || CASE WHEN instr(text, ' ') > 0
+      |             THEN substr(text, CAST(instr(text, ' ') AS INT)) ELSE '' END
+      |      ELSE text END AS text2
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text2, ' ')) AS w FROM inj)
+      |  WHERE len(w) >= 3 GROUP BY 1),
+      |vars AS (
+      |  SELECT w, f, w AS v FROM vocab
+      |  UNION ALL
+      |  SELECT w, f,
+      |    substr(w, 1, CAST(i AS INT) - 1) || substr(w, CAST(i AS INT) + 1) AS v
+      |  FROM (SELECT w, f, unnest(range(1, len(w) + 1)) AS i FROM vocab)),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS w1, a.f AS f1, b.w AS w2, b.f AS f2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w),
+      |close_pairs AS (
+      |  SELECT * FROM cand WHERE levenshtein(w1, w2) = 1)
+      |SELECT
+      |  CASE WHEN f1 < f2 OR (f1 = f2 AND w1 > w2) THEN w1 ELSE w2 END AS variant_w,
+      |  CASE WHEN f1 < f2 OR (f1 = f2 AND w1 > w2) THEN f1 ELSE f2 END AS f_variant,
+      |  CASE WHEN f1 < f2 OR (f1 = f2 AND w1 > w2) THEN w2 ELSE w1 END AS canonical_w,
+      |  CASE WHEN f1 < f2 OR (f1 = f2 AND w1 > w2) THEN f2 ELSE f1 END AS f_canonical
+      |FROM close_pairs
+      |ORDER BY variant_w, canonical_w""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_eval_allocation", q93, Some(q93Sql)),
     QueryDef("q94_canary_scan", q94, Some(q94Sql)),
@@ -557,5 +636,6 @@ object Hygiene {
     QueryDef("q97_stratified_pick", q97, Some(q97Sql)),
     QueryDef("q98_lsh_recall", q98, Some(q98Sql)),
     QueryDef("q99_incremental_clusters", q99, Some(q99Sql)),
-    QueryDef("q100_cluster_split", q100, Some(q100Sql)))
+    QueryDef("q100_cluster_split", q100, Some(q100Sql)),
+    QueryDef("q101_fuzzy_vocab", q101, Some(q101Sql)))
 }

@@ -131,10 +131,31 @@ class HygieneSpec extends SparkSpec {
     assert(leaked > 0, "q77's doc-level split should show leakage at sf0.001")
   }
 
-  test("q93-q100 plans: no cartesian products or nested-loop joins") {
+  test("q101: every folded pair is true distance 1, typo side is rarer, planted typos found") {
+    val rows = q("q101_fuzzy_vocab").collect()
+    assert(rows.nonEmpty, "planted typos must surface at sf0.001")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (v, c) = (r.getAs[String]("variant_w"), r.getAs[String]("canonical_w"))
+      assert(lev(v, c) == 1, s"($v, $c) is not edit-distance 1")
+      val (fv, fc) = (r.getAs[Long]("f_variant"), r.getAs[Long]("f_canonical"))
+      assert(fv < fc || (fv == fc && v > c), s"fold direction wrong for ($v, $c)")
+    }
+    // the known planted deletion: 'batch' with 2nd char dropped
+    assert(rows.exists(r => r.getAs[String]("variant_w") == "btch" &&
+      r.getAs[String]("canonical_w") == "batch"))
+  }
+
+  test("q93-q101 plans: no cartesian products or nested-loop joins") {
     Seq("q93_eval_allocation", "q94_canary_scan", "q95_domain_filter",
         "q96_text_normalize", "q97_stratified_pick", "q98_lsh_recall",
-        "q99_incremental_clusters", "q100_cluster_split")
+        "q99_incremental_clusters", "q100_cluster_split", "q101_fuzzy_vocab")
       .foreach { name =>
         val s = q(name).queryExecution.executedPlan.toString
         assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
