@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.engine.Functions.{dec2, decPct}
+import OracleSql.sumMoneySql
+
+/** Relational-classic breadth — the multi-table join, window-function
+  * and grouping-set shapes a user migrating any Postgres-backed
+  * analytics stack (the reference included) expects to keep running:
+  *
+  *   - q102: the TPC-H Q5 SHAPE — a six-table star join (region →
+  *     nation → supplier ⋈ lineitem ⋈ orders ⋈ customer) with the
+  *     local-supplier correlation (c_nationkey = s_nationkey) and a
+  *     one-year window, grouped to per-nation revenue. All four dims
+  *     broadcast; only fact⋈fact shuffles. Money math runs through the
+  *     exact DECIMAL helpers so the oracle hash never flakes on
+  *     partial-agg order.
+  *   - q103: window-function breadth in one gated result — ntile,
+  *     percent_rank, cume_dist, nth_value and first/last_value over an
+  *     explicit ROWS frame, all on a unique total order (ties broken by
+  *     key) so every function is deterministic on both engines.
+  *   - q104: CUBE grouping sets with grouping flags — the full 2×2
+  *     lattice over (status, year) in ONE pass (Spark expands grouping
+  *     sets inside a single partial-aggregated shuffle; four separate
+  *     GROUP BYs would scan the fact four times).
+  *
+  * Reference framing: the reference's gold layer runs exactly this
+  * class of SQL inside Postgres (models/gold/02_create_materialized_
+  * views.sql); these queries prove the migration path for its heavier
+  * relational idioms, not just the seven shipped MVs.
+  */
+object Relational {
+
+  // ── q102: TPC-H Q5 shape — local-supplier revenue by nation. ──
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supplier = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey")) // local supplier
+      .groupBy("n_name")
+      .agg(round(sum(dec2(col("l_extendedprice")) *
+          (lit(1) - decPct(col("l_discount")))), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q102Sql =
+    """SELECT n.n_name,
+      |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_nationkey = s.s_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ── q103: window-function breadth on a unique total order. ──
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(framed).as("second_seen"),
+        first(col("o_orderkey")).over(framed).as("cheapest_so_far"),
+        last(col("o_orderkey")).over(framed).as("current_key"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
+  private val q103Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTH_VALUE(o_orderkey, 2) OVER wf AS second_seen,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_so_far,
+      |  LAST_VALUE(o_orderkey) OVER wf AS current_key
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |WINDOW
+      |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+
+  // ── q104: CUBE over (status, year) with grouping flags — the full
+  // lattice in one shuffle. ──
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+    o.cube("o_orderstatus", "o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec2(col("o_totalprice"))), 2).cast("double").as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_year")).cast("long").as("g_year"))
+      .orderBy(col("g_status"), col("g_year"), col("o_orderstatus"), col("o_year"))
+  }
+
+  private val q104Sql =
+    s"""SELECT o_orderstatus,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  COUNT(*) AS n_orders,
+      |  ${sumMoneySql("o_totalprice")} AS total_price,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS BIGINT) AS g_year
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+      |ORDER BY g_status, g_year, o_orderstatus, o_year""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_regional_volume", q102, Some(q102Sql)),
+    QueryDef("q103_window_suite", q103, Some(q103Sql)),
+    QueryDef("q104_cube_stats", q104, Some(q104Sql)))
+}
