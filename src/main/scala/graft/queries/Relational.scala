@@ -138,8 +138,39 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
       |ORDER BY g_status, g_year, o_orderstatus, o_year""".stripMargin
 
+  // ── q105: RANGE-interval trailing window — the frame type ROWS can't
+  // express over gappy time series: trailing 60-MINUTE event counts
+  // computed only at minutes that have events (the point-query shape
+  // next to q90's gap-free spine: the spine materializes every slot for
+  // dense verdicts; the RANGE frame reads a value-bounded window off
+  // the sparse series directly — no spine rows, gaps handled by the
+  // frame bound, not by data). Runs at the aggregated (type, minute)
+  // grain — the window never sees raw events (q90's scale rule). ──
+  private def q105(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 60").as("minute_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("minute_idx")
+      .rangeBetween(-59, 0)
+    m.withColumn("trailing_60m", sum("n").over(w))
+      .orderBy("event_type", "minute_idx")
+  }
+
+  private val q105Sql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT) AS minute_idx,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, minute_idx, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY minute_idx
+      |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_60m
+      |FROM m ORDER BY event_type, minute_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_regional_volume", q102, Some(q102Sql)),
     QueryDef("q103_window_suite", q103, Some(q103Sql)),
-    QueryDef("q104_cube_stats", q104, Some(q104Sql)))
+    QueryDef("q104_cube_stats", q104, Some(q104Sql)),
+    QueryDef("q105_range_trailing", q105, Some(q105Sql)))
 }

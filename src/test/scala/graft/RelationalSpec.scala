@@ -39,6 +39,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q105: RANGE frame equals a brute-force trailing sum over gappy minutes") {
+    val rows = q("q105_range_trailing").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute_idx"),
+        r.getAs[Long]("n"), r.getAs[Long]("trailing_60m")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val byMin = part.map(p => p._2 -> p._3).toMap
+      part.foreach { case (_, m, n, trailing) =>
+        val want = (m - 59 to m).flatMap(byMin.get).sum
+        assert(trailing == want, s"minute $m: trailing $trailing != $want")
+        assert(trailing >= n)
+      }
+    }
+  }
+
   test("q104: the CUBE lattice is complete and internally consistent") {
     val rows = q("q104_cube_stats").collect()
     def cells(gs: Long, gy: Long) = rows.filter(r =>
