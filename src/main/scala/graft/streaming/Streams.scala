@@ -290,6 +290,53 @@ object Streams {
     graft.operators.CountMin.cells(
       docs.select(explode(split(col("text"), " ")).as("w")), depth)
 
+  /** Streaming near-dup CLUSTER-LABEL maintenance — the batch q99
+    * incremental merge run per micro-batch: each batch carries candidate
+    * PAIRS (doc_a, doc_b) from an upstream near-dup filter
+    * ([[nearDupFilter]] / MinHashLsh.candidatesAcross), and the sink
+    * merges them into a persistent (node, comp) label table by running
+    * connected components over the stored labels AS star edges plus the
+    * batch pairs — the prior batches' raw pair sets are never re-read,
+    * only the node-sized label state. After every micro-batch the table
+    * equals the batch clustering of ALL pairs seen so far (pinned in
+    * StreamsSpec), which is exactly q99's merge == full-recompute
+    * contract made continuous.
+    *
+    * IDEMPOTENCE: replaying a committed micro-batch unions pairs whose
+    * connectivity the labels already encode — components are unchanged,
+    * the state rewrites verbatim (the [[scd2Sink]] restart contract;
+    * min-label components are a pure function of accumulated
+    * connectivity, with no wall-clock or batch-id dependence).
+    *
+    * Scale: per batch, CC input = |batch pairs| + |stored labels|;
+    * labels are node-sized (only docs in some duplicate cluster) and the
+    * stored side is already a star forest, so the contraction converges
+    * in ~one round (or routes straight to the bounded local finish). A
+    * label table too large to rewrite per batch wants the
+    * partition-splice shape of [[incrementalGoldSink]] keyed on
+    * pmod(hash(node)). */
+  def clusterLabelSink(pairs: DataFrame, labelPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = b.sparkSession
+        val fresh = b.toDF().select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+        val stored =
+          if (new org.apache.hadoop.fs.Path(labelPath).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+              .exists(new org.apache.hadoop.fs.Path(labelPath)))
+            spark.read.parquet(labelPath)
+              .select(col("node").as("doc_a"), col("comp").as("doc_b"))
+          else fresh.limit(0)
+        val labels = graft.operators.ConnectedComponents(
+          fresh.unionByName(stored), "doc_a", "doc_b")
+        graft.engine.Pipeline.overwriteParquet(labels, labelPath)
+        ()
+      }
+      .start()
+
   /** Streaming upsert into a parquet layer via foreachBatch — the
     * streaming analog of the reference's cross-run ON CONFLICT bronze
     * load (bronze_loader.py:143-188), reusing the batch merge

@@ -380,4 +380,43 @@ class StreamsSpec extends SparkSpec {
         s"streaming/batch spike sets differ: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("clusterLabelSink: state equals batch clustering of all pairs after every batch; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-clust").toString
+    val labelPath = s"$dir/labels"
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.clusterLabelSink(in.toDF().toDF("doc_a", "doc_b"),
+      labelPath, s"$dir/ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def labels(): Set[(Long, Long)] =
+      spark.read.parquet(labelPath).collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp"))).toSet
+    def check(): Unit = {
+      val want = graft.operators.ConnectedComponents(
+          seen.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels() == want, s"stream state diverged after ${seen.size} pairs")
+    }
+    try {
+      in.addData((1L, 2L), (3L, 4L)); seen ++= Seq((1L, 2L), (3L, 4L))
+      q.processAllAvailable(); check()
+      // the incremental-merge case that matters: a bridge pair collapses
+      // two previously-independent stored clusters into one component
+      in.addData((2L, 3L)); seen += ((2L, 3L))
+      q.processAllAvailable(); check()
+      assert(labels() == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+      in.addData((10L, 11L)); seen += ((10L, 11L))
+      q.processAllAvailable(); check()
+      // replay convergence: re-merging an already-applied batch through
+      // the same label-union is an identity on the component labels
+      val replayed = graft.operators.ConnectedComponents(
+          Seq((10L, 11L)).toDF("doc_a", "doc_b").unionByName(
+            spark.read.parquet(labelPath)
+              .select(col("node").as("doc_a"), col("comp").as("doc_b"))),
+          "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replayed == labels(), "replaying a committed batch must not move labels")
+    } finally q.stop()
+  }
 }
