@@ -55,25 +55,34 @@ object Hygiene {
   // corpus), never over raw documents — the q07/q90 pattern. ──
   private val EvalBudget = 1000L
 
-  /** Shared Hamilton-apportionment core (q93 summary, q97 selection):
-    * per-(lang, source) stratum rows with exact integer `alloc`. */
-  private def allocations(spark: SparkSession, dir: String): DataFrame = {
-    val strata = Tables.documents(spark, dir)
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+  /** Hamilton (largest-remainder) apportionment over arbitrary strata
+    * `(lang, source, n_docs, n_tok)`: floor the exact integer quotas,
+    * hand the `budget − Σfloor` leftover seats to the largest remainders
+    * under the unique (rem DESC, lang, source) order. Exposed to the
+    * property spec, which pins Σ alloc == budget and the quota-rule
+    * bound (every alloc is its floor or floor + 1) on random strata. */
+  private[graft] def apportion(strata: DataFrame, budget: Long): DataFrame = {
     val all = Window.partitionBy()
     strata
       .withColumn("total_tok", sum("n_tok").over(all))
       .withColumn("floor_alloc",
-        expr(s"(n_tok * $EvalBudget) div total_tok"))
-      .withColumn("rem", (col("n_tok") * EvalBudget) % col("total_tok"))
-      .withColumn("leftover", lit(EvalBudget) - sum("floor_alloc").over(all))
+        expr(s"(n_tok * $budget) div total_tok"))
+      .withColumn("rem", (col("n_tok") * budget) % col("total_tok"))
+      .withColumn("leftover", lit(budget) - sum("floor_alloc").over(all))
       .withColumn("rnk", row_number().over(
         all.orderBy(col("rem").desc, col("lang"), col("source"))))
       .withColumn("extra", when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
       .withColumn("alloc", col("floor_alloc") + col("extra"))
   }
+
+  /** Shared Hamilton-apportionment core (q93 summary, q97 selection):
+    * per-(lang, source) stratum rows with exact integer `alloc`. */
+  private def allocations(spark: SparkSession, dir: String): DataFrame =
+    apportion(Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok")),
+      EvalBudget)
 
   private def q93(spark: SparkSession, dir: String): DataFrame =
     allocations(spark, dir)

@@ -398,4 +398,72 @@ class OperatorPropertiesSpec extends SparkSpec {
   }
 
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  // ── Hamilton apportionment (q93/q97 core): exactness on random strata ──
+
+  private val strataGen: Gen[List[(String, String, Long, Long)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, for {
+      lang <- Gen.oneOf("aa", "bb", "cc", "dd")
+      src <- Gen.oneOf("s0", "s1", "s2", "s3", "s4")
+      docs <- Gen.choose(1L, 500L)
+      tok <- Gen.choose(1L, 100000L)
+    } yield (lang, src, docs, tok)).map(_.groupBy(t => (t._1, t._2)).map {
+      case ((l, sr), ts) => (l, sr, ts.map(_._3).sum, ts.map(_._4).sum) }.toList))
+
+  test("apportion: allocations sum to the budget and obey the quota rule on random strata") {
+    samples(Gen.zip(strataGen, Gen.choose(1L, 5000L)), 8).foreach {
+      case (strata, budget) =>
+        val rows = graft.queries.Hygiene.apportion(
+            strata.toDF("lang", "source", "n_docs", "n_tok"), budget)
+          .collect()
+        val total = strata.map(_._4).sum
+        assert(rows.map(_.getAs[Long]("alloc")).sum == budget,
+          s"budget $budget not exactly apportioned over ${strata.size} strata")
+        rows.foreach { r =>
+          val extra = r.getAs[Long]("alloc") - r.getAs[Long]("floor_alloc")
+          assert(extra == 0L || extra == 1L)
+          // quota rule: alloc is the exact quota's floor or ceil
+          val quota = r.getAs[Long]("n_tok") * budget
+          assert(r.getAs[Long]("floor_alloc") == quota / total)
+        }
+    }
+  }
+
+  // ── FastSS deletion-neighborhood (q101): candidate COMPLETENESS ──
+  // any pair at levenshtein distance exactly 1 must share a key in
+  // U(w) = {w} ∪ {one-char deletions of w} — the property that lets
+  // q101 verify only the candidate sliver without missing a pair.
+
+  private def delKeys(w: String): Set[String] =
+    Set(w) ++ w.indices.map(i => w.take(i) + w.drop(i + 1))
+
+  private val editGen: Gen[(String, String)] = for {
+    len <- Gen.choose(3, 10)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    w = cs.mkString
+    pos <- Gen.choose(0, len - 1)
+    ch <- Gen.oneOf('a', 'b', 'c', 'd', 'e')
+    kind <- Gen.choose(0, 2)
+  } yield kind match {
+    case 0 => (w, w.take(pos) + w.drop(pos + 1))           // deletion
+    case 1 => (w, w.take(pos) + ch + w.drop(pos))          // insertion
+    case _ => (w, w.take(pos) + ch + w.drop(pos + 1))      // substitution
+  }
+
+  test("deletion-neighborhood keys are complete for every edit-distance-1 pair") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(editGen, 200).foreach { case (a, b) =>
+      whenever(lev(a, b) == 1) {
+        assert(delKeys(a).intersect(delKeys(b)).nonEmpty,
+          s"distance-1 pair ($a, $b) shares no deletion key - q101 would miss it")
+      }
+    }
+  }
 }
