@@ -168,9 +168,72 @@ object Relational {
       |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_60m
       |FROM m ORDER BY event_type, minute_idx""".stripMargin
 
+  // ── q106: gap-filled resampling with forward fill — the time-series
+  // normalization every sensor/metrics pipeline runs before modeling:
+  // per (type, hour) take the LAST observed reading (unique total order
+  // (ts, event_id) — never "max ts" alone, which ties nondeterministic-
+  // ally), join onto the gap-free hour spine (q90's pattern), and
+  // forward-fill gaps with last-known-value via last(ignoreNulls) over
+  // a running frame. The filled value is COPIED, never recomputed, so
+  // doubles hash identically on both engines. Scale: one (type, hour)
+  // partial-agg shuffle; spine join and fill window run at the
+  // aggregated grain (hours × types), never over raw events. ──
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val lastPerHour = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("h"), col("value").as("obs_value"))
+    val nObs = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n_obs"))
+    val spine = ev.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val fill = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(lastPerHour, Seq("event_type", "h"), "left")
+      .join(nObs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("obs_value"), ignoreNulls = true).over(fill).as("filled_value"),
+        col("obs_value").isNull.as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val q106Sql =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    ts, event_id, value
+      |  FROM events),
+      |last_per_hour AS (
+      |  SELECT event_type, h, value AS obs_value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, h
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  WHERE rn = 1),
+      |n_obs AS (
+      |  SELECT event_type, h, COUNT(*) AS n_obs FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1))
+      |SELECT s.event_type, s.h AS hour,
+      |  CAST(COALESCE(n.n_obs, 0) AS BIGINT) AS n_obs,
+      |  LAST_VALUE(l.obs_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  l.obs_value IS NULL AS is_gap
+      |FROM spine s
+      |LEFT JOIN last_per_hour l ON s.event_type = l.event_type AND s.h = l.h
+      |LEFT JOIN n_obs n ON s.event_type = n.event_type AND s.h = n.h
+      |ORDER BY s.event_type, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_regional_volume", q102, Some(q102Sql)),
     QueryDef("q103_window_suite", q103, Some(q103Sql)),
     QueryDef("q104_cube_stats", q104, Some(q104Sql)),
-    QueryDef("q105_range_trailing", q105, Some(q105Sql)))
+    QueryDef("q105_range_trailing", q105, Some(q105Sql)),
+    QueryDef("q106_gap_fill", q106, Some(q106Sql)))
 }

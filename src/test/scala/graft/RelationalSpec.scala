@@ -54,6 +54,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q106: the spine is gap-free and forward fill carries the last observation") {
+    val rows = q("q106_gap_fill").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, part) =>
+      // contiguous hourly spine: row count == span + 1
+      val hours = part.map(_.getAs[java.sql.Timestamp]("hour").getTime)
+      assert(hours.max - hours.min == (part.length - 1) * 3600000L,
+        s"$t: spine has holes or duplicates")
+      // fill semantics: gaps copy the previous filled value; observed
+      // hours may change it; no row after the first observation is null
+      part.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur.getAs[Boolean]("is_gap"))
+            assert(cur.getAs[Double]("filled_value") ==
+              prev.getAs[Double]("filled_value"),
+              s"$t: a gap hour changed the filled value")
+        case _ =>
+      }
+      assert(part.forall(r => !r.isNullAt(r.fieldIndex("filled_value"))),
+        s"$t: spine starts at the first observation, so no leading nulls")
+      // gap rows really are gaps
+      part.foreach(r =>
+        assert(r.getAs[Boolean]("is_gap") == (r.getAs[Long]("n_obs") == 0L)))
+    }
+  }
+
   test("q104: the CUBE lattice is complete and internally consistent") {
     val rows = q("q104_cube_stats").collect()
     def cells(gs: Long, gy: Long) = rows.filter(r =>
