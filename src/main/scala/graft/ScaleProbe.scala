@@ -111,6 +111,58 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=hygiene: the round-7 governance operators with
+    // provably-safe scaling shapes — text normalization and canary
+    // extraction are scan-fused row-local chains (corpus-LINEAR wall),
+    // while the fuzzy-vocab deletion-neighborhood join is bounded by the
+    // VOCABULARY (constant here as the corpus multiplies, so its wall
+    // should stay flat — the measured form of "everything after the word
+    // count is vocab-sized").
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "hygiene") {
+      val (norm, tNorm) = timed {
+        corpus
+          .withColumn("dirty", concat(
+            when(col("doc_id") % 5 === 0, "\t ").otherwise(""), col("text"),
+            when(col("doc_id") % 3 === 0, " \u200B\u200B").otherwise("")))
+          .withColumn("clean", trim(regexp_replace(regexp_replace(regexp_replace(
+            col("dirty"), "[\u200B\u200C\u200D\uFEFF]", ""),
+            "[\t\r\n\u00A0]", " "), " +", " ")))
+          .agg(sum(when(col("clean") === col("text"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+      }
+      val (canary, tCanary) = timed {
+        val canaries = spark.range(0, 5).select(
+          concat(lit("canary-"), md5(concat(lit("canary:"),
+            col("id").cast("string")))).as("guid"))
+        corpus
+          .select(explode(regexp_extract_all(
+            when(col("doc_id") % 37 === 0,
+              concat(col("text"), lit(" canary-"),
+                md5(concat(lit("canary:"), (col("doc_id") % 5).cast("string")))))
+              .otherwise(col("text")),
+            lit("canary-[0-9a-f]{32}"), lit(0))).as("guid"))
+          .join(broadcast(canaries), "guid").count()
+      }
+      val (fuzzy, tFuzzy) = timed {
+        val vocab = corpus.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 3)
+          .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint(true)
+        val vars = vocab.withColumn("v", explode(expr(
+          "array_union(array(w), transform(sequence(1, length(w))," +
+            " i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))")))
+        vars.select(col("w").as("w1"), col("v"))
+          .join(vars.select(col("w").as("w2"), col("v")), "v")
+          .filter(col("w1") < col("w2")).select("w1", "w2").distinct()
+          .filter(levenshtein(col("w1"), col("w2")) === 1).count()
+      }
+      println(s"""{"probe":"hygiene","sf":"$sfDir","mult":$mult,"docs":$n,""" +
+        s""""restored":$norm,"canary_hits":$canary,"fuzzy_pairs":$fuzzy,""" +
+        s""""normalize_sec":${f"$tNorm%.2f"},"canary_sec":${f"$tCanary%.2f"},""" +
+        s""""fuzzy_sec":${f"$tFuzzy%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     val (sigs, tSig) = timed {
       MinHashLsh.signatures(corpus).localCheckpoint(true)
     }
