@@ -677,8 +677,14 @@ object TrainData {
     val offset = base.agg(max("vec_id")).collect()(0).getLong(0) + 1L
     val dups = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding"))
+    // localCheckpoint: `all` feeds the 4 bucket tables, the hub-cap probe
+    // and BOTH embedding-attach joins — materializing once replaces up to
+    // seven re-evaluations of the union+repartition subtree (exchange
+    // reuse only dedups identical plan fragments, not the post-shuffle
+    // recomputes under different projections)
     val all = base.unionByName(dups)
       .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val edges = AnnLsh.candidates(all,
         tables = AnnTables, bits = AnnBits, maxBucket = AnnMaxBucket)
       .join(all.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
