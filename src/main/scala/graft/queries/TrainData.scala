@@ -1865,10 +1865,24 @@ object TrainData {
   // its home query; composition adds two left joins on doc_id. ──
   private def q75(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    funnelStages(spark, dir)
+      .groupBy("stage").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("stage")
+  }
+
+  /** Shared staged-funnel core (q75 totals, q107 per-source attribution):
+    * every train-slice doc with its first-firing drop stage —
+    * `(doc_id, source, n_tok, stage)`. */
+  private def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docsParallel(spark, dir)
     val train = d.filter(col("doc_id") % 10 =!= 7)
     val exKeeper = min("doc_id").over(Window.partitionBy(sha2(col("text"), 256)))
-    val flags = train.select(col("doc_id"),
+    val flags = train.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
       (col("doc_id") =!= exKeeper).as("ex_drop"),
       (qualityScore < 400).as("lowq"))
     // near-dup components over the train slice (q49's shape)
@@ -1892,15 +1906,26 @@ object TrainData {
           .when(col("lowq"), "3_low_quality")
           .when(col("ct").isNotNull, "4_contaminated")
           .otherwise("5_kept"))
-      .groupBy("stage").agg(
-        count(lit(1)).as("n_docs"),
-        min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"))
-      .orderBy("stage")
+      .select("doc_id", "source", "n_tok", "stage")
   }
 
-  private val q75Sql = {
-    s"""WITH RECURSIVE ${lshBandedSql("tr", "doc_id % 10 != 7")},
+  // ── q107: curation funnel BY SOURCE — the sourcing report a data team
+  // actually reads: q75's first-firing-stage attribution at (source,
+  // stage) grain with doc AND token mass, so per-source survival and
+  // where each source's losses concentrate (dup-heavy vs low-quality vs
+  // contaminated) read straight off the result. Same machinery, one
+  // extra grouping column — the per-doc stage assignment is computed
+  // once and shared with q75. ──
+  private def q107(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(spark, dir)
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+      .orderBy("source", "stage")
+
+  /** Oracle twin of [[funnelStages]] — CTEs ending in
+    * `staged(doc_id, source, n_tok, stage)`, shared by q75 and q107. */
+  private lazy val funnelStagedCtes =
+    s"""${lshBandedSql("tr", "doc_id % 10 != 7")},
       |tr_kept AS (
       |  ${lshKeptSql("tr_banded")}),
       |pairs AS (
@@ -1917,12 +1942,13 @@ object TrainData {
       |  SELECT DISTINCT doc_id FROM g
       |  WHERE doc_id % 10 != 7 AND g IN (SELECT g FROM eval_grams)),
       |flags AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       |    doc_id != MIN(doc_id) OVER (PARTITION BY sha256(text)) AS ex_drop,
       |    ($qualityScoreSql) < 400 AS lowq
       |  FROM documents WHERE doc_id % 10 != 7),
       |staged AS (
-      |  SELECT f.doc_id,
+      |  SELECT f.doc_id, f.source, f.n_tok,
       |    CASE WHEN f.ex_drop THEN '1_exact_dup'
       |         WHEN c.comp IS NOT NULL AND c.comp != f.doc_id THEN '2_near_dup'
       |         WHEN f.lowq THEN '3_low_quality'
@@ -1930,11 +1956,19 @@ object TrainData {
       |         ELSE '5_kept' END AS stage
       |  FROM flags f
       |  LEFT JOIN comps c ON f.doc_id = c.node
-      |  LEFT JOIN contam ct ON f.doc_id = ct.doc_id)
+      |  LEFT JOIN contam ct ON f.doc_id = ct.doc_id)""".stripMargin
+
+  private lazy val q75Sql =
+    s"""WITH RECURSIVE $funnelStagedCtes
       |SELECT stage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
       |  MAX(doc_id) AS max_doc
       |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin
-  }
+
+  private lazy val q107Sql =
+    s"""WITH RECURSIVE $funnelStagedCtes
+      |SELECT source, stage, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tok
+      |FROM staged GROUP BY 1, 2 ORDER BY source, stage""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_exact_dedup", q20, Some(q20Sql)),
@@ -1974,5 +2008,6 @@ object TrainData {
     QueryDef("q73_incremental_lsh", q73, Some(q73Sql)),
     QueryDef("q74_corpus_shuffle", q74, Some(q74Sql)),
     QueryDef("q75_curation_funnel", q75, Some(q75Sql)),
-    QueryDef("q76_ivf_trained", q76, Some(q76Sql)))
+    QueryDef("q76_ivf_trained", q76, Some(q76Sql)),
+    QueryDef("q107_funnel_by_source", q107, Some(q107Sql)))
 }

@@ -231,6 +231,17 @@ class TrainPipelineSpec extends SparkSpec {
     assert(rows.keySet.subsetOf(valid), rows.toString)
   }
 
+  test("q107: per-source funnel cells roll up exactly to q75's stage totals") {
+    val cells = SparkEntry.queries("q107_funnel_by_source")(spark, dir).collect()
+    val byStage = cells.groupBy(_.getAs[String]("stage"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_docs")).sum }
+    val q75Totals = SparkEntry.queries("q75_curation_funnel")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage == q75Totals,
+      s"per-source cells $byStage disagree with q75 totals $q75Totals")
+    assert(cells.forall(_.getAs[Long]("n_tok") > 0))
+  }
+
   test("q76: trained-index search returns full ranked lists per probe") {
     val rows = SparkEntry.queries("q76_ivf_trained")(spark, dir).collect()
     val byProbe = rows.groupBy(_.getLong(0))
