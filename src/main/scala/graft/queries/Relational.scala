@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,10 +230,190 @@ object Relational {
       |LEFT JOIN n_obs n ON s.event_type = n.event_type AND s.h = n.h
       |ORDER BY s.event_type, hour""".stripMargin
 
+  // ── q108: scalar correlated subquery, window-decorrelated — the
+  // TPC-H Q17 SHAPE ("small-quantity-order revenue": lineitems whose
+  // quantity sits below 20% of their part's average quantity, for one
+  // brand). A naive engine re-runs the AVG subquery per outer row; the
+  // declarative plan computes the per-part aggregate ONCE as a window
+  // over the SAME hash partitioning the brand slice already has — one
+  // shuffle on l_partkey, the fact scanned once, no self-join. The
+  // brand dim slice broadcasts (1/25th of part). The 20% boundary is
+  // integer cross-multiplied (qty·5·cnt < Σqty — quantities are
+  // integral), so no float-average boundary can disagree across
+  // engines/partition orders. ──
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    lp.withColumn("sum_qty", sum("qty").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(dec2(col("l_extendedprice"))), 2).cast("double")
+          .as("small_revenue"))
+      .orderBy("partkey")
+  }
+
+  private val q108Sql =
+    """WITH lp AS (
+      |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty, l.l_extendedprice
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#12'),
+      |agg AS (
+      |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, COUNT(*) AS cnt
+      |  FROM lp GROUP BY 1)
+      |SELECT lp.l_partkey AS partkey, COUNT(*) AS n_small,
+      |  CAST(ROUND(SUM(CAST(lp.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS small_revenue
+      |FROM lp JOIN agg ON lp.l_partkey = agg.l_partkey
+      |WHERE lp.qty * 5 * agg.cnt < agg.sum_qty
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ── q109: EXISTS + NOT EXISTS on the same fact — the TPC-H Q21 SHAPE
+  // (suppliers who were the ONLY late shipper on a multi-supplier
+  // finished order). The oracle states it with two correlated
+  // subqueries; the engine decorrelates BOTH into one pass: aggregate
+  // lineitem⋈orders to (order, supplier, any_late) grain, then a
+  // window over l_orderkey counts suppliers and late suppliers —
+  // EXISTS ⟺ n_supp > 1, NOT-EXISTS-other-late ⟺ n_late = 1 on a late
+  // row. One shuffle on l_orderkey serves the groupBy AND the window
+  // (same key); the fact is never self-joined. Lateness (> order date
+  // + 60 days) is a timestamp comparison — exact on both engines. ──
+  private def q109(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("is_late"))
+    val w = Window.partitionBy("l_orderkey")
+    val waiters = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("is_late").over(w))
+      .filter(col("is_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(broadcast(waiters), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), col("s_suppkey").as("suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"), col("suppkey"))
+      .limit(20)
+  }
+
+  private val q109Sql =
+    """WITH l1 AS (
+      |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F')
+      |SELECT s.s_name, s.s_suppkey AS suppkey, COUNT(*) AS numwait
+      |FROM (
+      |  SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      |  FROM l1 a
+      |  WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+      |    AND EXISTS (SELECT 1 FROM l1 b
+      |      WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM l1 c
+      |      WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+      |        AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY)) w
+      |JOIN supplier s ON w.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_name, suppkey
+      |LIMIT 20""".stripMargin
+
+  // ── q110: left-join-preserving-zeros + double aggregation — the
+  // TPC-H Q13 SHAPE (customer order-count distribution, excluding one
+  // priority class). The exclusion predicate belongs to the JOIN
+  // condition, not a WHERE (a WHERE would silently drop zero-order
+  // customers — the classic Q13 trap); count(o_orderkey) over the left
+  // join counts only matches, keeping the zero bucket. Scale: one
+  // c_custkey shuffle for the fact-side join+agg; the second GROUP BY
+  // runs on customer-count-sized data (≤ distinct order counts). ──
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q110Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ── q111: global-aggregate comparison + anti join — the TPC-H Q22
+  // SHAPE (idle rich customers: above-average positive balance within
+  // chosen segments, and no orders in the trailing year — an
+  // unbounded NOT EXISTS is vacuous at this order density, so the
+  // dormancy window keeps the gate non-trivial). The scalar subquery's
+  // 1-row global aggregate joins via the non-foldable pmod(hash) key
+  // (IvfFlat's trick) so the planner keeps a BroadcastHashJoin — a
+  // literal key would constant-fold into the BNLJ every PlanSpec in
+  // this repo build-fails on. The above-average boundary is integer
+  // cross-multiplied over exact cents (cents·n_pos > Σcents), so no
+  // float-average can disagree; NOT EXISTS(orders) is a left-anti
+  // join on o_custkey. ──
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val pos = cust.filter(col("cents") > 0)
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+      .withColumn("__one", one(col("sum_cents")))
+    cust.withColumn("__one", one(col("c_custkey")))
+      .join(broadcast(pos), Seq("__one"))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum("cents").cast("long") / 100.0).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q111Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+      |pos AS (
+      |  SELECT CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_pos
+      |  FROM cust WHERE cents > 0)
+      |SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(c.cents) AS BIGINT) / 100.0 AS total_acctbal
+      |FROM cust c, pos
+      |WHERE c.cents * pos.n_pos > pos.sum_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_regional_volume", q102, Some(q102Sql)),
     QueryDef("q103_window_suite", q103, Some(q103Sql)),
     QueryDef("q104_cube_stats", q104, Some(q104Sql)),
     QueryDef("q105_range_trailing", q105, Some(q105Sql)),
-    QueryDef("q106_gap_fill", q106, Some(q106Sql)))
+    QueryDef("q106_gap_fill", q106, Some(q106Sql)),
+    QueryDef("q108_small_qty_revenue", q108, Some(q108Sql)),
+    QueryDef("q109_only_late_supplier", q109, Some(q109Sql)),
+    QueryDef("q110_custdist", q110, Some(q110Sql)),
+    QueryDef("q111_idle_rich", q111, Some(q111Sql)))
 }

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Semantic + plan pins for the relational-classic queries (q102–q104). */
+import graft.engine.Tables
+
+/** Semantic + plan pins for the relational-classic queries (q102–q111). */
 class RelationalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -95,5 +97,106 @@ class RelationalSpec extends SparkSpec {
     // one aggregation pass: a single Expand feeds a single agg pair
     val s = q("q104_cube_stats").queryExecution.executedPlan.toString
     assert(s.contains("Expand"), s.take(600))
+  }
+
+  private def lineitemScans(df: org.apache.spark.sql.DataFrame): Int =
+    "lineitem".r.findAllIn(
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n")).length
+
+  test("q108: window decorrelation scans the fact once and matches brute force") {
+    val df = q("q108_small_qty_revenue")
+    // the scalar subquery must NOT become a self-join: one lineitem scan
+    assert(lineitemScans(df) == 1,
+      df.queryExecution.executedPlan.toString.take(800))
+    val got = df.collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Long]("n_small")).toMap
+    // brute-force replay: per-part avg over the brand slice
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#12")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getAs[Double](1).toLong))
+      .filter(p => parts(p._1))
+    val want = li.groupBy(_._1).flatMap { case (pk, xs) =>
+      val sum = xs.map(_._2).sum; val cnt = xs.length
+      val n = xs.count(x => x._2 * 5 * cnt < sum)
+      if (n > 0) Some(pk -> n.toLong) else None
+    }
+    assert(got == want)
+  }
+
+  test("q109: window-decorrelated EXISTS/NOT-EXISTS matches brute force, one fact scan") {
+    val df = q("q109_only_late_supplier")
+    assert(lineitemScans(df) == 1,
+      df.queryExecution.executedPlan.toString.take(800))
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("suppkey"), r.getAs[Long]("numwait")))
+    assert(got.length <= 20 && got.nonEmpty)
+    // brute force at fixture scale
+    val od = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sixtyDays = 60L * 86400L
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("timestamp").cast("long"))
+      .collect()
+      .flatMap { r =>
+        od.get(r.getLong(0)).map { d =>
+          ((r.getLong(0), r.getLong(1)), r.getLong(2) > d + sixtyDays)
+        }
+      }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.exists(_._2) }
+    val byOrder = perSupp.groupBy(_._1._1)
+    val numwait = byOrder.values.flatMap { suppliers =>
+      val late = suppliers.filter(_._2)
+      if (suppliers.size > 1 && late.size == 1) late.keys.map(_._2) else Nil
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    got.foreach { case (s, n) =>
+      assert(numwait.get(s).contains(n), s"supplier $s: $n vs ${numwait.get(s)}")
+    }
+    // the limit keeps the TOP suppliers: every kept numwait >= every dropped
+    val kept = got.map(_._2).min
+    val dropped = numwait.filterNot(kv => got.exists(_._1 == kv._1)).values
+    assert(dropped.forall(_ <= kept))
+  }
+
+  test("q110: distribution conserves customers and orders (zeros preserved)") {
+    val rows = q("q110_custdist").collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist"))
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_._2).sum == nCust,
+      "every customer lands in exactly one count bucket")
+    val nOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(rows.map(kv => kv._1 * kv._2).sum == nOrders,
+      "count-weighted buckets must conserve the order total")
+  }
+
+  test("q111: 1-row global aggregate joins hash, not nested-loop; brute-force match") {
+    val df = q("q111_idle_rich")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s.take(800))
+    val got = df.collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_cust")).toMap
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getAs[Double](2) * 100)))
+    val posCents = cust.map(_._3).filter(_ > 0)
+    val (sumC, nPos) = (posCents.sum, posCents.length.toLong)
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val want = cust
+      .filter(c => c._3 * nPos > sumC && !active(c._1))
+      .groupBy(_._2).map { case (seg, xs) => seg -> xs.length.toLong }
+    assert(got == want)
+    assert(got.values.sum > 0, "the dormancy window must keep the gate non-trivial")
   }
 }
