@@ -940,6 +940,79 @@ object TrainData2 {
       |    chunk_id * $ChunkStride + $ChunkLen), ' ') AS chunk_text
       |FROM ex ORDER BY doc_id, chunk_id LIMIT 300""".stripMargin
 
+  // ── q112: PRODUCT QUANTIZATION encode — the third member of the
+  // vector-compression family (q70 = scalar int8, q54/q69/q76 = IVF
+  // coarse quantizer, this = PQ fine quantizer, the FAISS IVFADC
+  // design's second stage): the 64-dim embedding splits into M=4
+  // 16-dim subvectors, each encoded as the argmin-L2² codeword of its
+  // subspace codebook — 64×4 B of floats become M small codes at rest.
+  // Codebooks here are the PqK seed vectors' subvector slices (driver-
+  // side model state, exactly q54's seeded-centroid rationale — Lloyd
+  // refinement of a codebook is already proven by q69 and would only
+  // lengthen the oracle unroll). Output is the (subspace, code) census
+  // an index build persists: cell occupancy (balance audit) + total
+  // distortion, fixed-point so cross-row sums are order-independent.
+  // Determinism: per-row distance is a left-to-right 16-term double
+  // fold (bit-identical in both engines); argmin ties break to the
+  // lowest code via array_position-of-min. Scale: codebooks are
+  // M×K×16 floats broadcast in the plan; encode is row-local (zero
+  // shuffle, fused into the scan); the only exchange is the final
+  // M×K-cell partial-aggregated rollup. ──
+  private val PqM = 4
+  private val PqK = 4
+  private val PqSub = 16
+
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def d2(sub: Column, cb: Array[Float]): Column =
+      aggregate(
+        zip_with(sub, typedLit(cb), (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    val cells = (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * PqSub + 1, PqSub)
+      val dists = array(seeds.map(s =>
+        d2(sub, s.slice(m * PqSub, (m + 1) * PqSub))): _*)
+      struct(lit(m).as("m"),
+        array_position(dists, array_min(dists)).cast("int").as("code"),
+        array_min(dists).as("dist2"))
+    }
+    TrainData.embParallel(spark, dir)
+      .select(col("vec_id"), explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.m").as("m"), col("c.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("c.dist2") * 1e9).cast("long")).as("dist2_e9_sum"))
+      .orderBy("m", "code")
+  }
+
+  private val q112Sql =
+    s"""WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+      |cb AS (
+      |  SELECT ms.m, CAST(e.vec_id + 1 AS INT) AS code,
+      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
+      |  FROM ms CROSS JOIN
+      |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PqK) e),
+      |sub AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+      |  FROM embeddings e CROSS JOIN ms),
+      |d AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+      |         * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))), 'sum') AS d2
+      |  FROM sub s JOIN cb c ON s.m = c.m),
+      |best AS (
+      |  SELECT vec_id, m, code, d2 FROM d
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1)
+      |SELECT m, code, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(round(d2 * 1e9) AS BIGINT)) AS BIGINT) AS dist2_e9_sum
+      |FROM best GROUP BY 1, 2 ORDER BY m, code""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -952,5 +1025,6 @@ object TrainData2 {
     QueryDef("q85_chunk_overlap", q85, Some(q85Sql)),
     QueryDef("q88_bpe_batch", q88, Some(q88Sql)),
     QueryDef("q89_bpe_encode", q89, Some(q89Sql)),
-    QueryDef("q92_pagerank", q92, Some(q92Sql)))
+    QueryDef("q92_pagerank", q92, Some(q92Sql)),
+    QueryDef("q112_pq_encode", q112, Some(q112Sql)))
 }

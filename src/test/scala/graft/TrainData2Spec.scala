@@ -285,4 +285,37 @@ class TrainData2Spec extends SparkSpec {
       assert(r.getBoolean(4), s"${r.getString(0)}: overcount outside bound")
     }
   }
+
+  test("q112: PQ cells partition every subspace; seed subvectors encode losslessly") {
+    val rows = q("q112_pq_encode").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("dist2_e9_sum")))
+    val n = graft.engine.Tables.embeddings(spark, dir).count()
+    // every subspace's cells partition the corpus
+    rows.groupBy(_._1).foreach { case (m, cells) =>
+      assert(cells.map(_._3).sum == n, s"subspace $m loses vectors")
+      assert(cells.forall(c => c._2 >= 1 && c._2 <= 4))
+    }
+    // codebooks contain the seed subvectors verbatim, so each seed's
+    // own cell has zero distance for it — with 4 seeds and 4 codes per
+    // subspace, total distortion of the 4 seed rows must be exactly 0:
+    // equivalently every cell's distortion comes from non-seed rows
+    // only. Pin the sharper row-level fact by re-encoding the seeds.
+    val seeds = graft.engine.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    seeds.zipWithIndex.foreach { case (v, i) =>
+      (0 until 4).foreach { m =>
+        val sub = v.slice(m * 16, (m + 1) * 16)
+        val d2 = seeds.map { s =>
+          val cb = s.slice(m * 16, (m + 1) * 16)
+          sub.zip(cb).map { case (x, y) =>
+            val d = x.toDouble - y.toDouble; d * d
+          }.sum
+        }
+        assert(d2(i) == 0.0 && d2.indexOf(d2.min) == i,
+          s"seed $i subspace $m must be its own nearest codeword")
+      }
+    }
+  }
 }
