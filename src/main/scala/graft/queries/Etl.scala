@@ -413,6 +413,84 @@ object Etl {
       |  ${OracleSql.sumMoneySql("value")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ── q113: CDC MERGE apply — the lakehouse MERGE INTO analog the
+  // reference's ON CONFLICT upsert (S6) grows into once deletes and
+  // out-of-order change feeds exist: an op-typed change batch
+  // (I/U/D + op_seq) applied to a base snapshot in one pass.
+  // Semantics: latest op per key wins (op_seq order — late-arriving
+  // CDC), D drops the row even when an earlier U touched it, U is a
+  // PARTIAL update (null change fields keep the base value), I
+  // inserts. The change batch is derived deterministically from the
+  // base itself (residue classes), so both engines construct the
+  // identical feed and the full post-merge state hash-gates. Scale:
+  // the change-dedup window and the full-outer merge both key on
+  // custkey — one exchange per side, co-partitioned; the on-disk
+  // version of this apply is Pipeline.upsertBronze's swap-write
+  // (spec-gated), this query gates the MERGE semantics themselves.
+  // All acctbal math stays in exact cents territory (+100.0 on
+  // cent-exact doubles), so no float drift. ──
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val updates = base.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("k"), lit(1L).as("op_seq"),
+        lit("U").as("op"), lit(null).cast("string").as("n_name"),
+        lit(null).cast("string").as("n_seg"),
+        (col("c_acctbal") + 100.0).as("n_acctbal"))
+    val inserts = base.filter(col("c_custkey") % 31 === 1)
+      .select((col("c_custkey") + 1000000L).as("k"), lit(1L).as("op_seq"),
+        lit("I").as("op"),
+        concat(lit("NEW-"), col("c_custkey").cast("string")).as("n_name"),
+        col("c_mktsegment").as("n_seg"), lit(10.0).as("n_acctbal"))
+    val deletes = base.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"), lit(2L).as("op_seq"),
+        lit("D").as("op"), lit(null).cast("string").as("n_name"),
+        lit(null).cast("string").as("n_seg"),
+        lit(null).cast("double").as("n_acctbal"))
+    val latest = Silver.dedupLatest(
+      updates.unionByName(inserts).unionByName(deletes),
+      Seq("k"), Seq(col("op_seq").desc))
+    base.join(latest, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("n_name"), col("c_name")).as("name"),
+        coalesce(col("n_seg"), col("c_mktsegment")).as("mktsegment"),
+        coalesce(col("n_acctbal"), col("c_acctbal")).as("acctbal"),
+        when(col("op").isNull, "kept").when(col("op") === "U", "updated")
+          .otherwise("inserted").as("change"))
+      .orderBy("custkey")
+  }
+
+  private val q113Sql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey AS k, 1 AS op_seq, 'U' AS op,
+      |    CAST(NULL AS VARCHAR) AS n_name, CAST(NULL AS VARCHAR) AS n_seg,
+      |    c_acctbal + 100.0 AS n_acctbal
+      |  FROM base WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 1, 'I', 'NEW-' || CAST(c_custkey AS VARCHAR),
+      |    c_mktsegment, CAST(10.0 AS DOUBLE)
+      |  FROM base WHERE c_custkey % 31 = 1
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'D', NULL, NULL, NULL
+      |  FROM base WHERE c_custkey % 13 = 0),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY op_seq DESC) = 1)
+      |SELECT COALESCE(b.c_custkey, l.k) AS custkey,
+      |  COALESCE(l.n_name, b.c_name) AS name,
+      |  COALESCE(l.n_seg, b.c_mktsegment) AS mktsegment,
+      |  COALESCE(l.n_acctbal, b.c_acctbal) AS acctbal,
+      |  CASE WHEN l.op IS NULL THEN 'kept' WHEN l.op = 'U' THEN 'updated'
+      |       ELSE 'inserted' END AS change
+      |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+      |WHERE COALESCE(l.op, '') <> 'D'
+      |ORDER BY custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_dedup_latest", q10, Some(q10Sql)),
     QueryDef("q11_scd2_apply", q11, Some(q11Sql)),
@@ -428,5 +506,6 @@ object Etl {
     QueryDef("q41_sessionize", q41, Some(q41Sql)),
     QueryDef("q47_keep_first", q47, Some(q47Sql)),
     QueryDef("q48_layer_stats", q48, Some(q48Sql)),
-    QueryDef("q50_incremental_mv", q50, Some(q50Sql)))
+    QueryDef("q50_incremental_mv", q50, Some(q50Sql)),
+    QueryDef("q113_cdc_merge", q113, Some(q113Sql)))
 }

@@ -92,4 +92,39 @@ class SilverSpec extends SparkSpec {
     val r = Silver.missingFkCount(fact, "fk", dimDf, "pk").collect()(0)
     assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
   }
+
+  test("q113 CDC merge: deletes win over updates, partial updates keep base fields") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q113_cdc_merge")(spark, dir).collect()
+    val base = graft.engine.Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getDouble(3)))
+      .toMap
+    // conservation: base - deletes + inserts (delete/insert keys disjoint
+    // from each other by construction: inserts live in the +1e6 range)
+    val nDel = base.keys.count(_ % 13 == 0)
+    val nIns = base.keys.count(_ % 31 == 1)
+    assert(rows.length == base.size - nDel + nIns)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("custkey")
+      r.getAs[String]("change") match {
+        case "kept" =>
+          assert(k % 7 != 3 && k % 13 != 0 && base(k)._3 == r.getAs[Double]("acctbal"))
+        case "updated" =>
+          // D (op_seq 2) must have beaten U (op_seq 1) on overlap keys
+          assert(k % 7 == 3 && k % 13 != 0)
+          // partial update: name/segment untouched, balance bumped
+          assert(r.getAs[String]("name") == base(k)._1 &&
+            r.getAs[String]("mktsegment") == base(k)._2 &&
+            r.getAs[Double]("acctbal") == base(k)._3 + 100.0)
+        case "inserted" =>
+          assert(k > 1000000L && base((k - 1000000L))._2 == r.getAs[String]("mktsegment") &&
+            r.getAs[String]("name") == s"NEW-${k - 1000000L}" &&
+            r.getAs[Double]("acctbal") == 10.0)
+      }
+    }
+    // no deleted key survives
+    assert(rows.forall(r => r.getAs[Long]("custkey") % 13 != 0 ||
+      r.getAs[String]("change") == "inserted"))
+  }
 }
