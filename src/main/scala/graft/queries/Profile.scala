@@ -241,6 +241,67 @@ object Profile {
       |    / COUNT(DISTINCT o_custkey) < 0.05 AS within_tol
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ── q114: native approximate percentiles (`approx_percentile`, the
+  // GK/QuantileSummaries sketch) — the 100 TB quantile path next to
+  // q37's exact sort-based percentile and q79's hand-rolled mergeable
+  // histogram. The sketch estimate is engine-specific (Spark GK vs
+  // DuckDB t-digest), so the gate is q38's pattern: exact values plus
+  // each engine's own within-5% tolerance boolean (1% holds from
+  // sf0.01 up, but DuckDB's t-digest drifts to 1.7% of the median on
+  // a 273-row sf0.001 group — 5% is q38's level, 3x the worst
+  // observed drift). The EXACT side is
+  // the DISCRETE percentile — the element at rank ceil(p·n), computed
+  // with integer division ((p_num·n + p_den − 1) div p_den), so the
+  // gated doubles are COPIED data values, never interpolated (a
+  // continuous percentile's lower+(upper−lower)·f arithmetic is
+  // formula-order-sensitive across engines on distinct doubles — the
+  // q106 copy-don't-recompute rule). Scale: one o_orderpriority
+  // shuffle serves rank window and aggregation; accuracy 10000 keeps
+  // the sketch's rank error ~n/10⁴, orders inside the gate. ──
+  private def q114(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    o.groupBy("o_orderpriority")
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("o_totalprice")))
+          .as("p50_exact"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("o_totalprice")))
+          .as("p99_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("__a99"))
+      .select(col("o_orderpriority"), col("n"), col("p50_exact"), col("p99_exact"),
+        (abs(col("__a50") - col("p50_exact")) <= col("p50_exact") * 0.05)
+          .as("p50_within_tol"),
+        (abs(col("__a99") - col("p99_exact")) <= col("p99_exact") * 0.05)
+          .as("p99_within_tol"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q114Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |ex AS (
+      |  SELECT o_orderpriority, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50_exact,
+      |    MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN o_totalprice END) AS p99_exact,
+      |    approx_quantile(o_totalprice, 0.5) AS a50,
+      |    approx_quantile(o_totalprice, 0.99) AS a99
+      |  FROM o GROUP BY 1)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, p50_exact, p99_exact,
+      |  abs(a50 - p50_exact) <= p50_exact * 0.05 AS p50_within_tol,
+      |  abs(a99 - p99_exact) <= p99_exact * 0.05 AS p99_within_tol
+      |FROM ex ORDER BY o_orderpriority""".stripMargin
+
   // ── q71: mergeable distinct sketches (Apache DataSketches HLL) — the
   // shard-then-union shape q38's monolithic HLL++ can't express: at
   // 100 TB every shard (here: a hash bucket of event_id; in production a
@@ -635,6 +696,7 @@ object Profile {
     QueryDef("q36_multimodal_stats", q36, Some(q36Sql)),
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
     QueryDef("q38_approx_distinct", q38, Some(q38Sql)),
+    QueryDef("q114_approx_percentile", q114, Some(q114Sql)),
     QueryDef("q71_hll_shard_union", q71, Some(q71Sql)),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),
