@@ -406,6 +406,91 @@ object Relational {
       |    AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ── q115: explicit GROUPING SETS — the non-lattice shape neither
+  // ROLLUP (q34) nor CUBE (q104) can produce: a hierarchy slice
+  // (status, year), its parent margin (status), and an UNRELATED
+  // cross-dimension margin (priority) in ONE Expand+aggregate pass —
+  // three separate GROUP BYs would scan the fact three times.
+  // grouping() flags disambiguate real NULLs from margin NULLs, and
+  // the ordering keys off the flags first so the output is stable. ──
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_year")),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec2(col("o_totalprice"))), 2).cast("double").as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_year")).cast("long").as("g_year"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .orderBy(col("g_status"), col("g_year"), col("g_prio"),
+        col("o_orderstatus"), col("o_year"), col("o_orderpriority"))
+  }
+
+  private val q115Sql =
+    s"""SELECT o_orderstatus,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  ${sumMoneySql("o_totalprice")} AS total_price,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS BIGINT)
+      |    AS g_year,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS (
+      |  (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
+      |  (o_orderstatus),
+      |  (o_orderpriority))
+      |ORDER BY g_status, g_year, g_prio, o_orderstatus, o_year, o_orderpriority""".stripMargin
+
+  // ── q116: NULL-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+  // join semantics a plain `=` silently breaks: rows with NULL keys
+  // drop out of an equi-join, so a dim carrying an explicit
+  // NULL/'unknown' member never receives them. Spark's `eqNullSafe`
+  // is a first-class equi-join key (plans as a hash join, asserted in
+  // RelationalSpec — not a nested loop), so the NULL bucket costs
+  // nothing extra. Keys are synthesized (user_id%10, residue 7
+  // nulled — user ids span only 0-14 at the smallest fixture, so the
+  // residue must exist there) because the test data has no natural
+  // NULL keys; the
+  // 'unknown' row in the output is the proof the NULL bucket
+  // survived. Scale: dim is ≤10 rows → broadcast; the fact never
+  // shuffles. ──
+  private def q116(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        nullif(col("user_id") % 10, lit(7)).as("k"))
+    val dim = ev.select(col("k").as("dk")).distinct()
+      .select(col("dk"),
+        when(col("dk").isNull, "unknown")
+          .when(col("dk") % 2 === 0, "even").otherwise("odd").as("tier"))
+    ev.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_key"))
+      .orderBy("tier")
+  }
+
+  private val q116Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, nullif(user_id % 10, 7) AS k FROM events),
+      |dim AS (
+      |  SELECT k, CASE WHEN k IS NULL THEN 'unknown'
+      |            WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tier
+      |  FROM (SELECT DISTINCT k FROM ev))
+      |SELECT d.tier, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key
+      |FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+      |GROUP BY 1 ORDER BY tier""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_regional_volume", q102, Some(q102Sql)),
     QueryDef("q103_window_suite", q103, Some(q103Sql)),
@@ -415,5 +500,7 @@ object Relational {
     QueryDef("q108_small_qty_revenue", q108, Some(q108Sql)),
     QueryDef("q109_only_late_supplier", q109, Some(q109Sql)),
     QueryDef("q110_custdist", q110, Some(q110Sql)),
-    QueryDef("q111_idle_rich", q111, Some(q111Sql)))
+    QueryDef("q111_idle_rich", q111, Some(q111Sql)),
+    QueryDef("q115_grouping_sets", q115, Some(q115Sql)),
+    QueryDef("q116_nullsafe_join", q116, Some(q116Sql)))
 }

@@ -99,6 +99,48 @@ class RelationalSpec extends SparkSpec {
     assert(s.contains("Expand"), s.take(600))
   }
 
+  test("q115: grouping-set margins are mutually consistent, one Expand pass") {
+    val rows = q("q115_grouping_sets").collect()
+    def cells(gs: Long, gy: Long, gp: Long) = rows.filter(r =>
+      r.getAs[Long]("g_status") == gs && r.getAs[Long]("g_year") == gy &&
+        r.getAs[Long]("g_prio") == gp)
+    val fine = cells(0, 0, 1) // (status, year)
+    val statusMargin = cells(0, 1, 1) // (status)
+    val prioMargin = cells(1, 1, 0) // (priority)
+    assert(fine.nonEmpty && statusMargin.nonEmpty && prioMargin.nonEmpty)
+    assert(fine.length + statusMargin.length + prioMargin.length == rows.length,
+      "exactly the three declared sets, nothing else (no CUBE lattice)")
+    // the (status) margin re-aggregates the (status, year) cells
+    statusMargin.foreach { m =>
+      val st = m.getAs[String]("o_orderstatus")
+      assert(fine.filter(_.getAs[String]("o_orderstatus") == st)
+        .map(_.getAs[Long]("n_orders")).sum == m.getAs[Long]("n_orders"))
+    }
+    // both full margins cover every order
+    assert(statusMargin.map(_.getAs[Long]("n_orders")).sum ==
+      prioMargin.map(_.getAs[Long]("n_orders")).sum)
+    val s = q("q115_grouping_sets").queryExecution.executedPlan.toString
+    assert(s.contains("Expand"), s.take(600))
+  }
+
+  test("q116: null-safe join keeps the NULL bucket and plans as a hash join") {
+    val df = q("q116_nullsafe_join")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(800))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s.take(800))
+    val rows = df.collect()
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_null_key"))).toMap
+    // the NULL bucket survived, and only it carries NULL keys
+    assert(rows.contains("unknown") && rows("unknown")._1 == rows("unknown")._2)
+    assert(rows.filterNot(_._1 == "unknown").values.forall(_._2 == 0L))
+    // a plain `=` join would have dropped the unknown rows: conservation
+    val nEvents = Tables.events(spark, dir).count()
+    assert(rows.values.map(_._1).sum == nEvents)
+    assert(rows("unknown")._1 > 0)
+  }
+
   private def lineitemScans(df: org.apache.spark.sql.DataFrame): Int =
     "lineitem".r.findAllIn(
       df.queryExecution.executedPlan.toString.linesIterator
