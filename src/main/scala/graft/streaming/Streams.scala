@@ -290,6 +290,22 @@ object Streams {
     graft.operators.CountMin.cells(
       docs.select(explode(split(col("text"), " ")).as("w")), depth)
 
+  /** Streaming histogram-quantile maintenance — the online form of the
+    * batch mergeable quantile sketch (q79/q83): each arriving doc's
+    * length lands in its equi-width bin (`n_chars div 16`, capped at
+    * 255) and the running (bin, cnt) aggregation state IS the
+    * histogram. Like [[cmsCells]], merge = addition, so micro-batch
+    * increments commute with stored counters, state equals the batch
+    * histogram of every prefix (StreamsSpec), and the state is bounded
+    * at ≤ 256 rows with no watermark needed — quantile read-out
+    * (q79's `histQuantiles`) runs downstream on the tiny materialized
+    * state, never on the stream. Completes the streaming sketch
+    * family: distinct (HLL, batch q71), frequency ([[cmsCells]]),
+    * quantiles (this). Run with Update/Complete output mode. */
+  def histCells(docs: DataFrame, binWidth: Int = 16, maxBin: Int = 255): DataFrame =
+    docs.select(least(expr(s"n_chars div $binWidth"), lit(maxBin.toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
   /** Streaming near-dup CLUSTER-LABEL maintenance — the batch q99
     * incremental merge run per micro-batch: each batch carries candidate
     * PAIRS (doc_a, doc_b) from an upstream near-dup filter

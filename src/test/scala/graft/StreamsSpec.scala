@@ -345,6 +345,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histCells streaming state equals the batch histogram after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = Streams.histCells(in.toDF().toDF("n_chars"))
+      .writeStream.format("memory").queryName("hist").outputMode("complete").start()
+
+    def histOf(lens: Seq[Long]): Map[Long, Long] =
+      lens.map(n => math.min(n / 16, 255L)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+
+    def state(): Map[Long, Long] = spark.table("hist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    try {
+      val b1 = Seq(5L, 17L, 31L, 4100L) // bins 0, 1, 1, overflow 255
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(state() == histOf(b1))
+
+      // a second micro-batch ADDS counts (histogram merge), never rebuilds
+      val b2 = Seq(18L, 9000L, 7L)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(state() == histOf(b1 ++ b2))
+      assert(state().size <= 256, "state must stay bounded at the bin count")
+      assert(state()(255L) == 2L, "overflow bin accumulates across batches")
+    } finally q.stop()
+  }
+
   test("spikeVerdicts streaming output equals batch q90 on the same hourly counts") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
