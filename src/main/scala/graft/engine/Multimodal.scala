@@ -337,6 +337,74 @@ object Multimodal {
       .drop("__rz")
   }
 
+  /** Perceptual average-hash (aHash) of a decodable image: decode → 8×8
+    * area-averaged grayscale thumbnail → 64-bit sign mask vs the mean
+    * luminance (bit i set ⇔ pixel i brighter than average). Two encodes
+    * of the SAME pixels (png vs bmp, different compressors) collapse to
+    * the same hash — the image-dup class exact byte hashing (q20's
+    * sha2) can never catch. None ⇔ payload isn't a decodable image. */
+  private[engine] def aHash64(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map { img =>
+      val thumb = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = thumb.createGraphics()
+      // SCALE_AREA_AVERAGING: every source pixel contributes, so the
+      // thumbnail (hence the hash) is a function of the full image, not
+      // of whichever 64 samples nearest-neighbor happens to hit
+      g2.drawImage(img.getScaledInstance(8, 8, java.awt.Image.SCALE_AREA_AVERAGING),
+        0, 0, null)
+      g2.dispose()
+      val lum = new Array[Int](64)
+      val rowBuf = new Array[Int](8)
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        thumb.getRGB(0, y, 8, 1, rowBuf, 0, 8)
+        var x = 0
+        while (x < 8) {
+          val p = rowBuf(x)
+          // integer Rec.601 (×1000) — keeps the mean comparison exact
+          lum(i) = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val total = lum.foldLeft(0L)(_ + _)
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        // lum(j) > mean ⟺ lum(j)·64 > Σlum — integer cross-multiplied
+        if (lum(j).toLong * 64 > total) bits |= (1L << j)
+        j += 1
+      }
+      bits
+    }
+
+  /** Image dedup by perceptual hash — the image-side member of the dedup
+    * family (exact text q20, MinHash q21, SimHash q22, embedding q52):
+    * re-encoded/transcoded copies of the same picture group under one
+    * aHash even though their BYTES (and so their content digests)
+    * differ. Keeper = lowest media_id per hash group (q49's pinned-
+    * keeper policy); undecodable payloads keep themselves (NULL hash
+    * never groups). Scale: decode+hash is row-local (mapPartitions-
+    * class work fused into the scan); the only exchange is a groupBy on
+    * the 8-byte hash. Near-dup matching (Hamming ≤ k) would band the 64
+    * bits exactly like q22's SimHash banding — same machinery, image
+    * payloads. */
+  def imageHashDedup(media: DataFrame): DataFrame = {
+    val ah = udf((content: Array[Byte]) => aHash64(content))
+    val hashed = media.select(col("media_id"), ah(col("content")).as("phash"))
+    val groups = hashed.filter(col("phash").isNotNull)
+      .groupBy("phash")
+      .agg(min("media_id").as("keeper"), count(lit(1)).as("n_members"))
+    hashed.join(groups, Seq("phash"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("keeper"), col("media_id")).as("keeper"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        (coalesce(col("keeper"), col("media_id")) =!= col("media_id")).as("is_dup"))
+  }
+
   /** Build a synthetic media table from `documents` (text bytes as payload)
     * — lets the plumbing run against the driver test data without codecs. */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {

@@ -191,4 +191,43 @@ class MultimodalSpec extends SparkSpec {
     val types = df.select("media_type").distinct().collect().map(_.getString(0)).toSet
     assert(types == Set("image", "audio", "video"))
   }
+
+  /** Same deterministic gradient pixels, encoded by the named codec —
+    * different formats produce different BYTES for identical content. */
+  private def gradient(fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 15) << 16) | ((y * 20) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("imageHashDedup groups transcoded copies that byte hashing can never catch") {
+    val asPng = gradient("png")
+    val asBmp = gradient("bmp")
+    assert(!java.util.Arrays.equals(asPng, asBmp),
+      "fixture must be a true transcode: same pixels, different bytes")
+    val df = media(
+      (1L, "image", asPng),
+      (2L, "image", asBmp),                          // transcoded duplicate
+      (3L, "image", png(16, 12, 0x808080)),          // different picture
+      (4L, "image", "not an image".getBytes("UTF-8"))) // undecodable
+    val out = Multimodal.imageHashDedup(df).orderBy("media_id").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (Option(r.get(r.fieldIndex("phash"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("keeper"), r.getAs[Long]("n_members"),
+          r.getAs[Boolean]("is_dup"))).toMap
+
+    // the transcode pair shares one hash and one keeper (lowest id)…
+    assert(out(1L)._1.isDefined && out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 == 1L && !out(1L)._4)
+    assert(out(2L)._2 == 1L && out(2L)._4 && out(2L)._3 == 2L)
+    // …a different picture hashes apart…
+    assert(out(3L)._1.isDefined && out(3L)._1 != out(1L)._1)
+    assert(out(3L)._2 == 3L && !out(3L)._4)
+    // …and an undecodable payload keeps itself with a NULL hash
+    assert(out(4L)._1.isEmpty && out(4L)._2 == 4L && !out(4L)._4)
+  }
 }
