@@ -181,4 +181,32 @@ class PlanSpec extends SparkSpec {
     // exactly one Aggregate/shuffle-inducing op (the dropDuplicates)
     assert(plan.split("Aggregate").length - 1 <= 1, plan.take(800))
   }
+
+  test("GLOBAL SWEEP: no registered query plans a cartesian or nested-loop join") {
+    // Two sanctioned nested-loop shapes, nothing else:
+    //  - the 1-ROW-total crossJoin (q62 pattern): the broadcast side is
+    //    a single global aggregate row → one constant-time probe per row
+    //  - BOUNDED-PROBE brute force (q24's kernel, reused by q80): a
+    //    literal handful of probe vectors against the corpus — the P×N
+    //    all-pairs scan IS the declared semantics (the ground-truth
+    //    baseline the ANN paths are graded against), with P pinned to 5
+    // Everything else must hash-join or better — a new query that
+    // cross-products sneaks nothing past this sweep.
+    val allowed = Set(
+      "q63_vocab_coverage", "q81_cms_topk", // 1-row totals
+      "q24_embedding_knn", "q80_ann_recall") // bounded-probe brute force
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val s = planString(fn(spark, dir))
+        val bad = !allowed(name) &&
+          (s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin"))
+        if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian/BNLJ in: ${offenders.mkString(", ")}")
+    // the allowlist must not rot: entries that stop existing should be
+    // removed so the exemption stays minimal
+    allowed.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"stale allowlist entry $name")
+    }
+  }
 }
