@@ -381,20 +381,84 @@ object Multimodal {
       bits
     }
 
-  /** Image dedup by perceptual hash — the image-side member of the dedup
-    * family (exact text q20, MinHash q21, SimHash q22, embedding q52):
-    * re-encoded/transcoded copies of the same picture group under one
-    * aHash even though their BYTES (and so their content digests)
-    * differ. Keeper = lowest media_id per hash group (q49's pinned-
-    * keeper policy); undecodable payloads keep themselves (NULL hash
-    * never groups). Scale: decode+hash is row-local (mapPartitions-
-    * class work fused into the scan); the only exchange is a groupBy on
-    * the 8-byte hash. Near-dup matching (Hamming ≤ k) would band the 64
-    * bits exactly like q22's SimHash banding — same machinery, image
-    * payloads. */
-  def imageHashDedup(media: DataFrame): DataFrame = {
-    val ah = udf((content: Array[Byte]) => aHash64(content))
-    val hashed = media.select(col("media_id"), ah(col("content")).as("phash"))
+  /** Acoustic fingerprint of a decodable audio payload: decode to 16-bit
+    * PCM (any container/endianness javax.sound.sampled reads), mix
+    * channels to mono, split into 64 equal windows, and set bit w ⇔
+    * window w's mean |amplitude| exceeds the whole clip's mean —
+    * compared integer cross-multiplied (winSum·nTotal > totalSum·winLen,
+    * exact in Long), the audio twin of [[aHash64]]'s sign mask. A WAV
+    * and an AIFF of the SAME samples decode to identical PCM and so to
+    * identical fingerprints, though their bytes differ. None ⇔ not a
+    * decodable audio payload or fewer than 64 samples. */
+  private[engine] def audioHash64(content: Array[Byte]): Option[Long] =
+    if (content == null || content.length < 12) None
+    else {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+      var raw: AudioInputStream = null
+      var pcm: AudioInputStream = null
+      try {
+        raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val rf = raw.getFormat
+        pcm =
+          if (rf.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              rf.getSampleSizeInBits == 16) raw
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rf.getSampleRate,
+              16, rf.getChannels, rf.getChannels * 2, rf.getSampleRate, false),
+            raw)
+        val fmt = pcm.getFormat
+        val bytes = pcm.readAllBytes()
+        val big = fmt.isBigEndian
+        val ch = math.max(fmt.getChannels, 1)
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames < 64) None
+        else {
+          // per-frame mono mix: sum of |channel samples| (÷ch cancels in
+          // the cross-multiplied comparison, so skip the division)
+          val amp = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            var a = 0L
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              val s =
+                if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+              a += math.abs(s.toLong)
+              c += 1
+            }
+            amp(f) = a
+            f += 1
+          }
+          val total = amp.sum
+          var bits = 0L
+          var w = 0
+          while (w < 64) {
+            val lo = (w.toLong * nFrames / 64).toInt
+            val hi = ((w + 1).toLong * nFrames / 64).toInt
+            var winSum = 0L
+            var j = lo
+            while (j < hi) { winSum += amp(j); j += 1 }
+            // winSum/winLen > total/nFrames ⟺ winSum·nFrames > total·winLen
+            if (winSum * nFrames > total * (hi - lo)) bits |= (1L << w)
+            w += 1
+          }
+          Some(bits)
+        }
+      } catch { case _: Exception => None }
+      finally {
+        if (pcm != null && !(pcm eq raw)) pcm.close()
+        if (raw != null) raw.close()
+      }
+    }
+
+  /** Shared keeper resolution for the perceptual-hash dedups: group on
+    * the 8-byte hash, keeper = lowest media_id (q49's pinned-keeper
+    * policy), NULL hashes (undecodable payloads) keep themselves and
+    * never group. The only exchange is the hash groupBy. */
+  private def dedupByHash(hashed: DataFrame): DataFrame = {
     val groups = hashed.filter(col("phash").isNotNull)
       .groupBy("phash")
       .agg(min("media_id").as("keeper"), count(lit(1)).as("n_members"))
@@ -403,6 +467,29 @@ object Multimodal {
         coalesce(col("keeper"), col("media_id")).as("keeper"),
         coalesce(col("n_members"), lit(1L)).as("n_members"),
         (coalesce(col("keeper"), col("media_id")) =!= col("media_id")).as("is_dup"))
+  }
+
+  /** Image dedup by perceptual hash — the image-side member of the dedup
+    * family (exact text q20, MinHash q21, SimHash q22, embedding q52):
+    * re-encoded/transcoded copies of the same picture group under one
+    * aHash even though their BYTES (and so their content digests)
+    * differ. Scale: decode+hash is row-local (mapPartitions-class work
+    * fused into the scan); the only exchange is a groupBy on the 8-byte
+    * hash. Near-dup matching (Hamming ≤ k) would band the 64 bits
+    * exactly like q22's SimHash banding — same machinery, image
+    * payloads. */
+  def imageHashDedup(media: DataFrame): DataFrame = {
+    val ah = udf((content: Array[Byte]) => aHash64(content))
+    dedupByHash(media.select(col("media_id"), ah(col("content")).as("phash")))
+  }
+
+  /** Audio dedup by acoustic fingerprint — the audio-side twin of
+    * [[imageHashDedup]]: container/endianness re-encodes of the same
+    * PCM (WAV ↔ AIFF) group under one [[audioHash64]] despite differing
+    * bytes. Same keeper policy, same single-shuffle shape. */
+  def audioHashDedup(media: DataFrame): DataFrame = {
+    val ah = udf((content: Array[Byte]) => audioHash64(content))
+    dedupByHash(media.select(col("media_id"), ah(col("content")).as("phash")))
   }
 
   /** Build a synthetic media table from `documents` (text bytes as payload)

@@ -230,4 +230,53 @@ class MultimodalSpec extends SparkSpec {
     // …and an undecodable payload keeps itself with a NULL hash
     assert(out(4L)._1.isEmpty && out(4L)._2 == 4L && !out(4L)._4)
   }
+
+  /** Deterministic 16-bit mono PCM (seeded LCG "audio"), containerized
+    * by the named writer — WAV is little-endian, AIFF big-endian, so
+    * the same samples produce very different bytes. */
+  private def clip(container: javax.sound.sampled.AudioFileFormat.Type,
+                   seed: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = 2048
+    val samples = new Array[Byte](n * 2)
+    var x = seed
+    for (i <- 0 until n) {
+      x = x * 1103515245 + 12345
+      // seed-dependent loud/quiet BLOCK pattern: the fingerprint reads
+      // the envelope, so "different audio" must differ in envelope, not
+      // merely in sample noise
+      val loud = ((i * 64 / n) + seed) % 2 == 0
+      val s = ((x >> 16).toShort / (if (loud) 1 else 8)).toShort
+      samples(2 * i) = (s & 0xff).toByte
+      samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // little-endian src
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, container, bos)
+    bos.toByteArray
+  }
+
+  test("audioHashDedup groups container re-encodes of the same PCM") {
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val asWav = clip(WAVE, seed = 7)
+    val asAiff = clip(AIFF, seed = 7)
+    assert(!java.util.Arrays.equals(asWav, asAiff),
+      "fixture must be a true re-containerization: same PCM, different bytes")
+    val df = media(
+      (1L, "audio", asWav),
+      (2L, "audio", asAiff),                        // same samples, AIFF
+      (3L, "audio", clip(WAVE, seed = 100)),        // different (opposite-parity envelope)
+      (4L, "audio", "not audio".getBytes("UTF-8"))) // undecodable
+    val out = Multimodal.audioHashDedup(df).orderBy("media_id").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (Option(r.get(r.fieldIndex("phash"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("keeper"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(1L)._1.isDefined && out(1L)._1 == out(2L)._1,
+      "WAV and AIFF of identical PCM must fingerprint identically")
+    assert(out(2L)._2 == 1L && out(2L)._3)
+    assert(out(3L)._1.isDefined && out(3L)._1 != out(1L)._1)
+    assert(out(4L)._1.isEmpty && out(4L)._2 == 4L && !out(4L)._3)
+  }
 }
