@@ -56,4 +56,39 @@ object AsofJoin {
       .select(leftCols.map(c => col(s"__left.$c").as(c))
         ++ rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of join — for every left row, the EARLIEST right row with
+    * `right.time >= left.time` within the same key (next-event
+    * attribution: click → next purchase, failure → next restart). The
+    * mirror image of [[apply]]: same union, same single key shuffle, but
+    * the sort puts a left row BEFORE right rows at an equal timestamp
+    * (so `>=` ties are visible forward) and the first non-null payload
+    * is carried BACKWARD over a current-row→following frame. Same
+    * caller contract: pre-dedup right to one row per (key, time). */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
+    val leftType = StructType(left.schema.fields)
+
+    val lSide = left.select(
+      col(key), col(leftTime).as("__t"), lit(1).as("__isLeft"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(leftCols.map(col): _*).as("__left"))
+    val rSide = right.select(
+      col(key), col(rightTime).as("__t"), lit(0).as("__isLeft"),
+      struct(rightPayload.map(col): _*).as("__payload"),
+      lit(null).cast(leftType).as("__left"))
+
+    // __isLeft DESC: left rows sort before right rows at the same
+    // timestamp, so an exact match lands inside the forward frame
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__isLeft").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSide.unionByName(rSide)
+      .withColumn("__asof", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+      .select(leftCols.map(c => col(s"__left.$c").as(c))
+        ++ rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
 }

@@ -413,6 +413,45 @@ object Etl {
       |  ${OracleSql.sumMoneySql("value")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ── q117: FORWARD as-of join — next-event attribution (each click's
+  // NEXT purchase by the same user, with the exact microsecond delay):
+  // the mirror of q39's backward as-of, gated against DuckDB's native
+  // `ASOF LEFT JOIN … ON l.ts <= r.ts`. Same scale shape as q39 —
+  // union-and-carry, ONE shuffle on user_id, no join operator in the
+  // plan at all; a range-condition join would cross-product per user.
+  // The right side pre-dedups to one purchase per (user, ts) (highest
+  // event_id), the determinism contract both engines' ASOF requires. ──
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = Silver.dedupLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    graft.operators.AsofJoin.forward(clicks, purchases, "user_id",
+        "ts", "p_ts", Seq("p_id", "p_ts", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("delay_us"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  private val q117Sql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id AS p_id, value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) rn FROM events
+      |        WHERE event_type = 'purchase') WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.p_id,
+      |  epoch_us(p.p_ts) - epoch_us(c.ts) AS delay_us, p.value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts
+      |ORDER BY event_id""".stripMargin
+
   // ── q113: CDC MERGE apply — the lakehouse MERGE INTO analog the
   // reference's ON CONFLICT upsert (S6) grows into once deletes and
   // out-of-order change feeds exist: an op-typed change batch
@@ -507,5 +546,6 @@ object Etl {
     QueryDef("q47_keep_first", q47, Some(q47Sql)),
     QueryDef("q48_layer_stats", q48, Some(q48Sql)),
     QueryDef("q50_incremental_mv", q50, Some(q50Sql)),
-    QueryDef("q113_cdc_merge", q113, Some(q113Sql)))
+    QueryDef("q113_cdc_merge", q113, Some(q113Sql)),
+    QueryDef("q117_asof_forward", q117, Some(q117Sql)))
 }
