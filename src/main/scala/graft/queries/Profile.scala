@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Functions => F, Tables}
 
@@ -301,6 +301,83 @@ object Profile {
       |  abs(a50 - p50_exact) <= p50_exact * 0.05 AS p50_within_tol,
       |  abs(a99 - p99_exact) <= p99_exact * 0.05 AS p99_within_tol
       |FROM ex ORDER BY o_orderpriority""".stripMargin
+
+  // ── q118: data-contract audit — the dbt-style test suite (unique /
+  // not_null / accepted_values / relationships) the reference's
+  // data_quality checks grow into, as ONE gated result: each contract
+  // emits (tbl, test, n_violations), so the whole quality posture is a
+  // single small table a scheduler can alert on (zero rows violated ⇔
+  // all n_violations = 0 — the zeros stay visible, a dbt convention).
+  // The lineitem composite-key test reports a REAL breach on the driver
+  // data (the generator emits duplicate (l_orderkey, l_linenumber)
+  // pairs), so the gated output proves the audit surfaces violations
+  // rather than rubber-stamping zeros; ProfileSpec additionally proves
+  // detection of planted violations for every other contract.
+  // Scale: each test is one aggregate or one anti/semi-join on its
+  // natural key — no test scans a table twice, and the union glues
+  // 1-row aggregates, not data. ──
+  private def q118(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def row(tbl: String, test: String, viol: Column): DataFrame => DataFrame =
+      df => df.agg(viol.cast("long").as("n_violations"))
+        .select(lit(tbl).as("tbl"), lit(test).as("test"), col("n_violations"))
+    // unique: n_rows − n_distinct_keys
+    val uOrders = row("orders", "unique_o_orderkey",
+      count(lit(1)) - countDistinct(col("o_orderkey")))(o)
+    val uLineitem = row("lineitem", "unique_l_orderkey_l_linenumber",
+      count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))(l)
+    // not_null
+    val nnCust = row("orders", "not_null_o_custkey",
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)))(o)
+    // accepted_values
+    val avStatus = row("orders", "accepted_values_o_orderstatus",
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)))(o)
+    // relationships (FK orphans): anti-join, then count
+    val relOrders = row("orders", "relationships_o_custkey",
+      count(lit(1)))(
+      o.filter(col("o_custkey").isNotNull)
+        .join(c.select("c_custkey"), col("o_custkey") === col("c_custkey"),
+          "left_anti"))
+    val relLineitem = row("lineitem", "relationships_l_orderkey",
+      count(lit(1)))(
+      l.join(o.select(col("o_orderkey").as("__ok")),
+        col("l_orderkey") === col("__ok"), "left_anti"))
+    Seq(uOrders, uLineitem, nnCust, avStatus, relOrders, relLineitem)
+      .reduce(_ unionByName _)
+      .orderBy("tbl", "test")
+  }
+
+  private val q118Sql =
+    """SELECT tbl, test, n_violations FROM (
+      |  SELECT 'orders' AS tbl, 'unique_o_orderkey' AS test,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'unique_l_orderkey_l_linenumber',
+      |    COUNT(*) - (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', 'not_null_o_custkey',
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'accepted_values_o_orderstatus',
+      |    CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+      |      AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'relationships_o_custkey', COUNT(*)
+      |  FROM orders o
+      |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem', 'relationships_l_orderkey', COUNT(*)
+      |  FROM lineitem li
+      |  WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = li.l_orderkey))
+      |ORDER BY tbl, test""".stripMargin
 
   // ── q71: mergeable distinct sketches (Apache DataSketches HLL) — the
   // shard-then-union shape q38's monolithic HLL++ can't express: at
@@ -697,6 +774,7 @@ object Profile {
     QueryDef("q37_percentiles", q37, Some(q37Sql)),
     QueryDef("q38_approx_distinct", q38, Some(q38Sql)),
     QueryDef("q114_approx_percentile", q114, Some(q114Sql)),
+    QueryDef("q118_contract_audit", q118, Some(q118Sql)),
     QueryDef("q71_hll_shard_union", q71, Some(q71Sql)),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),

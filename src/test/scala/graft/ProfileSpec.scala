@@ -78,4 +78,49 @@ class ProfileSpec extends SparkSpec {
         s"${r.getString(0)} @ ${r.get(1)}: cnt=$cnt mean=$mean sd=$sd not a >3-sigma spike")
     }
   }
+
+  test("q118: the contract audit is clean on test data AND detects planted violations") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val clean = SparkEntry.queries("q118_contract_audit")(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(clean.size == 6, "all six contracts must report, zeros included")
+    // five contracts hold; the lineitem composite key genuinely does NOT
+    // on the generated data (duplicate (l_orderkey, l_linenumber) pairs
+    // exist) — the audit reports the real breach instead of a vacuous 0,
+    // which is exactly what a contract audit is for
+    val lineDups = clean("unique_l_orderkey_l_linenumber")
+    assert(lineDups > 0L, s"generator data is known to breach this key: $clean")
+    assert(clean.filterNot(_._1 == "unique_l_orderkey_l_linenumber")
+      .values.forall(_ == 0L), s"other contracts should be clean: $clean")
+
+    // sensitivity: doctor a copy of the tables and re-run the SAME audit
+    val tmp = java.nio.file.Files.createTempDirectory("q118").toString
+    val o = graft.engine.Tables.orders(spark, dir)
+    o.limit(1).select(lit(999999L).as("o_orderkey"), // dup after union? no: fresh key
+        lit(null).cast("long").as("o_custkey"),      // 1 null custkey
+        lit("X").as("o_orderstatus"),                // 1 bad status
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .unionByName(o.limit(1).select(col("o_orderkey"), // 1 dup orderkey
+        lit(123456789L).as("o_custkey"),             // 1 FK orphan
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+      .unionByName(o)
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    val l = graft.engine.Tables.lineitem(spark, dir)
+    l.limit(1).withColumn("l_orderkey", lit(888888888L)) // orphan lineitem
+      .unionByName(l).unionByName(l.limit(1))            // dup (orderkey, linenumber)
+      .coalesce(1).write.parquet(s"$tmp/lineitem.parquet")
+    graft.engine.Tables.customer(spark, dir)
+      .coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    val dirty = SparkEntry.queries("q118_contract_audit")(spark, tmp).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(dirty("unique_o_orderkey") == 1L, dirty.toString)
+    assert(dirty("not_null_o_custkey") == 1L, dirty.toString)
+    assert(dirty("accepted_values_o_orderstatus") == 1L, dirty.toString)
+    assert(dirty("relationships_o_custkey") == 1L, dirty.toString)
+    // the planted dup adds exactly one violation on top of the data's own
+    assert(dirty("unique_l_orderkey_l_linenumber") == lineDups + 1L, dirty.toString)
+    assert(dirty("relationships_l_orderkey") == 1L, dirty.toString)
+  }
 }
