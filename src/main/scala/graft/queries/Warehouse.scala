@@ -1,0 +1,478 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.engine.Functions.dec2
+import graft.operators.{AsofJoin, CountMin}
+
+/** Warehouse-operations breadth — the maintenance/observability queries a
+  * lakehouse team runs NEXT TO the analytics the reference ships: temporal
+  * (point-in-time) reads over versioned dimensions, optimizer-statistics
+  * join-size estimation, data-layout (Z-order) skipping audits, robust
+  * outlier screens, attribution, and interval algebra.
+  *
+  *   - q119: POINT-IN-TIME snapshot over a versioned dimension — the read
+  *     side of q11's SCD2 apply ("what did the customer dimension look
+  *     like on date D"). Versions derive from the order stream with one
+  *     LEAD window (valid_from = order date, valid_to = next version's
+  *     start); the PIT filter is then ROW-LOCAL — a time-travel read costs
+  *     one scan + one keyed window, never a join.
+  *   - q120: JOIN-SIZE ESTIMATION from count-min sketches — what a
+  *     cost-based optimizer (or AQE) does before picking a join strategy:
+  *     |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), estimated by the CMS inner
+  *     product min_j Σ_cell a_j[cell]·b_j[cell] (Cormode–Muthukrishnan's
+  *     one-sided overestimate). Reuses q81's deterministic md5-row
+  *     sketches, so both engines build bit-identical counter matrices:
+  *     each side's sketch is one partial-aggregated groupBy (≤1024 rows
+  *     regardless of table size), the "estimate" is a 1024-row join — at
+  *     100 TB this prices a fact⋈fact join without touching either fact
+  *     twice.
+  *   - q121: TF-IDF keyword extraction — top-3 terms per document with a
+  *     FIXED-POINT rarity weight (idf ∝ N/df via truncating integer
+  *     division, score = tf · ((10⁶·N) div df)): transcendental-free, so
+  *     the ranking is bit-identical across engines (the q61/q90 integer
+  *     discipline applied to tf-idf). The literal rank≤3 bound plans as
+  *     WindowGroupLimit — partial top-k before the doc_id shuffle.
+  *   - q122: Z-ORDER LAYOUT skipping audit — the data-layout decision that
+  *     dominates scan cost at 100 TB: interleave 8-bit quantized
+  *     (l_partkey, l_suppkey) coordinates into a 16-bit Z-value, assign
+  *     files by Z-range vs by leading-column range (both ROW-LOCAL given
+  *     the 1-row maxima — this is exactly what repartitionByRange on the
+  *     Z column does distributively, no global sort needed), then replay
+  *     a rectangle probe against per-file min/max stats: files hit,
+  *     rows scanned, true matches. The audit shows Z-order pruning both
+  *     dimensions where the linear layout prunes only the leading one.
+  *   - q123: ROBUST OUTLIER SCREEN (median/MAD) — |x − median| > 3·1.4826·
+  *     MAD, the outlier test that (unlike mean/stddev z-scores) heavy
+  *     tails can't poison. Both medians are DISCRETE rank-⌈n/2⌉ statistics
+  *     (q114's rule) computed from per-(type, cents) HISTOGRAMS, so every
+  *     window runs at aggregated grain — never over raw events (q90's
+  *     grain discipline); the 1.4826 consistency constant is cross-
+  *     multiplied as ×14826 vs ×10000, keeping the verdict integer-exact.
+  *   - q124: LINEAR MULTI-TOUCH ATTRIBUTION — each click attributes to the
+  *     user's NEXT purchase within 7 days (q117's forward as-of join);
+  *     the purchase's value splits evenly across its touches in integer
+  *     cents, remainder to the last touch, so credits conserve the spend
+  *     exactly (Σ credits = cents, spec-pinned).
+  *   - q125: INTERVAL MERGE (gaps-and-islands union) — overlapping
+  *     30-minute activity intervals per user merged via the running-max-
+  *     of-end island rule; covered time and island count are exact
+  *     integer microsecond sums. The window is per-user — the partition
+  *     key carries it at any scale.
+  *
+  * Reference framing: the reference's Postgres warehouse would reach the
+  * same needs as it grows — PIT reads over its SCD2 account dim
+  * (src/loader/silver_etl.py's valid_from/valid_to columns), layout and
+  * stats decisions its single Postgres node gets from indexes+ANALYZE,
+  * and attribution/outlier screens over its engagement facts.
+  */
+object Warehouse {
+
+  /** Non-foldable always-0 join key (IvfFlat's trick, q111's pattern):
+    * joining 1-row aggregates through `pmod(hash(x), 1)` plans as a
+    * BroadcastHashJoin — never BNLJ/cartesian. */
+  private def one(c: Column): Column = pmod(hash(c), lit(1))
+
+  // ── q119: point-in-time (time-travel) dimension snapshot. ──
+  private val PitDate = "1998-06-01"
+
+  private def q119(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val versions = o.select(
+      col("o_custkey"), col("o_orderstatus").as("status"), col("o_totalprice"),
+      col("o_orderdate").as("valid_from"),
+      lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+    // PIT filter is row-local: zero-length versions (same-day successor)
+    // can never satisfy valid_to > D, so exactly ≤1 row per key survives.
+    val d = lit(PitDate).cast("timestamp")
+    versions
+      .filter(col("valid_from") <= d && (col("valid_to").isNull || col("valid_to") > d))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(dec2(col("o_totalprice"))), 2).cast("double").as("sum_price"),
+        min("valid_from").as("oldest_version"),
+        max("valid_from").as("newest_version"))
+      .orderBy("status")
+  }
+
+  private val q119Sql =
+    s"""WITH v AS (
+      |  SELECT o_custkey, o_orderstatus AS status, o_totalprice,
+      |    o_orderdate AS valid_from,
+      |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM orders)
+      |SELECT status, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(valid_from) AS oldest_version, MAX(valid_from) AS newest_version
+      |FROM v
+      |WHERE valid_from <= TIMESTAMP '$PitDate 00:00:00'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$PitDate 00:00:00')
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ── q120: CMS join-cardinality estimate vs exact. Bound caveat: like
+  // q81, (est−exact)·64 ≤ nl·nr is 4× the EXPECTED inner-product error
+  // (‖a‖₁‖b‖₁/w), not a worst case — it holds on the pinned corpora the
+  // gate replays; widen the factor if the corpora ever change. ──
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    val aw = Tables.orders(spark, dir).select(col("o_custkey").cast("string").as("w"))
+    val bw = Tables.customer(spark, dir).select(col("c_custkey").cast("string").as("w"))
+    val ca = CountMin.cells(aw).localCheckpoint() // ≤1024 rows; read twice
+    val cb = CountMin.cells(bw)
+      .withColumnRenamed("cnt", "cnt_b").localCheckpoint()
+    val est = ca.join(cb, Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min("ip").as("est_rows"))
+    val exact = Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("na"))
+      .join(Tables.customer(spark, dir).groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(sum(col("na") * col("nb")).as("exact_rows"))
+    val nl = ca.filter(col("j") === 0).agg(sum("cnt").as("n_left"))
+    val nr = cb.filter(col("j") === 0).agg(sum("cnt_b").as("n_right"))
+    exact.withColumn("__one", one(col("exact_rows")))
+      .join(broadcast(est.withColumn("__one", one(col("est_rows")))), Seq("__one"))
+      .join(broadcast(nl.withColumn("__one", one(col("n_left")))), Seq("__one"))
+      .join(broadcast(nr.withColumn("__one", one(col("n_right")))), Seq("__one"))
+      .select(col("exact_rows"), col("est_rows"), col("n_left"), col("n_right"),
+        (col("est_rows") - col("exact_rows")).as("overcount"),
+        (col("est_rows") >= col("exact_rows")).as("over_ok"),
+        ((col("est_rows") - col("exact_rows")) * 64 <= col("n_left") * col("n_right"))
+          .as("within_bound"))
+  }
+
+  private val q120Sql =
+    """WITH aw AS (SELECT CAST(o_custkey AS VARCHAR) AS w FROM orders),
+      |bw AS (SELECT CAST(c_custkey AS VARCHAR) AS w FROM customer),
+      |ca AS (
+      |  SELECT j,
+      |    (instr('0123456789abcdef', substr(md5(w), 2*j + 1, 1)) - 1) * 16
+      |      + (instr('0123456789abcdef', substr(md5(w), 2*j + 2, 1)) - 1) AS cell,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT w, unnest([0,1,2,3]) AS j FROM aw) GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT j,
+      |    (instr('0123456789abcdef', substr(md5(w), 2*j + 1, 1)) - 1) * 16
+      |      + (instr('0123456789abcdef', substr(md5(w), 2*j + 2, 1)) - 1) AS cell,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt_b
+      |  FROM (SELECT w, unnest([0,1,2,3]) AS j FROM bw) GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(MIN(ip) AS BIGINT) AS est_rows FROM (
+      |    SELECT ca.j, SUM(ca.cnt * cb.cnt_b) AS ip
+      |    FROM ca JOIN cb USING (j, cell) GROUP BY 1)),
+      |ex AS (
+      |  SELECT CAST(SUM(a.na * b.nb) AS BIGINT) AS exact_rows FROM
+      |    (SELECT o_custkey AS k, COUNT(*) AS na FROM orders GROUP BY 1) a
+      |    JOIN (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1) b
+      |      USING (k)),
+      |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM orders),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM customer)
+      |SELECT exact_rows, est_rows, n_left, n_right,
+      |  est_rows - exact_rows AS overcount,
+      |  est_rows >= exact_rows AS over_ok,
+      |  (est_rows - exact_rows) * 64 <= n_left * n_right AS within_bound
+      |FROM ex, est, nl, nr""".stripMargin
+
+  // ── q121: fixed-point tf-idf top-3 keywords per document. ──
+  private def q121(spark: SparkSession, dir: String): DataFrame = {
+    val tf = TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val weights = df.withColumn("__one", one(col("df")))
+      .join(broadcast(nd.withColumn("__one", one(col("n_docs")))), Seq("__one"))
+      .select(col("w"), col("df"), expr("(1000000 * n_docs) div df").as("idf_fp"))
+    val rankW = Window.partitionBy("doc_id").orderBy(col("score_fp").desc, col("w"))
+    tf.join(weights, Seq("w"))
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3) // literal bound → WindowGroupLimit
+      .select("doc_id", "rank", "w", "tf", "df", "score_fp")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q121Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+      |    tf.tf * ((1000000 * nd.n_docs) // dfq.df) AS score_fp
+      |  FROM tf JOIN dfq USING (w), nd)
+      |SELECT doc_id, rank, w, tf, df, score_fp FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_fp DESC, w) AS rank FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ── q122: Z-order vs linear layout — file-skipping audit. ──
+  /** Bit-interleave of two 8-bit coordinates via div/%/× only — the
+    * integer primitives Spark SQL and DuckDB share exactly (`op` is
+    * "div" or "//"). z bit 2i = px bit i, z bit 2i+1 = py bit i. */
+  private def zInterleave(px: String, py: String, op: String): String =
+    (0 until 8).map { i =>
+      val p2 = 1L << i
+      s"((($px $op $p2) % 2) * ${1L << (2 * i)}" +
+        s" + (($py $op $p2) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  private def q122(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(max("l_partkey").as("kp"), max("l_suppkey").as("ks"))
+      .withColumn("__one", one(col("kp")))
+      .localCheckpoint() // 1 row; consumed by the coord pass and the audit
+    val coords = li.withColumn("__one", one(col("l_partkey")))
+      .join(broadcast(mx), Seq("__one"))
+      .withColumn("px", expr("(l_partkey * 256) div (kp + 1)"))
+      .withColumn("py", expr("(l_suppkey * 256) div (ks + 1)"))
+      .withColumn("z", expr(zInterleave("px", "py", "div")))
+      .withColumn("in_rect",
+        col("l_partkey") >= expr("kp div 10") && col("l_partkey") <= expr("kp div 5") &&
+          col("l_suppkey") >= expr("(3 * ks) div 10") &&
+          col("l_suppkey") <= expr("(2 * ks) div 5"))
+    // both file assignments are row-local range rules (what
+    // repartitionByRange(z) / partitionBy(leading) do distributively)
+    val filed = coords.select(col("l_partkey"), col("l_suppkey"), col("in_rect"),
+        explode(array(
+          struct(lit("zorder").as("layout"), expr("z div 2048").as("file_id")),
+          struct(lit("linear").as("layout"), expr("px div 8").as("file_id")))).as("f"))
+      .select(col("l_partkey"), col("l_suppkey"), col("in_rect"),
+        col("f.layout").as("layout"), col("f.file_id").as("file_id"))
+    val files = filed.groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("f_minp"), max("l_partkey").as("f_maxp"),
+        min("l_suppkey").as("f_mins"), max("l_suppkey").as("f_maxs"),
+        sum(when(col("in_rect"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("__one", one(col("file_id")))
+      .join(broadcast(mx), Seq("__one"))
+      .withColumn("hit",
+        col("f_minp") <= expr("kp div 5") && col("f_maxp") >= expr("kp div 10") &&
+          col("f_mins") <= expr("(2 * ks) div 5") &&
+          col("f_maxs") >= expr("(3 * ks) div 10"))
+    files.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum("n_match").as("n_match"))
+      .orderBy("layout")
+  }
+
+  private val q122Sql =
+    s"""WITH mx AS (SELECT MAX(l_partkey) AS kp, MAX(l_suppkey) AS ks FROM lineitem),
+      |co AS (
+      |  SELECT l_partkey, l_suppkey, kp, ks,
+      |    (l_partkey * 256) // (kp + 1) AS px,
+      |    (l_suppkey * 256) // (ks + 1) AS py,
+      |    (l_partkey >= kp // 10 AND l_partkey <= kp // 5
+      |      AND l_suppkey >= (3 * ks) // 10 AND l_suppkey <= (2 * ks) // 5)
+      |      AS in_rect
+      |  FROM lineitem, mx),
+      |filed AS (
+      |  SELECT l_partkey, l_suppkey, in_rect, u.layout,
+      |    CASE WHEN u.layout = 'zorder'
+      |      THEN (${zInterleave("px", "py", "//")}) // 2048
+      |      ELSE px // 8 END AS file_id
+      |  FROM co, (SELECT unnest(['linear', 'zorder']) AS layout) u),
+      |files AS (
+      |  SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(l_partkey) AS f_minp, MAX(l_partkey) AS f_maxp,
+      |    MIN(l_suppkey) AS f_mins, MAX(l_suppkey) AS f_maxs,
+      |    CAST(SUM(CASE WHEN in_rect THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM filed GROUP BY 1, 2)
+      |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+      |  CAST(SUM(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |  CAST(SUM(n_match) AS BIGINT) AS n_match
+      |FROM (
+      |  SELECT f.*,
+      |    (f_minp <= kp // 5 AND f_maxp >= kp // 10
+      |      AND f_mins <= (2 * ks) // 5 AND f_maxs >= (3 * ks) // 10) AS hit
+      |  FROM files f, mx)
+      |GROUP BY 1 ORDER BY layout""".stripMargin
+
+  // ── q123: median/MAD robust outlier screen at histogram grain. ──
+  private def q123(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    // discrete lower median (rank ⌈n/2⌉ = (n+1) div 2) read off the
+    // cumulative per-(type, cents) histogram — windows at aggregated grain
+    def histMedian(h: DataFrame, vcol: String, out: String): DataFrame = {
+      val cum = Window.partitionBy("event_type").orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      h.withColumn("cum", sum("cnt").over(cum))
+        .withColumn("n", sum("cnt").over(tot))
+        .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          col("cum") >= expr("(n + 1) div 2"))
+        .select(col("event_type"), col(vcol).as(out), col("n"))
+    }
+    val h1 = e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val med = histMedian(h1, "cents", "med_cents")
+    val dev = e.join(broadcast(med.drop("n")), Seq("event_type"))
+      .select(col("event_type"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("adev"))
+    val h2 = dev.groupBy("event_type", "med_cents", "adev").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // histogram grain (≤ type×distinct-cents rows); read twice
+    val mad = histMedian(h2, "adev", "mad_cents")
+    h2.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min("n").as("n_events"), min("med_cents").as("med_cents"),
+        min("mad_cents").as("mad_cents"),
+        // |x − med| > 3 · 1.4826 · MAD, cross-multiplied ×10⁴ vs ×3·14826
+        sum(when(col("adev") * 10000L > col("mad_cents") * (3L * 14826L), col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val q123Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |h1 AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, cents AS med_cents, n FROM (
+      |    SELECT event_type, cents, cnt,
+      |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |    FROM h1)
+      |  WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2),
+      |h2 AS (
+      |  SELECT e.event_type, m.med_cents, abs(e.cents - m.med_cents) AS adev,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM e JOIN med m USING (event_type) GROUP BY 1, 2, 3),
+      |mad AS (
+      |  SELECT event_type, adev AS mad_cents FROM (
+      |    SELECT event_type, adev, cnt,
+      |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |    FROM h2)
+      |  WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2)
+      |SELECT h2.event_type, CAST(SUM(h2.cnt) AS BIGINT) AS n_events,
+      |  MIN(h2.med_cents) AS med_cents, MIN(mad.mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN h2.adev * 10000 > mad.mad_cents * (3 * 14826)
+      |    THEN h2.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM h2 JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ── q124: linear multi-touch attribution (click → next purchase ≤7d). ──
+  private val AttrHorizonUs = 7L * 86400L * 1000000L
+
+  private def q124(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = graft.engine.Silver.dedupLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    AsofJoin.forward(clicks, purchases, "user_id", "ts", "p_ts",
+        Seq("p_id", "p_ts", "value"))
+      .filter(col("p_id").isNotNull &&
+        unix_micros(col("p_ts")) - unix_micros(col("ts")) <= AttrHorizonUs)
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n_touches"),
+        min("ts").as("first_click"), max("ts").as("last_click"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("cents"),
+        col("n_touches"), col("first_click"), col("last_click"),
+        expr("cents div n_touches").as("credit_base"),
+        // remainder to the last touch: credits sum back to cents exactly
+        expr("cents - (n_touches - 1) * (cents div n_touches)").as("credit_last"))
+      .orderBy("p_id")
+  }
+
+  private val q124Sql =
+    s"""WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id AS p_id, value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) rn FROM events
+      |        WHERE event_type = 'purchase') WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |touched AS (
+      |  SELECT c.user_id, c.ts, p.p_id, p.p_ts, p.value
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts
+      |  WHERE p.p_id IS NOT NULL
+      |    AND epoch_us(p.p_ts) - epoch_us(c.ts) <= $AttrHorizonUs)
+      |SELECT p_id, user_id, p_ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  MIN(ts) AS first_click, MAX(ts) AS last_click,
+      |  CAST(floor(value * 100) AS BIGINT) // COUNT(*) AS credit_base,
+      |  CAST(floor(value * 100) AS BIGINT)
+      |    - (COUNT(*) - 1) * (CAST(floor(value * 100) AS BIGINT) // COUNT(*))
+      |    AS credit_last
+      |FROM touched GROUP BY 1, 2, 3, floor(value * 100)
+      |ORDER BY p_id""".stripMargin
+
+  // ── q125: merge overlapping per-user activity intervals. ──
+  private val IntervalUs = 1800L * 1000000L // 30 min
+
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + IntervalUs)
+    val ord = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("prev_max_e", max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      // touching intervals (s == prev end) merge; strict gap starts an island
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island")
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("is_s"), max("e").as("is_e"), count(lit(1)).as("n_ev"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"), sum("n_ev").as("n_events"),
+        sum(col("is_e") - col("is_s")).as("covered_us"),
+        max(col("is_e") - col("is_s")).as("longest_us"))
+      .orderBy("user_id")
+  }
+
+  private val q125Sql =
+    s"""WITH iv AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + $IntervalUs AS e
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM iv),
+      |islands AS (
+      |  SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ev
+      |  FROM (
+      |    SELECT user_id, s, e,
+      |      SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |    FROM marked)
+      |  GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+      |  CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
+      |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
+    QueryDef("q120_join_estimate", q120, Some(q120Sql)),
+    QueryDef("q121_tfidf_keywords", q121, Some(q121Sql)),
+    QueryDef("q122_zorder_audit", q122, Some(q122Sql)),
+    QueryDef("q123_mad_outliers", q123, Some(q123Sql)),
+    QueryDef("q124_attribution", q124, Some(q124Sql)),
+    QueryDef("q125_interval_merge", q125, Some(q125Sql)))
+}

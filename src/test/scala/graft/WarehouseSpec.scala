@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Semantic pins for the warehouse-operations queries (q119–q125) — each
+  * invariant here is one the DuckDB hash gate can't state on its own
+  * (conservation laws, one-sided guarantees, brute-force replays). */
+class WarehouseSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q119: PIT snapshot covers exactly the keys that exist on the date") {
+    val rows = q("q119_scd2_pit").collect()
+    val pitCustomers = rows.map(_.getAs[Long]("n_customers")).sum
+    // ≤1 surviving version per key ⇒ snapshot size == #keys with any
+    // version started on or before the PIT date
+    val expected = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") <= lit("1998-06-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    assert(pitCustomers == expected, s"$pitCustomers vs $expected")
+    assert(rows.forall(_.getAs[Double]("sum_price") > 0))
+  }
+
+  test("q120: CMS inner-product estimate is a one-sided overestimate") {
+    val r = q("q120_join_estimate").collect().head
+    assert(r.getAs[Boolean]("over_ok"), r.toString)
+    assert(r.getAs[Long]("est_rows") >= r.getAs[Long]("exact_rows"))
+    // orders⋈customer on custkey preserves every order exactly once
+    assert(r.getAs[Long]("exact_rows") == r.getAs[Long]("n_left"))
+  }
+
+  test("q121: per-doc top-3 ranks are contiguous and scores descend") {
+    val rows = q("q121_tfidf_keywords").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, part) =>
+      val sorted = part.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length),
+        s"doc $id ranks not contiguous")
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getAs[Long]("score_fp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not descending")
+    }
+  }
+
+  test("q122: layouts agree on true matches; z-order prunes at least as well") {
+    val rows = q("q122_zorder_audit").collect()
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    val lin = byLayout("linear"); val zo = byLayout("zorder")
+    // the probe's true result is layout-independent
+    assert(lin.getAs[Long]("n_match") == zo.getAs[Long]("n_match"))
+    // every true match lives in a scanned file
+    rows.foreach(r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("n_match"), r.toString))
+    // on the pinned corpora the 2-D layout prunes both dimensions where
+    // linear prunes only the leading one
+    assert(zo.getAs[Long]("n_files_hit") <= lin.getAs[Long]("n_files_hit"),
+      s"zorder ${zo} vs linear ${lin}")
+  }
+
+  test("q123: MAD verdicts match a brute-force median replay per type") {
+    val rows = q("q123_mad_outliers").collect()
+    assert(rows.length == 5)
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    def lowerMedian(xs: Seq[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = cents(t).toSeq
+      val med = lowerMedian(xs)
+      assert(r.getAs[Long]("med_cents") == med, s"$t median")
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).sorted)
+      assert(r.getAs[Long]("mad_cents") == mad, s"$t MAD")
+      val outliers = xs.count(x => math.abs(x - med) * 10000L > mad * (3L * 14826L))
+      assert(r.getAs[Long]("n_outliers") == outliers, s"$t outliers")
+      assert(r.getAs[Long]("n_events") == xs.length)
+    }
+  }
+
+  test("q124: attribution credits conserve the purchase value exactly") {
+    val rows = q("q124_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_touches")
+      val cents = r.getAs[Long]("cents")
+      val base = r.getAs[Long]("credit_base")
+      val last = r.getAs[Long]("credit_last")
+      assert(base * (k - 1) + last == cents, r.toString)
+      assert(last >= base && k >= 1)
+      assert(!r.getAs[java.sql.Timestamp]("first_click")
+        .after(r.getAs[java.sql.Timestamp]("last_click")))
+    }
+  }
+
+  test("q125: merged intervals match a sequential sweep replay") {
+    val rows = q("q125_interval_merge").collect()
+    assert(rows.nonEmpty)
+    val iv = 1800L * 1000000L
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val starts = byUser(u).toSeq
+      // sequential interval union sweep
+      var n = 0L; var covered = 0L; var longest = 0L
+      var curS = -1L; var curE = -1L
+      starts.foreach { s =>
+        if (curE < 0 || s > curE) {
+          if (curE >= 0) { covered += curE - curS; longest = math.max(longest, curE - curS) }
+          n += 1; curS = s; curE = s + iv
+        } else curE = math.max(curE, s + iv)
+      }
+      if (curE >= 0) { covered += curE - curS; longest = math.max(longest, curE - curS) }
+      assert(r.getAs[Long]("n_intervals") == n, s"user $u islands")
+      assert(r.getAs[Long]("covered_us") == covered, s"user $u covered")
+      assert(r.getAs[Long]("longest_us") == longest, s"user $u longest")
+      assert(r.getAs[Long]("n_events") == starts.length)
+    }
+  }
+}
