@@ -491,6 +491,120 @@ object Relational {
       |FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
       |GROUP BY 1 ORDER BY tier""".stripMargin
 
+  // ── q126: max-over-aggregate view — the TPC-H Q15 SHAPE (top
+  // supplier by quarterly revenue). The classic form creates a revenue
+  // VIEW and selects its MAX via a scalar subquery; here the view is a
+  // per-supplier aggregate and the 1-row MAX joins back via the
+  // non-foldable key (q111's pattern) → BroadcastHashJoin, never BNLJ.
+  // Revenue is exact integer ¹⁄₁₀₀₀₀-dollar units (cents × discount
+  // points), so the max comparison can't flake on float partial-agg
+  // order; ties (none in this data, possible in general) would ALL be
+  // returned, exactly like the SQL original. ──
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * CAST(100 - round(l_discount * 100) AS BIGINT)")).as("rev_c4"),
+        count(lit(1)).as("n_items"))
+      .localCheckpoint() // supplier-count rows; read by the MAX and the probe
+    val mx = rev.agg(max("rev_c4").as("max_c4"))
+      .withColumn("__one", one(col("max_c4")))
+    rev.withColumn("__one", one(col("l_suppkey")))
+      .join(broadcast(mx), Seq("__one"))
+      .filter(col("rev_c4") === col("max_c4"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_c4") / 10000.0).as("total_revenue"), col("n_items"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q126Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(100 - round(l_discount * 100) AS BIGINT)) AS rev_c4,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name,
+      |  CAST(rev_c4 AS BIGINT) / 10000.0 AS total_revenue, n_items
+      |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      |WHERE rev_c4 = (SELECT MAX(rev_c4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ── q127: HAVING-gated semi-enrichment — the TPC-H Q18 SHAPE (large-
+  // quantity orders): orders whose line quantities sum past a threshold,
+  // enriched with the customer. The aggregate runs FIRST (per-orderkey,
+  // partial-agg'd map-side) and its tiny survivor set drives the joins —
+  // the fact is never joined before it shrinks. l_quantity holds whole
+  // numbers, so the double SUM is order-independent and exact. ──
+  private def q127(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  private val q127Sql =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice, b.total_qty
+      |FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) b
+      |JOIN orders o ON o.o_orderkey = b.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  // ── q128: share-of-global-total — the TPC-H Q11 SHAPE (important
+  // stock): per-part value vs a fraction of the global total. The
+  // global 1-row total joins via the non-foldable key; the keep rule is
+  // RELATIVE (value > 1.2× the mean part share, integer
+  // cross-multiplied cents·n_parts·10 > total·12) so the semantics are
+  // scale-free — the absolute threshold of the SQL original would pin
+  // the result to one corpus size. ──
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val pv = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+        count(lit(1)).as("n_items"))
+      .localCheckpoint() // part-count rows; read by the total and the probe
+    val tot = pv.agg(sum("cents").as("total_cents"), count(lit(1)).as("n_parts"))
+      .withColumn("__one", one(col("total_cents")))
+    pv.withColumn("__one", one(col("l_partkey")))
+      .join(broadcast(tot), Seq("__one"))
+      .filter(col("cents") * col("n_parts") * 10 > col("total_cents") * 12)
+      .select(col("l_partkey"), (col("cents") / 100.0).as("part_value"),
+        col("n_items"), expr("(cents * 10000) div total_cents").as("share_bp"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  private val q128Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |        COUNT(*) AS n_parts FROM pv)
+      |SELECT l_partkey, cents / 100.0 AS part_value, n_items,
+      |  (cents * 10000) // total_cents AS share_bp
+      |FROM pv, tot
+      |WHERE cents * n_parts * 10 > total_cents * 12
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_regional_volume", q102, Some(q102Sql)),
     QueryDef("q103_window_suite", q103, Some(q103Sql)),
@@ -502,5 +616,8 @@ object Relational {
     QueryDef("q110_custdist", q110, Some(q110Sql)),
     QueryDef("q111_idle_rich", q111, Some(q111Sql)),
     QueryDef("q115_grouping_sets", q115, Some(q115Sql)),
-    QueryDef("q116_nullsafe_join", q116, Some(q116Sql)))
+    QueryDef("q116_nullsafe_join", q116, Some(q116Sql)),
+    QueryDef("q126_top_supplier", q126, Some(q126Sql)),
+    QueryDef("q127_big_orders", q127, Some(q127Sql)),
+    QueryDef("q128_part_share", q128, Some(q128Sql)))
 }

@@ -241,4 +241,56 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.sum > 0, "the dormancy window must keep the gate non-trivial")
   }
+
+  test("q126: returns exactly the argmax suppliers of an independent recompute") {
+    val df = q("q126_top_supplier")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s.take(800))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        math.round(r.getDouble(1) * 100) * (100L - math.round(r.getDouble(2) * 100))).sum)
+    val maxRev = rev.values.max
+    val want = rev.filter(_._2 == maxRev).keys.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == want)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("total_revenue") == maxRev / 10000.0))
+  }
+
+  test("q127: every surviving order truly exceeds the quantity threshold") {
+    val rows = q("q127_big_orders").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    // spot-replay the top order's quantity sum from the fact
+    val top = rows.head
+    val replay = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") === top.getAs[Long]("o_orderkey"))
+      .agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(replay == top.getAs[Double]("total_qty"))
+    // ordering: descending qty with orderkey tie-break
+    val qtys = rows.map(_.getAs[Double]("total_qty"))
+    assert(qtys.zip(qtys.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q128: survivors sit above 1.2x the mean part share; ordering pinned") {
+    val rows = q("q128_part_share").collect()
+    assert(rows.nonEmpty)
+    val pv = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => math.round(r.getDouble(1) * 100)).sum).toMap
+    val total = pv.values.sum; val nParts = pv.size.toLong
+    val want = pv.filter { case (_, c) => c * nParts * 10 > total * 12 }
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == want.keys.toSet)
+    rows.foreach { r =>
+      val cents = want(r.getAs[Long]("l_partkey"))
+      assert(r.getAs[Double]("part_value") == cents / 100.0)
+      assert(r.getAs[Long]("share_bp") == cents * 10000 / total)
+    }
+  }
 }
