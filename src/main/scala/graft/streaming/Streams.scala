@@ -95,6 +95,83 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class AttrState(clicks: List[(Long, Long)],
+                             purchases: List[(Long, Long, Long)])
+  final case class Attribution(user_id: Long, p_id: Long, p_ts: Timestamp,
+                               cents: Long, n_touches: Long,
+                               credit_base: Long, credit_last: Long)
+
+  /** Streaming linear multi-touch attribution — the live analog of batch
+    * q124: every click attributes to the user's FIRST later purchase
+    * within `horizonMs`, and the purchase's integer-cent value splits
+    * evenly across its touches (remainder to the last), conserving the
+    * spend exactly.
+    *
+    * Correctness under out-of-order arrival comes from finalizing ONLY
+    * behind the watermark: a purchase is attributed when the watermark
+    * passes its event time — at that point every click that could precede
+    * it has arrived (watermark contract), and every EARLIER purchase has
+    * already claimed its clicks (purchases finalize in (ts, id) order, and
+    * same-timestamp duplicates keep the max event_id, q124's dedup rule).
+    * So the emitted rows equal the batch query over the same events no
+    * matter how arrival interleaves (pinned in StreamsSpec).
+    *
+    * State per user is bounded by the horizon: unclaimed clicks die once
+    * `c_ts + horizon` falls behind the watermark (no future purchase can
+    * reach them — any purchase that could has already finalized), and
+    * pending purchases finalize at the very next watermark advance past
+    * their time; the event-time timeout re-fires the group on silence so
+    * cleanup never waits for new traffic. Keyed by user, so state shards
+    * across executors with the shuffle. */
+  def attribute(events: Dataset[Event], horizonMs: Long = 7L * 86400L * 1000L,
+                watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(Nil, Nil))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == "click")
+              st = st.copy(clicks = (t, e.event_id) :: st.clicks)
+            else
+              st = st.copy(purchases =
+                (t, e.event_id, math.floor(e.value * 100).toLong) :: st.purchases)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (due, pending) = st.purchases.partition(_._1 <= wm)
+          val finalized = due.groupBy(_._1)
+            .map { case (_, dups) => dups.maxBy(_._2) } // max id per (user, ts)
+            .toSeq.sortBy(p => (p._1, p._2))
+          val out = Seq.newBuilder[Attribution]
+          var clicks = st.clicks
+          finalized.foreach { case (pts, pid, cents) =>
+            val (mine, rest) =
+              clicks.partition(c => c._1 <= pts && pts - c._1 <= horizonMs)
+            clicks = rest // first purchase wins: claimed clicks leave the pool
+            val k = mine.size.toLong
+            if (k > 0)
+              out += Attribution(uid, pid, new Timestamp(pts), cents, k,
+                cents / k, cents - (k - 1) * (cents / k))
+          }
+          // a click is dead once every purchase that could claim it
+          // (ts ≤ c_ts + horizon) is necessarily finalized
+          clicks = clicks.filter(c => c._1 + horizonMs >= wm)
+          if (clicks.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AttrState(clicks, pending))
+            val deadline =
+              (pending.map(_._1) ++ clicks.map(_._1 + horizonMs)).min
+            state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   final case class HourCount(event_type: String, hour_idx: Long, cnt: Long)
   final case class SpikeState(counts: Map[Long, Long], firstHour: Long,
                               maxHour: Long)

@@ -89,6 +89,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribute: streaming credits equal batch q124 semantics, out of order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 1-hour horizon to keep the fixture compact; 0s delay so the
+    // watermark tracks max event time exactly
+    val q = Streams.attribute(in.toDS(), horizonMs = 3600L * 1000L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // batch 1, deliberately out of event-time order within the batch
+      in.addData(
+        Event(5, ts("2024-01-01 10:20:00"), 1, "purchase", 1.01), // 101 cents
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+        Event(3, ts("2024-01-01 10:10:00"), 1, "view", 0.0), // ignored type
+        Event(7, ts("2024-01-01 09:00:00"), 2, "click", 0.0), // dies unclaimed
+        Event(8, ts("2024-01-01 10:20:00"), 3, "purchase", 5.00)) // zero-touch
+      q.processAllAvailable()
+      // batch 2: a later click pairs with a later purchase; duplicate
+      // purchase timestamps keep the max event_id (q124's dedup rule);
+      // the far tick finalizes everything
+      in.addData(
+        Event(9, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+        Event(11, ts("2024-01-01 10:45:00"), 1, "purchase", 0.50),
+        Event(10, ts("2024-01-01 10:45:00"), 1, "purchase", 0.99))
+      q.processAllAvailable()
+      in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr").as[Streams.Attribution].collect()
+        .map(a => (a.user_id, a.p_id, a.cents, a.n_touches,
+          a.credit_base, a.credit_last)).toSet
+      // purchase 5 claims clicks 1+2 (first-purchase-wins): 101 = 50+51;
+      // purchase 11 (max id at 10:45) claims click 9: 50 cents whole;
+      // user 2's click never meets a purchase, user 3's purchase has no
+      // touches — neither emits
+      assert(rows == Set(
+        (1L, 5L, 101L, 2L, 50L, 51L),
+        (1L, 11L, 50L, 1L, 50L, 50L)), rows)
+      // conservation: Σ credits == cents on every row
+      spark.table("attr").as[Streams.Attribution].collect().foreach(a =>
+        assert(a.credit_base * (a.n_touches - 1) + a.credit_last == a.cents))
+    } finally q.stop()
+  }
+
   test("correlate rejects malformed horizons and colliding key names at the call site") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
