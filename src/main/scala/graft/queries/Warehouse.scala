@@ -467,6 +467,139 @@ object Warehouse {
       |  CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
       |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ── q129: small-file compaction planner — the maintenance op every
+  // parquet lake runs: pack many small shards into target-size output
+  // groups, PRESERVING shard order (so downstream range/pruning
+  // assumptions survive the rewrite). Greedy next-fit by running byte
+  // mass is a cumulative-sum window at SHARD grain (≤256 rows here —
+  // q58's offset-packing math on the file-size domain); group id =
+  // bytes-before div target is row-local off the cumsum, so engine and
+  // oracle agree exactly. Scale: the raw table contributes one
+  // partial-agg'd groupBy; everything after runs on the shard census. ──
+  private val CompactTarget = 65536L // 64 KB target output size
+
+  private def q129(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(spark, dir)
+      .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+    val cum = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shards
+      .withColumn("cum_bytes", sum("bytes").over(cum))
+      .withColumn("group_id", expr(s"(cum_bytes - bytes) div $CompactTarget"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_shards"), sum("n_docs").as("n_docs"),
+        sum("bytes").as("bytes"),
+        min("shard").as("first_shard"), max("shard").as("last_shard"))
+      .withColumn("reached_target", col("bytes") >= CompactTarget)
+      .orderBy("group_id")
+  }
+
+  private val q129Sql =
+    s"""WITH shards AS (
+      |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT shard, n_docs, bytes,
+      |    SUM(bytes) OVER (ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+      |  FROM shards)
+      |SELECT CAST((cum_bytes - bytes) // $CompactTarget AS BIGINT) AS group_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+      |  MIN(shard) AS first_shard, MAX(shard) AS last_shard,
+      |  CAST(SUM(bytes) AS BIGINT) >= $CompactTarget AS reached_target
+      |FROM cum GROUP BY 1 ORDER BY group_id""".stripMargin
+
+  // ── q130: range-boundary planning from a mergeable histogram — what
+  // repartitionByRange gets from reservoir SAMPLING, computed instead
+  // from the q79-style equi-width histogram: boundaries at the k·n/8
+  // cumulative ranks give equi-MASS ranges with a deterministic,
+  // sampling-free answer (and the histogram merges across shards, so at
+  // 100 TB the plan comes from combining per-file sketches, not
+  // re-reading data). A bin is the k-th boundary iff the rank k·n/8
+  // falls inside it: (cum−cnt)·8 < k·n ≤ cum·8 — integer
+  // cross-multiplied, windows at histogram grain. ──
+  private def q130(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(tot))
+      .select(col("bin"), col("cum"), col("n"),
+        explode(array((1 to 7).map(lit): _*)).as("k"))
+      .filter((col("cum") - col("cnt")) * 8 < col("k") * col("n") &&
+        col("cum") * 8 >= col("k") * col("n"))
+      .select(col("k"), col("bin").as("boundary_bin"), col("cum").as("rows_below"),
+        expr("(cum * 10000) div n").as("share_bp"))
+      .orderBy("k")
+  }
+
+  private val q130Sql =
+    """WITH hist AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, cnt,
+      |    SUM(cnt) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM hist)
+      |SELECT k, bin AS boundary_bin, CAST(cum AS BIGINT) AS rows_below,
+      |  (CAST(cum AS BIGINT) * 10000) // CAST(n AS BIGINT) AS share_bp
+      |FROM cum, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks
+      |WHERE (cum - cnt) * 8 < k * n AND cum * 8 >= k * n
+      |ORDER BY k""".stripMargin
+
+  // ── q131: join-skew audit — the pre-flight check before a big
+  // shuffle: per-key load vs the average partition's, with the salt
+  // fan-out `Silver.saltedAgg` would need to level it. A key is hot
+  // when it alone exceeds 4 average partitions' load (cnt·P > 4·n,
+  // integer cross-multiplied, P = 32 — the session's shuffle
+  // parallelism); suggested salt buckets = ⌈cnt·P / n⌉ spreads it back
+  // to ~one partition's worth per bucket. A deterministic hot key is
+  // INJECTED (q44's planted-dirt pattern: a quarter of rows fold to
+  // key 0) so the audit's positive path is exercised — the drop-in
+  // real-world input is any join/groupBy key column. Top-10 keys by
+  // load; everything runs at key-census grain. ──
+  private val SkewP = 32L
+
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, dir)
+      .select(when(col("l_orderkey") % 4 === 0, 0L)
+        .otherwise(col("l_suppkey")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy()
+    keyed
+      .withColumn("n", sum("cnt").over(tot))
+      .select(col("key"), col("cnt"),
+        expr("(cnt * 10000) div n").as("share_bp"),
+        (col("cnt") * SkewP > col("n") * 4L).as("hot"),
+        expr(s"(cnt * $SkewP + n - 1) div n").as("salt_buckets"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(10)
+  }
+
+  private val q131Sql =
+    s"""WITH keyed AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM keyed)
+      |SELECT key, cnt, (cnt * 10000) // n AS share_bp,
+      |  cnt * $SkewP > n * 4 AS hot,
+      |  (cnt * $SkewP + n - 1) // n AS salt_buckets
+      |FROM keyed, tot
+      |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -474,5 +607,8 @@ object Warehouse {
     QueryDef("q122_zorder_audit", q122, Some(q122Sql)),
     QueryDef("q123_mad_outliers", q123, Some(q123Sql)),
     QueryDef("q124_attribution", q124, Some(q124Sql)),
-    QueryDef("q125_interval_merge", q125, Some(q125Sql)))
+    QueryDef("q125_interval_merge", q125, Some(q125Sql)),
+    QueryDef("q129_compaction_plan", q129, Some(q129Sql)),
+    QueryDef("q130_range_boundaries", q130, Some(q130Sql)),
+    QueryDef("q131_skew_audit", q131, Some(q131Sql)))
 }

@@ -96,6 +96,55 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q129: compaction groups conserve docs/bytes and keep shard order") {
+    val rows = q("q129_compaction_plan").collect()
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, dir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(rows.map(_.getAs[Long]("bytes")).sum ==
+      d.agg(sum("n_chars")).collect().head.getLong(0))
+    // order-preserving packing: group shard ranges never interleave
+    val sorted = rows.sortBy(_.getAs[Long]("group_id"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("last_shard") < b.getAs[String]("first_shard"))
+      case _ =>
+    }
+    // every group but the last reaches the target (next-fit invariant:
+    // a group only closes once its running bytes pass the target)
+    sorted.init.foreach(r => assert(r.getAs[Boolean]("reached_target"), r.toString))
+  }
+
+  test("q130: boundaries are monotone and sit exactly at the k*n/8 ranks") {
+    val rows = q("q130_range_boundaries").collect()
+    assert(rows.map(_.getAs[Int]("k") : Int).toSeq == (1 to 7))
+    val n = Tables.lineitem(spark, dir).count()
+    val bins = rows.map(_.getAs[Long]("boundary_bin"))
+    assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      val k = r.getAs[Int]("k").toLong
+      val below = r.getAs[Long]("rows_below")
+      assert(below * 8 >= k * n, s"k=$k rank not reached")
+    }
+  }
+
+  test("q131: the injected hot key is flagged with a leveling salt fan-out") {
+    val rows = q("q131_skew_audit").collect()
+    val hot = rows.filter(_.getAs[Boolean]("hot"))
+    assert(hot.map(_.getAs[Long]("key")).toSeq == Seq(0L),
+      "exactly the injected key must be hot")
+    val h = hot.head
+    // a quarter of the fact folds onto key 0 → ~8 of 32 partitions' load
+    assert(h.getAs[Long]("salt_buckets") >= 8)
+    // ~a quarter of ORDERS fold over; lineitem fan-out makes the row
+    // share wander around that
+    assert(h.getAs[Long]("share_bp") >= 2000 && h.getAs[Long]("share_bp") <= 4000)
+    // salt_buckets == ceil(cnt*32/n) for every reported key
+    val n = Tables.lineitem(spark, dir).count()
+    rows.foreach(r => assert(r.getAs[Long]("salt_buckets") ==
+      (r.getAs[Long]("cnt") * 32 + n - 1) / n, r.toString))
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
