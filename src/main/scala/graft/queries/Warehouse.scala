@@ -600,6 +600,240 @@ object Warehouse {
       |FROM keyed, tot
       |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
 
+  // ── q132: triangle counting over the corpus link graph — the graph-
+  // health metric next to q92's PageRank (clustering coefficient
+  // separates organic link neighborhoods from spam farms). DEGREE-
+  // ORIENTED wedge counting: every undirected edge points from its
+  // lower (deg, id) endpoint to the higher, so each triangle is counted
+  // exactly once (a→b, a→c, b→c under the total order) and — the scale
+  // property — every wedge center's out-degree is O(√m), which bounds
+  // the wedge join that explodes a hub-heavy graph counted naively.
+  // Same deterministic edge synthesis as q92; wedge closure is a
+  // left-semi against the oriented edge set (an equi-join, never
+  // per-pair probing). ──
+  private def q132(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir).select(col("doc_id"))
+    val n = Tables.documents(spark, dir).count() // driver scalar (q92's pattern)
+    val und = d.select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("j") * 97) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // consumed by degrees, orientation and the counts
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("x"), col("v").as("y")))
+          .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"))
+      .localCheckpoint() // consumed by both wedge sides and the closure probe
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") =!= col("c"))
+      .localCheckpoint()
+    val tri = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")),
+      Seq("b", "c"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg((count(lit(1)) / 2).cast("long").as("n_wedges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.withColumn("__one", one(col("n_nodes")))
+      .join(broadcast(nEdges.withColumn("__one", one(col("n_edges")))), Seq("__one"))
+      .join(broadcast(nWedges.withColumn("__one", one(col("n_wedges")))), Seq("__one"))
+      .join(broadcast(nTri.withColumn("__one", one(col("n_triangles")))), Seq("__one"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(n_triangles * 1000000) div n_wedges").as("closure_ppm"))
+  }
+
+  private val q132Sql =
+    """WITH raw AS (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |      (doc_id * doc_id * 31 + j * 97) % (SELECT COUNT(*) FROM documents) AS dst
+      |    FROM (SELECT doc_id, unnest([1, 2, 3]) AS j FROM documents))
+      |  WHERE dst != src),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) GROUP BY 1),
+      |ori AS (
+      |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+      |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b
+      |  FROM (SELECT und.u, und.v, d1.deg AS du, d2.deg AS dv FROM und
+      |        JOIN deg d1 ON und.u = d1.node JOIN deg d2 ON und.v = d2.node)),
+      |wed AS (SELECT o1.a, o1.b, o2.b AS c FROM ori o1
+      |        JOIN ori o2 ON o1.a = o2.a AND o1.b != o2.b),
+      |tri AS (SELECT w.a FROM wed w
+      |        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.a = w.b AND o.b = w.c))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) // 2 FROM wed) AS n_wedges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+      |  ((SELECT COUNT(*) FROM tri) * 1000000)
+      |    // ((SELECT COUNT(*) FROM wed) // 2) AS closure_ppm""".stripMargin
+
+  // ── q133: quantile-bin discretization (the ML QuantileDiscretizer,
+  // deterministically): quartile boundaries read off the n_chars
+  // histogram at the k·n/4 ranks (q130's rule), pivoted into ONE row of
+  // model state, then bin assignment is row-local (count of boundaries
+  // strictly below the value). Ties land in the lower bin on the
+  // boundary value itself — stated, not sampled, unlike the MLlib
+  // discretizer whose approxQuantile boundaries move run to run. ──
+  private def q133(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.groupBy(col("n_chars").as("vv")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy("vv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val bnd = hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(tot))
+      .select(col("vv"), col("cum"), col("cnt"), col("n"),
+        explode(array((1 to 3).map(lit): _*)).as("k"))
+      .filter((col("cum") - col("cnt")) * 4 < col("k") * col("n") &&
+        col("cum") * 4 >= col("k") * col("n"))
+      .groupBy() // 3 boundary rows → 1 row of model state
+      .agg(max(when(col("k") === 1, col("vv"))).as("b1"),
+        max(when(col("k") === 2, col("vv"))).as("b2"),
+        max(when(col("k") === 3, col("vv"))).as("b3"))
+      .withColumn("__one", one(col("b1")))
+    docs.withColumn("__one", one(col("doc_id")))
+      .join(broadcast(bnd), Seq("__one"))
+      .withColumn("bin",
+        (col("n_chars") > col("b1")).cast("long") +
+          (col("n_chars") > col("b2")).cast("long") +
+          (col("n_chars") > col("b3")).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bin")
+  }
+
+  private val q133Sql =
+    """WITH hist AS (
+      |  SELECT n_chars AS vv, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT vv, cnt,
+      |    SUM(cnt) OVER (ORDER BY vv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM hist),
+      |bnd AS (
+      |  SELECT MAX(CASE WHEN k = 1 THEN vv END) AS b1,
+      |    MAX(CASE WHEN k = 2 THEN vv END) AS b2,
+      |    MAX(CASE WHEN k = 3 THEN vv END) AS b3
+      |  FROM cum, (SELECT unnest([1, 2, 3]) AS k) ks
+      |  WHERE (cum - cnt) * 4 < k * n AND cum * 4 >= k * n)
+      |SELECT CAST((n_chars > b1) AS BIGINT) + CAST((n_chars > b2) AS BIGINT)
+      |    + CAST((n_chars > b3) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents, bnd
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ── q134: argmax aggregates (MAX_BY / ARG_MAX) — top customer per
+  // nation in ONE aggregation pass, no window, no self-join: the
+  // per-group argmax is a partial-aggregable state (candidate, key),
+  // so it map-side combines like any sum. Ties are impossible BY
+  // CONSTRUCTION: the ordering key is the unique composite
+  // cents·2²⁰ + custkey (custkey < 2²⁰ here — both engines would
+  // otherwise break argmax ties arbitrarily and the gate would flake). ──
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("score", col("cents") * (1L << 20) + col("c_custkey"))
+    cust.join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        max_by(col("c_name"), col("score")).as("top_customer"),
+        max_by(col("c_custkey"), col("score")).as("top_custkey"),
+        (max("cents") / 100.0).as("max_acctbal"))
+      .orderBy("n_name")
+  }
+
+  private val q134Sql =
+    """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  ARG_MAX(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 1048576
+      |    + c.c_custkey) AS top_customer,
+      |  ARG_MAX(c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) * 1048576
+      |    + c.c_custkey) AS top_custkey,
+      |  MAX(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS max_acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  // ── q135: group-statistic imputation — the data-repair step after
+  // q30's null profile finds holes: NULLs fill with their group's
+  // DISCRETE median (rank-⌈n/2⌉ over the non-null histogram — q123's
+  // machinery), so the repair is deterministic and engine-portable,
+  // unlike mean imputation whose float average is reduction-order-
+  // sensitive. Holes are INJECTED deterministically (event_id % 7 —
+  // q44's planted-dirt pattern) since the driver data has none; the
+  // imputed table's exact integer checksum is part of the gate. ──
+  private def q135(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+    val hist = e.filter(col("cents").isNotNull)
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val med = hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(tot))
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        col("cum") >= expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med_cents"),
+        col("cents").isNull.as("was_null"),
+        coalesce(col("cents"), col("med_cents")).as("filled"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("was_null"), 1L).otherwise(0L)).as("n_imputed"),
+        min("med_cents").as("imputed_cents"),
+        sum("filled").as("sum_cents_after"))
+      .orderBy("event_type")
+  }
+
+  private val q135Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |      ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+      |  FROM events),
+      |hist AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM e WHERE cents IS NOT NULL GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, cents AS med_cents FROM (
+      |    SELECT event_type, cents, cnt,
+      |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |    FROM hist)
+      |  WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN e.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_imputed,
+      |  MIN(m.med_cents) AS imputed_cents,
+      |  CAST(SUM(COALESCE(e.cents, m.med_cents)) AS BIGINT) AS sum_cents_after
+      |FROM e JOIN med m USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -610,5 +844,9 @@ object Warehouse {
     QueryDef("q125_interval_merge", q125, Some(q125Sql)),
     QueryDef("q129_compaction_plan", q129, Some(q129Sql)),
     QueryDef("q130_range_boundaries", q130, Some(q130Sql)),
-    QueryDef("q131_skew_audit", q131, Some(q131Sql)))
+    QueryDef("q131_skew_audit", q131, Some(q131Sql)),
+    QueryDef("q132_triangle_count", q132, Some(q132Sql)),
+    QueryDef("q133_quantile_bins", q133, Some(q133Sql)),
+    QueryDef("q134_argmax_top", q134, Some(q134Sql)),
+    QueryDef("q135_median_impute", q135, Some(q135Sql)))
 }

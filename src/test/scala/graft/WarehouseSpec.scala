@@ -145,6 +145,77 @@ class WarehouseSpec extends SparkSpec {
       (r.getAs[Long]("cnt") * 32 + n - 1) / n, r.toString))
   }
 
+  test("q132: triangle count matches a brute-force set replay") {
+    val r = q("q132_triangle_count").collect().head
+    // replay: same synthetic edges, naive set-based triangle count
+    val n = Tables.documents(spark, dir).count()
+    val edges = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).flatMap { s =>
+        (1 to 3).map(j => (s, (s * s * 31 + j * 97) % n)).filter(p => p._1 != p._2)
+      }.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = (for {
+      (u, vs) <- adj.toSeq
+      v <- vs.toSeq // Seq, not Set — a Set comprehension would dedup the 1s
+      w <- adj.getOrElse(v, Set.empty[Long]).toSeq
+      if vs.contains(w)
+    } yield 1).size
+    assert(r.getAs[Long]("n_triangles") == tri, s"got ${r} want $tri")
+    assert(r.getAs[Long]("n_edges") == edges.size)
+    assert(r.getAs[Long]("closure_ppm") <= 1000000)
+  }
+
+  test("q133: quartile bins cover all docs with non-overlapping ranges") {
+    val rows = q("q133_quantile_bins").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, dir).count())
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_chars") < b.getAs[Long]("min_chars"))
+      case _ =>
+    }
+    // quartiles: no bin may hold more than the rank rule allows
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= (n + 3) / 4 +
+      n / 10, s"bin far off quartile mass: $r")) // ties can spill a little
+  }
+
+  test("q134: argmax matches a brute-force per-nation replay") {
+    val rows = q("q134_argmax_top").collect()
+    assert(rows.length == 25)
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = cust(r.getAs[String]("n_name"))
+      val want = xs.maxBy(x =>
+        math.round(x.getDouble(2) * 100) * (1L << 20) + x.getLong(1))
+      assert(r.getAs[Long]("top_custkey") == want.getLong(1), r.toString)
+      assert(r.getAs[Long]("n_customers") == xs.length)
+    }
+  }
+
+  test("q135: imputation fills exactly the injected holes with the group median") {
+    val rows = q("q135_median_impute").collect()
+    assert(rows.length == 5)
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = e(r.getAs[String]("event_type"))
+      val holes = xs.count(_.getLong(1) % 7 == 0)
+      assert(r.getAs[Long]("n_imputed") == holes, r.toString)
+      val kept = xs.filter(_.getLong(1) % 7 != 0).map(_.getLong(2)).sorted
+      val med = kept((kept.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("imputed_cents") == med, r.toString)
+      assert(r.getAs[Long]("sum_cents_after") == kept.sum + holes * med, r.toString)
+    }
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
