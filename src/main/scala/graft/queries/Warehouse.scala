@@ -834,6 +834,86 @@ object Warehouse {
       |FROM e JOIN med m USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ── q136: telemetry debounce — collapse bursts of the same (user,
+  // type) signal into one kept event: a new burst starts when the gap
+  // from the previous event exceeds the debounce window, and the burst
+  // KEEPS ITS FIRST event (q125's island rule with keep-first instead
+  // of merge — the sequential "previous kept event" chain that looks
+  // iterative is exactly gaps-and-islands). Windows run per (user,
+  // type); the kept-id sum is an order-free integrity checksum. ──
+  private val DebounceUs = 5L * 1000000L
+
+  private def q136(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val ord = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("t"), col("event_id"))
+    e.withColumn("prev_t", lag("t", 1).over(ord))
+      .withColumn("first_of_burst",
+        col("prev_t").isNull || col("t") - col("prev_t") > DebounceUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("first_of_burst"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("first_of_burst"), col("event_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("event_type")
+  }
+
+  private val q136Sql =
+    s"""WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |marked AS (
+      |  SELECT event_type, event_id,
+      |    (LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > $DebounceUs)
+      |      AS first_of_burst
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+      |  CAST(SUM(CASE WHEN first_of_burst THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN first_of_burst THEN event_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM marked GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ── q137: trailing-24h rolling DISTINCT users per hour — windowed
+  // COUNT(DISTINCT) doesn't exist as a frame aggregate (in Spark OR most
+  // engines), and the naive per-hour self-join re-scans 24× per hour.
+  // The scalable rewrite: fan each (user, active-hour) out to the 24
+  // trailing report-hours it contributes to, then ONE distinct-count per
+  // report hour. Fan-out runs at (user, hour) grain — already deduped
+  // from raw events — so shuffle volume is 24×|user-hours|, independent
+  // of raw event volume; report hours are pinned to hours that actually
+  // have events so both engines enumerate identical rows. ──
+  private def q137(spark: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+      .localCheckpoint() // (user, hour) grain; fan-out + report-hour spine
+    val hours = uh.select(col("h").as("rh")).distinct()
+    uh.select(col("user_id"), col("h"),
+        explode(sequence(col("h"), col("h") + 23)).as("rh"))
+      .join(hours, Seq("rh"), "left_semi") // only real report hours
+      .groupBy("rh")
+      .agg(countDistinct("user_id").as("n_users_24h"))
+      .orderBy("rh")
+  }
+
+  private val q137Sql =
+    """WITH uh AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      |  FROM events),
+      |hours AS (SELECT DISTINCT h AS rh FROM uh),
+      |fan AS (
+      |  SELECT u.user_id, u.h, u.h + d AS rh
+      |  FROM uh u, (SELECT unnest(range(0, 24)) AS d) ds)
+      |SELECT f.rh AS rh, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users_24h
+      |FROM fan f JOIN hours ho ON f.rh = ho.rh
+      |GROUP BY 1 ORDER BY f.rh""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -848,5 +928,7 @@ object Warehouse {
     QueryDef("q132_triangle_count", q132, Some(q132Sql)),
     QueryDef("q133_quantile_bins", q133, Some(q133Sql)),
     QueryDef("q134_argmax_top", q134, Some(q134Sql)),
-    QueryDef("q135_median_impute", q135, Some(q135Sql)))
+    QueryDef("q135_median_impute", q135, Some(q135Sql)),
+    QueryDef("q136_debounce", q136, Some(q136Sql)),
+    QueryDef("q137_rolling_distinct", q137, Some(q137Sql)))
 }

@@ -216,6 +216,44 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q136: debounce keeps exactly the burst-leading events") {
+    val rows = q("q136_debounce").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw")))
+    // replay one type sequentially
+    val t = rows.head.getAs[String]("event_type")
+    val evs = Tables.events(spark, dir)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .collect().groupBy(_.getLong(0))
+    var kept = 0L; var keptSum = 0L
+    evs.values.foreach { xs =>
+      var prev = Long.MinValue
+      xs.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+        if (prev == Long.MinValue || r.getLong(2) - prev > 5000000L) {
+          kept += 1; keptSum += r.getLong(1)
+        }
+        prev = r.getLong(2)
+      }
+    }
+    assert(rows.head.getAs[Long]("n_kept") == kept)
+    assert(rows.head.getAs[Long]("kept_id_sum") == keptSum)
+  }
+
+  test("q137: rolling distinct matches a direct trailing-24h recount") {
+    val rows = q("q137_rolling_distinct").collect()
+    assert(rows.nonEmpty)
+    val uh = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recount a few report hours directly
+    (rows.take(5) ++ rows.takeRight(5)).foreach { r =>
+      val rh = r.getAs[Long]("rh")
+      val want = uh.filter(p => p._2 > rh - 24 && p._2 <= rh).map(_._1).distinct.length
+      assert(r.getAs[Long]("n_users_24h") == want, s"rh=$rh")
+    }
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
