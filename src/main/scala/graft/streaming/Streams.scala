@@ -172,6 +172,58 @@ object Streams {
       }
   }
 
+  final case class DebounceState(lastT: Long, pending: List[(Long, Long)])
+  final case class Debounced(user_id: Long, event_type: String,
+                             event_id: Long, ts: Timestamp)
+
+  /** Streaming telemetry debounce — the live analog of batch q136: bursts
+    * of the same (user, type) signal collapse to their FIRST event, where
+    * a burst extends whenever the gap from the PREVIOUS event (kept or
+    * not) stays within `windowMs`.
+    *
+    * Like [[attribute]], events finalize only once the watermark passes
+    * their time, in (ts, id) order — so the kept set equals the batch
+    * rule under any arrival interleaving. State is provably evictable:
+    * once `wm − lastT > windowMs`, any future event (ts > wm) must start
+    * a new burst, so a silent key's state drops at its next event-time
+    * timeout — per-key state is one scalar plus the not-yet-final
+    * buffer, which the watermark bounds. */
+  def debounce(events: Dataset[Event], windowMs: Long = 5000L,
+               watermarkDelay: String = "10 minutes"): Dataset[Debounced] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, Debounced](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[Event],
+         state: GroupState[DebounceState]) =>
+          var st = state.getOption.getOrElse(DebounceState(Long.MinValue, Nil))
+          rows.foreach(e =>
+            st = st.copy(pending = (e.ts.getTime, e.event_id) :: st.pending))
+          val wm = state.getCurrentWatermarkMs()
+          val (due, pending) = st.pending.partition(_._1 <= wm)
+          val out = Seq.newBuilder[Debounced]
+          var lastT = st.lastT
+          due.sortBy(identity).foreach { case (t, id) =>
+            if (lastT == Long.MinValue || t - lastT > windowMs)
+              out += Debounced(key._1, key._2, id, new Timestamp(t))
+            lastT = t // the burst chain extends on EVERY event (q136 rule)
+          }
+          val evictable = pending.isEmpty &&
+            (lastT == Long.MinValue || wm - lastT > windowMs)
+          if (evictable) state.remove()
+          else {
+            state.update(DebounceState(lastT, pending))
+            val deadline =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else lastT + windowMs
+            state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   final case class HourCount(event_type: String, hour_idx: Long, cnt: Long)
   final case class SpikeState(counts: Map[Long, Long], firstHour: Long,
                               maxHour: Long)

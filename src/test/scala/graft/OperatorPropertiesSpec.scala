@@ -466,4 +466,33 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("z-order interleave is a bijection and preserves tile locality") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions._
+    val coordGen = for {
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+    } yield (a, b)
+    val pts = samples(coordGen, 300).distinct
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.interleave(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      // reference interleave + de-interleave round-trip
+      val zRef = (0 until 8).map(i =>
+        (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))).sum
+      assert(z == zRef, s"($a,$b)")
+      val aBack = (0 until 8).map(i => (((z >> (2 * i)) & 1) << i).toInt).sum
+      val bBack = (0 until 8).map(i => (((z >> (2 * i + 1)) & 1) << i).toInt).sum
+      assert(aBack == a && bBack == b, s"roundtrip ($a,$b) -> $z")
+    }
+    // locality: points sharing a z-prefix share a rectangle — the top 4
+    // z bits pin both coordinates' top 2 bits (the q122 file-tile claim)
+    got.groupBy(_._3 >> 12).values.foreach { tile =>
+      assert(tile.map(_._1 >> 6).distinct.length == 1, "a-tile split")
+      assert(tile.map(_._2 >> 6).distinct.length == 1, "b-tile split")
+    }
+    assert(got.map(_._3).distinct.length == got.length, "bijection: no collisions")
+  }
 }

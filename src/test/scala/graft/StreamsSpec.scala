@@ -133,6 +133,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounce keeps exactly the batch burst-leaders, out of order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.debounce(in.toDS(), windowMs = 5000L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("deb").outputMode("append").start()
+    try {
+      // burst for (user 1, click): 10:00:00, :03, :06 (each within 5 s of
+      // the PREVIOUS — one burst, only the first kept) — fed out of order
+      in.addData(
+        Event(2, ts("2024-01-01 10:00:03"), 1, "click", 0.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(3, ts("2024-01-01 10:00:06"), 1, "click", 0.0),
+        Event(4, ts("2024-01-01 10:00:20"), 1, "click", 0.0), // new burst
+        Event(5, ts("2024-01-01 10:00:04"), 1, "view", 0.0))  // other key
+      q.processAllAvailable()
+      // watermark pass finalizes everything; key silence evicts state
+      in.addData(Event(99, ts("2024-01-01 11:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val kept = spark.table("deb").as[Streams.Debounced].collect()
+        .map(d => (d.user_id, d.event_type, d.event_id)).toSet
+      assert(kept == Set((1L, "click", 1L), (1L, "click", 4L),
+        (1L, "view", 5L)), kept)
+    } finally q.stop()
+  }
+
   test("correlate rejects malformed horizons and colliding key names at the call site") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
