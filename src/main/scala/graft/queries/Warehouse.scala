@@ -62,6 +62,19 @@ import graft.operators.{AsofJoin, CountMin}
   *     of-end island rule; covered time and island count are exact
   *     integer microsecond sums. The window is per-user — the partition
   *     key carries it at any scale.
+  *   - q129–q131: LAKE-MAINTENANCE PLANNERS — small-file compaction
+  *     (order-preserving next-fit packing at shard-census grain),
+  *     equi-mass range boundaries off the mergeable histogram (the
+  *     sampling-free repartitionByRange plan), and the join-skew audit
+  *     with the `saltedAgg` fan-out that levels a hot key.
+  *   - q132–q135: GRAPH + ML ANALYTICS — degree-oriented triangle
+  *     counting (hub-safe O(√m) wedge bound), deterministic quantile-bin
+  *     discretization, MAX_BY/ARG_MAX one-pass argmax with a tie-proof
+  *     composite key, and group-median NULL imputation.
+  *   - q136–q137: PIPELINE CLASSICS — telemetry debounce (islands with
+  *     keep-first; streaming twin `Streams.debounce`) and trailing-24h
+  *     rolling DISTINCT users via the ×24 user-hour fan-out that
+  *     replaces an unsupported windowed COUNT(DISTINCT).
   *
   * Reference framing: the reference's Postgres warehouse would reach the
   * same needs as it grows — PIT reads over its SCD2 account dim
