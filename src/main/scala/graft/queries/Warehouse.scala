@@ -927,6 +927,180 @@ object Warehouse {
       |FROM fan f JOIN hours ho ON f.rh = ho.rh
       |GROUP BY 1 ORDER BY f.rh""".stripMargin
 
+  // ── q138: two-hop reach — friend-of-friend audience size per node
+  // over q92's link graph (the influence metric PageRank approximates
+  // globally, measured exactly at radius 2). One adjacency self-join on
+  // the mid node; fan-out is Σdeg² — the quantity the q131-style degree
+  // census prices BEFORE running it at 100 TB (a hub-heavy graph wants
+  // the q132 degree-orientation treatment instead). Distinct-union per
+  // node, self excluded; top-20 by reach, tie-broken on node id. ──
+  private def q138(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir).select(col("doc_id"))
+    val n = Tables.documents(spark, dir).count() // driver scalar (q92 pattern)
+    val adj = d.select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("j") * 97) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // symmetric closure feeds hop-1 and the mid join
+    val sym = adj.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(adj.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val hop2 = sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .select(col("a"), col("c").as("b"))
+    val reach = sym.select(col("a"), col("b"))
+      .unionAll(hop2)
+      .filter(col("a") =!= col("b"))
+    val oneHop = sym.groupBy("a").agg(countDistinct("b").as("n_1hop"))
+    reach.groupBy("a").agg(countDistinct("b").as("n_2hop"))
+      .join(oneHop, Seq("a"))
+      .select(col("a").as("doc_id"), col("n_1hop"), col("n_2hop"))
+      .orderBy(col("n_2hop").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q138Sql =
+    """WITH raw AS (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |      (doc_id * doc_id * 31 + j * 97) % (SELECT COUNT(*) FROM documents) AS dst
+      |    FROM (SELECT doc_id, unnest([1, 2, 3]) AS j FROM documents))
+      |  WHERE dst != src),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+      |sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+      |hop2 AS (SELECT s1.a, s2.b FROM sym s1 JOIN sym s2 ON s1.b = s2.a),
+      |reach AS (
+      |  SELECT a, b FROM (SELECT a, b FROM sym UNION ALL SELECT a, b FROM hop2)
+      |  WHERE a != b)
+      |SELECT r.a AS doc_id,
+      |  (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM sym WHERE sym.a = r.a)
+      |    AS n_1hop,
+      |  CAST(COUNT(DISTINCT r.b) AS BIGINT) AS n_2hop
+      |FROM reach r GROUP BY 1
+      |ORDER BY n_2hop DESC, doc_id LIMIT 20""".stripMargin
+
+  // ── q139: clickstream transition matrix — P(next event type | type)
+  // per user journey: one LEAD window on the user's own time order,
+  // then counts at (from, to) grain with integer-bp shares (the Markov
+  // model a recommender or anomaly detector starts from). The share
+  // window runs over the ≤|types|² transition census, never raw events. ──
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("next_type", lead("event_type", 1).over(ord))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = Window.partitionBy("from_type")
+    trans
+      .withColumn("n_from", sum("n_trans").over(fromTot))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(n_trans * 10000) div n_from").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q139Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  (n_trans * 10000) // CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS share_bp
+      |FROM trans ORDER BY from_type, to_type""".stripMargin
+
+  // ── q140: contingency independence audit — lang × source observed vs
+  // expected-under-independence cell counts (the drift/bias screen run
+  // before training-mix decisions; a χ² would need float squares — the
+  // per-cell ±20% flags are what an operator acts on, integer
+  // cross-multiplied: obs·n ≷ rt·ct·(12/10 | 10/12)). Everything after
+  // the one groupBy runs at the ≤|lang|·|source| cell census. ──
+  private def q140(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val rowT = Window.partitionBy("lang")
+    val colT = Window.partitionBy("source")
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("rt", sum("obs").over(rowT))
+      .withColumn("ct", sum("obs").over(colT))
+      .withColumn("n", sum("obs").over(tot))
+      .select(col("lang"), col("source"), col("obs"),
+        expr("(rt * ct * 100) div (n * 100)").as("expected"),
+        (col("obs") * col("n") * 10 > col("rt") * col("ct") * 12).as("over_rep"),
+        (col("obs") * col("n") * 12 < col("rt") * col("ct") * 10).as("under_rep"))
+      .orderBy("lang", "source")
+  }
+
+  private val q140Sql =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT lang, source, obs,
+      |    CAST(SUM(obs) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+      |    CAST(SUM(obs) OVER (PARTITION BY source) AS BIGINT) AS ct,
+      |    CAST(SUM(obs) OVER () AS BIGINT) AS n
+      |  FROM cells)
+      |SELECT lang, source, obs,
+      |  (rt * ct * 100) // (n * 100) AS expected,
+      |  obs * n * 10 > rt * ct * 12 AS over_rep,
+      |  obs * n * 12 < rt * ct * 10 AS under_rep
+      |FROM t ORDER BY lang, source""".stripMargin
+
+  // ── q141: Benford first-digit screen — the classic fabricated-numbers
+  // audit: leading-digit shares of order totals vs Benford's log10(1+1/d)
+  // expectation. The transcendental expectations are PINNED ppm literals
+  // (both engines read the same table — no runtime log), deviation is
+  // exact integer ppm, flags fire beyond ±2 pp. Uniform synthetic prices
+  // WILL flag heavily — that is the point of the audit (and the gate
+  // replays the verdicts, not just the counts). ──
+  private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+    66947L, 57992L, 51153L, 45757L)
+
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val tot = Window.partitionBy()
+    digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum("n_obs").over(tot))
+      .withColumn("obs_ppm", expr("(n_obs * 1000000) div n"))
+      .withColumn("benford_ppm",
+        element_at(array(BenfordPpm.map(lit): _*), col("digit").cast("int")))
+      .select(col("digit"), col("n_obs"), col("obs_ppm"), col("benford_ppm"),
+        (col("obs_ppm") - col("benford_ppm")).as("dev_ppm"),
+        (abs(col("obs_ppm") - col("benford_ppm")) > 20000L).as("flagged"))
+      .orderBy("digit")
+  }
+
+  private val q141Sql =
+    s"""WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT digit, n_obs,
+      |    (n_obs * 1000000) // CAST(SUM(n_obs) OVER () AS BIGINT) AS obs_ppm,
+      |    CAST(([${BenfordPpm.mkString(", ")}])[CAST(digit AS INT)] AS BIGINT)
+      |      AS benford_ppm
+      |  FROM g)
+      |SELECT digit, n_obs, obs_ppm, benford_ppm,
+      |  obs_ppm - benford_ppm AS dev_ppm,
+      |  abs(obs_ppm - benford_ppm) > 20000 AS flagged
+      |FROM t ORDER BY digit""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -943,5 +1117,9 @@ object Warehouse {
     QueryDef("q134_argmax_top", q134, Some(q134Sql)),
     QueryDef("q135_median_impute", q135, Some(q135Sql)),
     QueryDef("q136_debounce", q136, Some(q136Sql)),
-    QueryDef("q137_rolling_distinct", q137, Some(q137Sql)))
+    QueryDef("q137_rolling_distinct", q137, Some(q137Sql)),
+    QueryDef("q138_two_hop_reach", q138, Some(q138Sql)),
+    QueryDef("q139_transition_matrix", q139, Some(q139Sql)),
+    QueryDef("q140_contingency", q140, Some(q140Sql)),
+    QueryDef("q141_benford", q141, Some(q141Sql)))
 }

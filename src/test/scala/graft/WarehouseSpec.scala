@@ -254,6 +254,57 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q138: two-hop reach matches a brute-force BFS replay") {
+    val rows = q("q138_two_hop_reach").collect()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, dir).count()
+    val edges = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).flatMap { s =>
+        (1 to 3).map(j => (s, (s * s * 31 + j * 97) % n)).filter(p => p._1 != p._2)
+      }
+    val sym = edges.flatMap(p => Seq(p, p.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_id")
+      val h1 = adj(a)
+      val h2 = (h1 ++ h1.flatMap(adj.getOrElse(_, Set.empty[Long]))) - a
+      assert(r.getAs[Long]("n_1hop") == h1.size, s"node $a 1hop")
+      assert(r.getAs[Long]("n_2hop") == h2.size, s"node $a 2hop")
+    }
+  }
+
+  test("q139: transitions conserve events and shares sum to ~10000 bp") {
+    val rows = q("q139_transition_matrix").collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, dir).count()
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers,
+      "each user contributes exactly (events-1) transitions")
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, part) =>
+      val s = part.map(_.getAs[Long]("share_bp")).sum
+      assert(s > 10000 - part.length && s <= 10000, s"$f shares sum $s")
+    }
+  }
+
+  test("q140: contingency cells conserve docs; flags are exclusive") {
+    val rows = q("q140_contingency").collect()
+    assert(rows.map(_.getAs[Long]("obs")).sum ==
+      Tables.documents(spark, dir).count())
+    rows.foreach(r => assert(
+      !(r.getAs[Boolean]("over_rep") && r.getAs[Boolean]("under_rep")), r.toString))
+  }
+
+  test("q141: Benford digits partition the orders; ppm shares sum to ~1e6") {
+    val rows = q("q141_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).forall(d => d >= 1 && d <= 9))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum ==
+      Tables.orders(spark, dir).count())
+    val s = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(s > 1000000 - rows.length && s <= 1000000, s"ppm sum $s")
+    // uniform synthetic prices are NOT Benford — the audit must fire
+    assert(rows.exists(_.getAs[Boolean]("flagged")))
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
