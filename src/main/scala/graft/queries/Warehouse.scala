@@ -1101,6 +1101,109 @@ object Warehouse {
       |  abs(obs_ppm - benford_ppm) > 20000 AS flagged
       |FROM t ORDER BY digit""".stripMargin
 
+  // ── q142: revenue concentration (Pareto/Lorenz) — cumulative revenue
+  // share by customer decile, the 80/20 audit behind account-tiering
+  // decisions. Ranks are deterministic on (cents DESC, custkey); all
+  // shares integer bp over exact cents. The global rank here is
+  // customer-DIM sized; at 1e9-customer scale the same deciles come
+  // from q130's histogram boundaries (range-partitioned rank) instead
+  // of a single-partition window — the decile math is unchanged. ──
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val tot = Window.partitionBy()
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .withColumn("nc", count(lit(1)).over(tot))
+      .withColumn("decile", expr("((rk - 1) * 10) div nc"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"),
+        max("nc").as("nc"))
+      .withColumn("total", sum("cents").over(tot))
+      .withColumn("share_bp", expr("(cents * 10000) div total"))
+      .withColumn("cum_share_bp",
+        expr("(sum(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) * 10000) div total"))
+      .select("decile", "n_cust", "cents", "share_bp", "cum_share_bp")
+      .orderBy("decile")
+  }
+
+  private val q142Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+      |    COUNT(*) OVER () AS nc
+      |  FROM rev),
+      |dec AS (
+      |  SELECT ((rk - 1) * 10) // nc AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cust, CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM ranked GROUP BY 1)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_cust, cents,
+      |  (cents * 10000) // CAST(SUM(cents) OVER () AS BIGINT) AS share_bp,
+      |  (CAST(SUM(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS BIGINT) * 10000)
+      |    // CAST(SUM(cents) OVER () AS BIGINT) AS cum_share_bp
+      |FROM dec ORDER BY decile""".stripMargin
+
+  // ── q143: conversion vs abandonment — the anti-path of q124's
+  // attribution: per activity day, clicks that found a purchase within
+  // the horizon vs clicks that never converted. Same forward as-of
+  // kernel (one window pass, no join operator); abandonment is exactly
+  // the rows attribution drops, so the two queries partition the click
+  // stream between them (conversion+abandonment = all clicks). ──
+  private def q143(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = graft.engine.Silver.dedupLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    AsofJoin.forward(clicks, purchases, "user_id", "ts", "p_ts", Seq("p_id", "p_ts"))
+      .withColumn("converted", col("p_id").isNotNull &&
+        unix_micros(col("p_ts")) - unix_micros(col("ts")) <= AttrHorizonUs)
+      .groupBy(to_date(col("ts")).as("click_date"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("n_abandoned"))
+      .withColumn("conversion_bp", expr("(n_converted * 10000) div n_clicks"))
+      .orderBy("click_date")
+  }
+
+  private val q143Sql =
+    s"""WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id AS p_id
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) rn FROM events
+      |        WHERE event_type = 'purchase') WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT c.ts,
+      |    (p.p_id IS NOT NULL
+      |      AND epoch_us(p.p_ts) - epoch_us(c.ts) <= $AttrHorizonUs)
+      |      AS converted
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts)
+      |SELECT CAST(ts AS DATE) AS click_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_abandoned,
+      |  CAST((SUM(CASE WHEN converted THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+      |    AS BIGINT) AS conversion_bp
+      |FROM j GROUP BY 1 ORDER BY click_date""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -1121,5 +1224,7 @@ object Warehouse {
     QueryDef("q138_two_hop_reach", q138, Some(q138Sql)),
     QueryDef("q139_transition_matrix", q139, Some(q139Sql)),
     QueryDef("q140_contingency", q140, Some(q140Sql)),
-    QueryDef("q141_benford", q141, Some(q141Sql)))
+    QueryDef("q141_benford", q141, Some(q141Sql)),
+    QueryDef("q142_pareto", q142, Some(q142Sql)),
+    QueryDef("q143_conversion", q143, Some(q143Sql)))
 }

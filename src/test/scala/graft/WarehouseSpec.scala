@@ -305,6 +305,32 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("flagged")))
   }
 
+  test("q142: deciles partition customers; cumulative share is monotone to 100%") {
+    val rows = q("q142_pareto").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    assert(rows.map(_.getAs[Long]("n_cust")).sum ==
+      Tables.orders(spark, dir).select("o_custkey").distinct().count())
+    // descending-revenue deciles: per-decile share never increases
+    val shares = rows.map(_.getAs[Long]("share_bp"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b }, shares.toSeq)
+    val cums = rows.map(_.getAs[Long]("cum_share_bp"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == 10000L, "cumulative share must close at 100%")
+  }
+
+  test("q143: conversion and abandonment partition the click stream") {
+    val rows = q("q143_conversion").collect()
+    assert(rows.nonEmpty)
+    val nClicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_.getAs[Long]("n_clicks")).sum == nClicks)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") + r.getAs[Long]("n_abandoned") ==
+        r.getAs[Long]("n_clicks"), r.toString)
+      assert(r.getAs[Long]("conversion_bp") <= 10000L)
+    }
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
