@@ -1204,6 +1204,127 @@ object Warehouse {
       |    AS BIGINT) AS conversion_bp
       |FROM j GROUP BY 1 ORDER BY click_date""".stripMargin
 
+  // ── q144: calendar-gap audit — per event type: days inside the
+  // type's own active span that saw NO events, and the longest such
+  // outage run (the freshness/SLA check a pipeline operator reads
+  // before trusting a rollup). Day spine = integer day indices off one
+  // (min, max) row per type; gaps = spine anti-join actives; runs =
+  // day − rank islands. Everything after the first groupBy runs at DAY
+  // grain (≤ span × |types| rows at any event volume). ──
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+      .localCheckpoint() // day grain; feeds bounds + the anti-join
+    val spine = days.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val gaps = spine.join(days, Seq("event_type", "d"), "left_anti")
+    val run = Window.partitionBy("event_type").orderBy("d")
+    val runs = gaps
+      .withColumn("grp", col("d") - row_number().over(run))
+      .groupBy("event_type", "grp").agg(count(lit(1)).as("run_len"))
+    val act = days.groupBy("event_type")
+      .agg(count(lit(1)).as("n_active"), (max("d") - min("d") + 1).as("n_span"))
+    act.join(runs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_outages"), max("run_len").as("longest_gap_days")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_span"), col("n_active"),
+        (col("n_span") - col("n_active")).as("n_gap_days"),
+        coalesce(col("n_outages"), lit(0L)).as("n_outages"),
+        coalesce(col("longest_gap_days"), lit(0L)).as("longest_gap_days"))
+      .orderBy("event_type")
+  }
+
+  private val q144Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |bounds AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+      |           FROM days GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS d
+      |          FROM bounds),
+      |gaps AS (SELECT s.event_type, s.d FROM spine s
+      |         LEFT JOIN days dd ON s.event_type = dd.event_type AND s.d = dd.d
+      |         WHERE dd.d IS NULL),
+      |runs AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len FROM (
+      |    SELECT event_type, d,
+      |      d - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS grp
+      |    FROM gaps)
+      |  GROUP BY event_type, grp),
+      |act AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n_span
+      |  FROM days GROUP BY 1)
+      |SELECT a.event_type, a.n_span, a.n_active,
+      |  a.n_span - a.n_active AS n_gap_days,
+      |  COALESCE(r.n_outages, 0) AS n_outages,
+      |  COALESCE(r.longest_gap_days, 0) AS longest_gap_days
+      |FROM act a LEFT JOIN (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_outages,
+      |    CAST(MAX(run_len) AS BIGINT) AS longest_gap_days
+      |  FROM runs GROUP BY 1) r USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ── q145: event-time disorder audit — how out-of-order does the
+  // stream actually arrive, measured at BATCH grain (arrival batch =
+  // event_id div 1000, the ingest sequence): a batch is late when its
+  // min event time precedes the running max event time of all EARLIER
+  // batches, and the max such regression is precisely the watermark
+  // delay the streaming jobs (Streams.attribute/debounce/sessionize)
+  // need to avoid dropping data. Batch grain keeps the running-max
+  // window over n/1000 rows — the way disorder is estimated at scale
+  // (within-batch disorder is bounded by the batch's own time span,
+  // reported alongside). ──
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    val batches = Tables.events(spark, dir)
+      .select(col("event_type"), expr("event_id div 1000").as("batch"),
+        unix_micros(col("ts")).as("t"))
+      .groupBy("event_type", "batch")
+      .agg(min("t").as("min_t"), max("t").as("max_t"))
+    val prev = Window.partitionBy("event_type").orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batches
+      .withColumn("prev_max", max("max_t").over(prev))
+      .withColumn("late_us",
+        when(col("prev_max").isNotNull && col("min_t") < col("prev_max"),
+          col("prev_max") - col("min_t")).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late_batches"),
+        max("late_us").as("max_lateness_us"),
+        max(col("max_t") - col("min_t")).as("max_batch_span_us"))
+      .withColumn("watermark_delay_s",
+        expr("(max_lateness_us + 999999) div 1000000"))
+      .orderBy("event_type")
+  }
+
+  private val q145Sql =
+    """WITH b AS (
+      |  SELECT event_type, event_id // 1000 AS batch,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_t,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_t
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, batch, min_t, max_t,
+      |    MAX(max_t) OVER (PARTITION BY event_type ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM b),
+      |l AS (
+      |  SELECT event_type, min_t, max_t,
+      |    CASE WHEN prev_max IS NOT NULL AND min_t < prev_max
+      |      THEN prev_max - min_t ELSE 0 END AS late_us
+      |  FROM m)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_batches,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_lateness_us,
+      |  CAST(MAX(max_t - min_t) AS BIGINT) AS max_batch_span_us,
+      |  (CAST(MAX(late_us) AS BIGINT) + 999999) // 1000000 AS watermark_delay_s
+      |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q119_scd2_pit", q119, Some(q119Sql)),
     QueryDef("q120_join_estimate", q120, Some(q120Sql)),
@@ -1226,5 +1347,7 @@ object Warehouse {
     QueryDef("q140_contingency", q140, Some(q140Sql)),
     QueryDef("q141_benford", q141, Some(q141Sql)),
     QueryDef("q142_pareto", q142, Some(q142Sql)),
-    QueryDef("q143_conversion", q143, Some(q143Sql)))
+    QueryDef("q143_conversion", q143, Some(q143Sql)),
+    QueryDef("q144_gap_audit", q144, Some(q144Sql)),
+    QueryDef("q145_disorder_audit", q145, Some(q145Sql)))
 }

@@ -331,6 +331,43 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q144: gap accounting is internally consistent per type") {
+    val rows = q("q144_gap_audit").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_span") ==
+        r.getAs[Long]("n_active") + r.getAs[Long]("n_gap_days"), r.toString)
+      assert(r.getAs[Long]("longest_gap_days") <= r.getAs[Long]("n_gap_days"))
+      assert((r.getAs[Long]("n_outages") == 0) ==
+        (r.getAs[Long]("n_gap_days") == 0))
+    }
+  }
+
+  test("q145: disorder audit matches a sequential batch replay") {
+    val rows = q("q145_disorder_audit").collect()
+    assert(rows.length == 5)
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val batches = xs.groupBy(_.getLong(1) / 1000).toSeq.sortBy(_._1)
+        .map { case (_, es) => (es.map(_.getLong(2)).min, es.map(_.getLong(2)).max) }
+      var runMax = Long.MinValue; var worst = 0L; var late = 0L
+      batches.foreach { case (mn, mx) =>
+        if (runMax != Long.MinValue && mn < runMax) {
+          late += 1; worst = math.max(worst, runMax - mn)
+        }
+        runMax = math.max(runMax, mx)
+      }
+      assert(r.getAs[Long]("n_batches") == batches.length)
+      assert(r.getAs[Long]("n_late_batches") == late, r.toString)
+      assert(r.getAs[Long]("max_lateness_us") == worst, r.toString)
+      // the suggested delay covers the worst observed regression
+      assert(r.getAs[Long]("watermark_delay_s") * 1000000L >= worst)
+    }
+  }
+
   test("q125: merged intervals match a sequential sweep replay") {
     val rows = q("q125_interval_merge").collect()
     assert(rows.nonEmpty)
