@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * resamples and re-encodes. The AUDIO path is likewise real:
   * javax.sound.sampled (pure JVM) parses WAV/AIFF/AU containers,
   * converts to 16-bit signed PCM, and emits the decoded sample rate,
-  * duration and RMS/peak/zero-crossing features. VIDEO codec work still
-  * needs native libraries not present in this environment — that step
-  * remains a STUB with a deterministic fake, clearly marked below, as is
-  * the fallback for payloads neither an image nor an audio reader
-  * understands. Everything Spark-side is real and tested: the schema
-  * contract, the mapPartitions batch shape (bounded memory per task at
-  * 100 TB), and the feature-column layout.
+  * duration and RMS/peak/zero-crossing features. The VIDEO path is real
+  * for the MJPEG-in-AVI layout: a pure-JDK RIFF walk ([[parseAvi]])
+  * extracts per-frame JPEG chunks that javax.imageio decodes, so
+  * featurize emits real frame dims/count/duration and frame-averaged
+  * pixel features, and sampleFrames emits real frames. Payloads no
+  * reader understands (text bytes, codecs outside the JVM's reach) fall
+  * back to a deterministic byte-statistic stub, clearly marked below.
+  * Everything Spark-side is real and tested: the schema contract, the
+  * mapPartitions batch shape (bounded memory per task at 100 TB), and
+  * the feature-column layout.
   */
 object Multimodal {
 
@@ -41,13 +44,14 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("n_bytes", IntegerType),
     StructField("content_digest", StringType),
-    // real codec output: dims decoded FROM THE BYTES (null ⇔ no image
-    // reader understood the payload) — not an echo of caller metadata
+    // real codec output: dims decoded FROM THE BYTES (image: raster box;
+    // video: first decoded frame) — never an echo of caller metadata;
+    // null ⇔ no reader understood the payload
     StructField("decoded_width", IntegerType),
     StructField("decoded_height", IntegerType),
-    // real audio-codec output (null ⇔ no audio reader understood the
-    // payload): sample rate and duration parsed from the container
+    // real audio-codec output: sample rate parsed from the container
     StructField("decoded_sample_rate", IntegerType),
+    // audio: PCM frames / rate; video: avih frame interval × frames
     StructField("decoded_duration_ms", LongType),
     StructField("feature", ArrayType(FloatType))))
 
@@ -204,11 +208,96 @@ object Multimodal {
       1.0f))
   }
 
-  /** STUB — stands in for a real video decode + model forward pass,
-    * and the fallback for payloads no image or audio reader understands.
-    * Deterministic: a 8-dim "embedding" derived from byte statistics, so
-    * tests and re-runs are stable. Swap this body for the real codec+model
-    * call; the batching contract around it does not change. */
+  /** Parsed AVI main header (avih): frame interval, declared frame
+    * count, and the declared raster box. */
+  private[engine] final case class AviInfo(
+    microSecPerFrame: Long, totalFrames: Long, width: Int, height: Int)
+
+  /** REAL container parse — pure-JDK RIFF/AVI walk: returns the `avih`
+    * main header (when present) and the raw per-frame `##dc`/`##db`
+    * chunk payloads from every `movi` list, in stream order. For the
+    * MJPEG-in-AVI layout those payloads are ordinary JPEG streams that
+    * [[decodeImage]] (javax.imageio) decodes frame by frame — the same
+    * no-native-libs discipline as the image and audio codecs. None ⇔
+    * the bytes are not a RIFF/AVI container (note WAV is RIFF too, but
+    * with form type 'WAVE', so audio payloads are rejected here in the
+    * first 12 bytes). Corrupt/truncated chunk sizes end the walk at the
+    * damage instead of failing the task — frames parsed before the
+    * damage still decode (a data condition, like the other codecs). */
+  private[engine] def parseAvi(content: Array[Byte]): Option[(Option[AviInfo], Vector[Array[Byte]])] = {
+    if (content == null || content.length < 12) return None
+    def fcc(off: Int) = new String(content, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (content(off) & 0xffL) | ((content(off + 1) & 0xffL) << 8) |
+        ((content(off + 2) & 0xffL) << 16) | ((content(off + 3) & 0xffL) << 24)
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    var info: Option[AviInfo] = None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fcc(off)
+        val size = u32(off + 4)
+        val dataStart = off + 8
+        val dataEnd = dataStart + size
+        if (dataEnd > end || size < 0) ok = false // truncated/corrupt: stop here
+        else {
+          id match {
+            case "LIST" if size >= 4 => walk(dataStart + 4, dataEnd.toInt)
+            case "avih" if size >= 40 =>
+              info = Some(AviInfo(u32(dataStart), u32(dataStart + 16),
+                u32(dataStart + 32).toInt, u32(dataStart + 36).toInt))
+            case s if s(0).isDigit && s(1).isDigit &&
+                (s.endsWith("dc") || s.endsWith("db")) =>
+              frames += java.util.Arrays.copyOfRange(content, dataStart, dataEnd.toInt)
+            case _ => ()
+          }
+          off = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
+        }
+      }
+    }
+    try { walk(12, content.length); Some((info, frames.result())) }
+    catch { case _: Exception => None }
+  }
+
+  /** Decoded-video summary produced by [[decodeVideo]]: first-frame
+    * raster dims, decoded frame count, header-derived duration, and the
+    * frame-averaged pixel feature. */
+  private[engine] final case class VideoDecode(
+    width: Int, height: Int, nFrames: Int, durationMs: Long, feature: Array[Float])
+
+  /** REAL codec — MJPEG-in-AVI video decode, pure JDK: [[parseAvi]]
+    * walks the container, [[decodeImage]] decodes each frame chunk, and
+    * the per-frame [[pixelEmbed]] features average into one clip
+    * feature (sequential fold in stream order — deterministic). None ⇔
+    * not an AVI, or no frame chunk decodes (a codec this JVM has no
+    * reader for) — the caller falls back to the byte-statistic stub,
+    * same contract as the image/audio codecs. Duration comes from the
+    * avih frame interval × decoded frames; containers without an avih
+    * report 0 (unknown) rather than a guess. */
+  private[engine] def decodeVideo(content: Array[Byte]): Option[VideoDecode] =
+    parseAvi(content).flatMap { case (info, chunks) =>
+      val imgs = chunks.flatMap(decodeImage)
+      if (imgs.isEmpty) None
+      else {
+        val feats = imgs.map(pixelEmbed)
+        val mean = Array.tabulate(8) { j =>
+          (feats.foldLeft(0.0)(_ + _(j)) / feats.length).toFloat
+        }
+        mean(7) = 1.0f // decoded-flag stays exact under averaging
+        val durMs = info.map(_.microSecPerFrame * imgs.length / 1000L).getOrElse(0L)
+        Some(VideoDecode(imgs.head.getWidth, imgs.head.getHeight,
+          imgs.length, durMs, mean))
+      }
+    }
+
+  /** STUB — the fallback feature for payloads no image, audio, or video
+    * reader understands (text bytes, truncated files, codecs this JVM
+    * lacks). Deterministic: an 8-dim "embedding" derived from byte
+    * statistics, so tests and re-runs are stable. Swap this body for a
+    * model forward pass; the batching contract around it does not
+    * change. */
   private[engine] def decodeAndEmbedStub(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Long](8)
     var i = 0
@@ -242,14 +331,23 @@ object Multimodal {
               case Some(img) =>
                 Row(id, mt, bytes.length, digest,
                   img.getWidth, img.getHeight, null, null, pixelEmbed(img))
-              case None => decodeAudio(bytes) match {
-                // real audio-codec path: rate/duration + sample statistics
-                case Some(a) =>
-                  Row(id, mt, bytes.length, digest, null, null,
-                    a.sampleRate, a.durationMs, a.feature)
-                case None =>
-                  Row(id, mt, bytes.length, digest, null, null, null, null,
-                    decodeAndEmbedStub(bytes))
+              // real video-codec path (checked before audio: both are
+              // RIFF families, and the 12-byte form-type check here is
+              // cheaper than AudioSystem's reader sweep): frame dims +
+              // header duration + frame-averaged pixel features
+              case None => decodeVideo(bytes) match {
+                case Some(v) =>
+                  Row(id, mt, bytes.length, digest, v.width, v.height,
+                    null, v.durationMs, v.feature)
+                case None => decodeAudio(bytes) match {
+                  // real audio-codec path: rate/duration + sample statistics
+                  case Some(a) =>
+                    Row(id, mt, bytes.length, digest, null, null,
+                      a.sampleRate, a.durationMs, a.feature)
+                  case None =>
+                    Row(id, mt, bytes.length, digest, null, null, null, null,
+                      decodeAndEmbedStub(bytes))
+                }
               }
             }
           }
@@ -257,17 +355,29 @@ object Multimodal {
       }(enc)
   }
 
-  /** STUB — frame sampling for video payloads: emits `k` (frame_index,
-    * payload-slice) rows per video. A real implementation seeks keyframes;
-    * the slice fake keeps the fan-out shape (one input row → k rows)
-    * honest. */
+  /** Frame sampling for video payloads — REAL for AVI containers: the
+    * RIFF walk yields the frame chunk list, and `k` evenly-spaced REAL
+    * frames come out (frame_index = the frame's position in the stream,
+    * frame_bytes = its JPEG payload, itself decodable). Payloads that
+    * are not a parseable container keep the deterministic slice fake,
+    * which preserves the fan-out shape (one input row → k rows) for
+    * undecodable data. Chunk-list extraction only — no pixel decode —
+    * so sampling is cheap even on large clips. */
   def sampleFrames(media: DataFrame, k: Int = 3): DataFrame = {
     val frames = udf { (content: Array[Byte]) =>
       val bytes = Option(content).getOrElse(Array.emptyByteArray)
-      (0 until k).map { i =>
-        val from = if (bytes.isEmpty) 0 else (bytes.length.toLong * i / k).toInt
-        val until = if (bytes.isEmpty) 0 else (bytes.length.toLong * (i + 1) / k).toInt
-        (i, java.util.Arrays.copyOfRange(bytes, from, until))
+      parseAvi(bytes) match {
+        case Some((_, chunks)) if chunks.nonEmpty =>
+          (0 until k).map { i =>
+            val idx = (chunks.length.toLong * i / k).toInt
+            (idx, chunks(idx))
+          }
+        case _ =>
+          (0 until k).map { i =>
+            val from = if (bytes.isEmpty) 0 else (bytes.length.toLong * i / k).toInt
+            val until = if (bytes.isEmpty) 0 else (bytes.length.toLong * (i + 1) / k).toInt
+            (i, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
       }
     }
     media.filter(col("media_type") === "video")

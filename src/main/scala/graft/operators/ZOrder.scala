@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Z-order (Morton-curve) data layout — the write-side operator behind the
   * q122 skipping audit (queries/Warehouse.scala).
@@ -33,19 +35,30 @@ object ZOrder {
     }.reduce(_ + _)
 
   /** Quantize a non-negative long column onto [0, 2^bits) given an upper
-    * bound (inclusive max) — integer math, deterministic. */
+    * bound (inclusive max) — explicit integer `div` (mirrors q122's
+    * `//`-based audit math), so the result is exact LongType, never a
+    * Double that could round `maxVal` up to 2^bits and overflow the
+    * interleave. Key magnitude bound: `c * 2^bits` must fit a Long, i.e.
+    * keys < 2^(63-bits) (≈ 2^55 at the default 8 bits). */
   def quantize(c: Column, maxVal: Long, bits: Int = 8): Column =
-    (c * (1L << bits)) / lit(maxVal + 1L)
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(c.cast("long") * lit(1L << bits)),
+      ColumnBridge.expression(lit(maxVal + 1L))))
 
   /** Write `df` z-ordered on two non-negative integer key columns into
     * `nFiles` range-partitioned files at `path`. The z column is dropped
     * before the write (it is derivable layout metadata, not data). */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     path: String, nFiles: Int, bits: Int = 8): Unit = {
-    val r = df.agg(max(colA), max(colB)).head // 2 scalars of model state
+    // 2 scalars of model state; Number-typed read so Integer/Long key
+    // columns both work, and an explicit error on empty input (null max)
+    // instead of an NPE deep in the write.
+    val r = df.agg(max(colA), max(colB)).head
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"writeZOrdered: empty input or all-null keys ($colA, $colB)")
     val z = interleave(
-      quantize(col(colA), r.getLong(0), bits),
-      quantize(col(colB), r.getLong(1), bits), bits)
+      quantize(col(colA), r.getAs[Number](0).longValue, bits),
+      quantize(col(colB), r.getAs[Number](1).longValue, bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

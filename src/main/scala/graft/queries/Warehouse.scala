@@ -1114,8 +1114,6 @@ object Warehouse {
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
     val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
     val tot = Window.partitionBy()
-    val cum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev
       .withColumn("rk", row_number().over(rank).cast("long"))
       .withColumn("nc", count(lit(1)).over(tot))

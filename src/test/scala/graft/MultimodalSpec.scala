@@ -137,6 +137,95 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytes, again))
   }
 
+  /** Real MJPEG-in-AVI bytes via the JVM's own JPEG encoder + a minimal
+    * RIFF writer: 'RIFF…AVI ' → LIST hdrl(avih) → LIST movi(00dc×n).
+    * This is a genuine container — any MJPEG-capable player reads it. */
+  private def avi(frames: Seq[java.awt.image.BufferedImage],
+                  usPerFrame: Long): Array[Byte] = {
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def u32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]) = {
+      val pad: Array[Byte] =
+        if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fcc(id) ++ u32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, data: Array[Byte]) = chunk("LIST", fcc(typ) ++ data)
+    val jpegs = frames.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val w = frames.head.getWidth.toLong
+    val h = frames.head.getHeight.toLong
+    val avih = u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(frames.length) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++
+      Array.fill[Byte](16)(0)
+    val body = fcc("AVI ") ++ list("hdrl", chunk("avih", avih)) ++
+      list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    fcc("RIFF") ++ u32(body.length) ++ body
+  }
+
+  /** Solid-fill frame for the AVI fixtures. */
+  private def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("featurize REALLY decodes AVI payloads: frame dims, duration, pixel features") {
+    // 4 solid-red frames, 16×12, 40 ms each (25 fps) → 160 ms clip
+    val clip = avi(Seq.fill(4)(frame(16, 12, 0xff0000)), usPerFrame = 40000L)
+    val df = media((1L, "video", clip),
+      (2L, "image", clip), // AVI bytes under an image label still decode
+      (3L, "video", "definitely not a video".getBytes("UTF-8")))
+    val out = Multimodal.featurize(df).orderBy("media_id").collect()
+
+    // container facts come from the BYTES: first-frame dims, avih duration
+    assert(out(0).getAs[Int]("decoded_width") == 16)
+    assert(out(0).getAs[Int]("decoded_height") == 12)
+    assert(out(0).getAs[Long]("decoded_duration_ms") == 160L)
+    assert(out(0).isNullAt(out(0).fieldIndex("decoded_sample_rate")))
+    val f = out(0).getSeq[Float](out(0).fieldIndex("feature"))
+    // JPEG is lossy but solid red survives to ~1 digit
+    assert(math.abs(f(0) - 1.0f) < 0.05 && f(1) < 0.1f && f(2) < 0.1f,
+      s"solid-red clip must embed as (≈1,≈0,≈0,…): $f")
+    assert(f(7) == 1.0f, "decoded-flag must be set on the real-codec path")
+
+    // sniffing trusts bytes, not the media_type label…
+    assert(out(1).getAs[Int]("decoded_width") == 16)
+    // …and undecodable payloads fall back to the stub with null dims
+    assert(out(2).isNullAt(out(2).fieldIndex("decoded_width")))
+    val stub = out(2).getSeq[Float](out(2).fieldIndex("feature"))
+    assert(math.abs(stub.sum - 1.0f) < 1e-5, "stub path is the byte histogram")
+
+    // determinism across runs
+    val again = Multimodal.featurize(df).orderBy("media_id").collect()
+    assert(again(0).getSeq[Float](again(0).fieldIndex("feature")) == f)
+  }
+
+  test("sampleFrames emits REAL evenly-spaced frames from AVI payloads") {
+    // 6 frames with distinct fills so frame identity is observable
+    val fills = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff, 0xff00ff)
+    val clip = avi(fills.map(frame(8, 8, _)), usPerFrame = 40000L)
+    val df = media((1L, "video", clip))
+    val out = Multimodal.sampleFrames(df, k = 3).orderBy("frame_index").collect()
+    assert(out.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 2, 4),
+      "k=3 over 6 frames samples stream positions 0, 2, 4")
+    out.zip(Seq(0xff0000, 0x0000ff, 0x00ffff)).foreach { case (r, rgb) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img != null, "sampled frame must be a decodable JPEG")
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      val p = img.getRGB(4, 4)
+      def d(a: Int, b: Int) = math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+        math.abs((a & 0xff) - (b & 0xff))
+      assert(d(p, rgb) < 60, f"frame fill survives JPEG: got ${p & 0xffffff}%06x want $rgb%06x")
+    }
+  }
+
   test("featurize batches within partitions (batch boundary has no effect)") {
     val rows = (1L to 100L).map(i => (i, "image", Array.fill(10)(i.toByte)))
     val small = Multimodal.featurize(media(rows: _*), batchSize = 7).orderBy("media_id").collect()
