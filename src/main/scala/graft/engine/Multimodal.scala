@@ -233,32 +233,45 @@ object Multimodal {
     if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
     var info: Option[AviInfo] = None
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
-      var off = start
-      var ok = true
-      while (ok && off + 8 <= end) {
-        val id = fcc(off)
-        val size = u32(off + 4)
-        val dataStart = off + 8
-        val dataEnd = dataStart + size
-        if (dataEnd > end || size < 0) ok = false // truncated/corrupt: stop here
-        else {
-          id match {
-            case "LIST" if size >= 4 => walk(dataStart + 4, dataEnd.toInt)
-            case "avih" if size >= 40 =>
-              info = Some(AviInfo(u32(dataStart), u32(dataStart + 16),
-                u32(dataStart + 32).toInt, u32(dataStart + 36).toInt))
-            case s if s(0).isDigit && s(1).isDigit &&
-                (s.endsWith("dc") || s.endsWith("db")) =>
-              frames += java.util.Arrays.copyOfRange(content, dataStart, dataEnd.toInt)
-            case _ => ()
+    // Iterative walk with an explicit (start, end) work stack: a crafted
+    // payload can nest LIST chunks ~12 bytes per level, so a recursive
+    // walk would StackOverflowError (an Error the data-condition catch
+    // below deliberately does not swallow). Stack depth here is heap-
+    // bounded; each LIST pushes exactly one range, so the stack never
+    // exceeds the chunk count.
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((12, content.length))
+    try {
+      while (stack.nonEmpty) {
+        var (off, end) = stack.pop()
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val id = fcc(off)
+          val size = u32(off + 4)
+          val dataStart = off + 8
+          val dataEnd = dataStart + size
+          if (dataEnd > end || size < 0) ok = false // truncated/corrupt: stop here
+          else {
+            id match {
+              case "LIST" if size >= 4 =>
+                // DFS order preserved: push this level's continuation,
+                // then the nested range (popped first), and break
+                stack.push(((dataEnd + (size & 1)).toInt, end))
+                stack.push((dataStart + 4, dataEnd.toInt))
+                ok = false
+              case "avih" if size >= 40 =>
+                info = Some(AviInfo(u32(dataStart), u32(dataStart + 16),
+                  u32(dataStart + 32).toInt, u32(dataStart + 36).toInt))
+              case s if s(0).isDigit && s(1).isDigit &&
+                  (s.endsWith("dc") || s.endsWith("db")) =>
+                frames += java.util.Arrays.copyOfRange(content, dataStart, dataEnd.toInt)
+              case _ => ()
+            }
+            if (ok) off = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
           }
-          off = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
         }
       }
-    }
-    try { walk(12, content.length); Some((info, frames.result())) }
-    catch { case _: Exception => None }
+      Some((info, frames.result()))
+    } catch { case _: Exception => None }
   }
 
   /** Decoded-video summary produced by [[decodeVideo]]: first-frame
@@ -368,8 +381,12 @@ object Multimodal {
       val bytes = Option(content).getOrElse(Array.emptyByteArray)
       parseAvi(bytes) match {
         case Some((_, chunks)) if chunks.nonEmpty =>
-          (0 until k).map { i =>
-            val idx = (chunks.length.toLong * i / k).toInt
+          // min(k, frames) evenly-spaced DISTINCT indices: with fewer
+          // frames than k the even-spacing formula would repeat indices,
+          // and consumers key on (media_id, frame_index)
+          val take = math.min(k, chunks.length)
+          (0 until take).map { i =>
+            val idx = (chunks.length.toLong * i / take).toInt
             (idx, chunks(idx))
           }
         case _ =>

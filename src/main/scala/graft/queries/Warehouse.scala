@@ -929,12 +929,34 @@ object Warehouse {
 
   // ── q138: two-hop reach — friend-of-friend audience size per node
   // over q92's link graph (the influence metric PageRank approximates
-  // globally, measured exactly at radius 2). One adjacency self-join on
-  // the mid node; fan-out is Σdeg² — the quantity the q131-style degree
-  // census prices BEFORE running it at 100 TB (a hub-heavy graph wants
-  // the q132 degree-orientation treatment instead). Distinct-union per
-  // node, self excluded; top-20 by reach, tie-broken on node id. ──
-  private def q138(spark: SparkSession, dir: String): DataFrame = {
+  // globally, measured exactly at radius 2). TWO selectable wedge
+  // enumerations, both exact (the spec pins their equality):
+  //   - naive: one adjacency self-join on the mid node — Σdeg² ORDERED
+  //     pairs of fan-out (every wedge twice, plus deg self-pairs), with
+  //     the whole mass keyed on the mid node, so one hub melts its
+  //     shuffle partition;
+  //   - degree-oriented (q132's orientation: each edge points from its
+  //     lower (deg, id) endpoint): every wedge enumerated exactly ONCE
+  //     as one of three equi-joins — out–out pairs at the center (out-
+  //     degree is O(√m) under the orientation, so this join is skew-
+  //     proof), directed 2-paths a→b→c (fan indeg·outdeg ≤ indeg·O(√m)),
+  //     and in–in pairs (C(indeg,2) — exactly the intrinsic answer mass;
+  //     no exact algorithm emits less). Halves total fan-out and bounds
+  //     two of the three joins independently of hub degree.
+  // The Σdeg² census (the q131-style pre-flight) picks the path:
+  // above [[TwoHopFanoutCap]] the oriented enumeration runs. Distinct-
+  // union per node, self excluded; top-20 by reach, tie-broken on id. ──
+  /** Σdeg² fan-out cap above which q138 switches from the naive mid-node
+    * self-join to the degree-oriented wedge enumeration. */
+  private[graft] val TwoHopFanoutCap = 64L * 1000 * 1000
+
+  private def q138(spark: SparkSession, dir: String): DataFrame =
+    q138TwoHop(spark, dir, forceOriented = None)
+
+  /** Both q138 wedge enumerations behind one census-driven selector;
+    * `forceOriented` lets the spec pin their equality at test scale. */
+  private[graft] def q138TwoHop(spark: SparkSession, dir: String,
+      forceOriented: Option[Boolean]): DataFrame = {
     val d = TrainData.docsParallel(spark, dir).select(col("doc_id"))
     val n = Tables.documents(spark, dir).count() // driver scalar (q92 pattern)
     val adj = d.select(col("doc_id").as("src"),
@@ -949,8 +971,43 @@ object Warehouse {
     val sym = adj.select(col("u").as("a"), col("v").as("b"))
       .unionAll(adj.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
-    val hop2 = sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      .select(col("a"), col("c").as("b"))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    // the q131-style pre-flight: Σdeg² prices the naive join BEFORE it runs
+    val fanout = deg.agg(sum(col("deg") * col("deg")).as("f"))
+      .collect()(0).getLong(0) // driver scalar: one number off the degree census
+    val oriented = forceOriented.getOrElse(fanout > TwoHopFanoutCap)
+    val hop2 =
+      if (!oriented)
+        sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select(col("a"), col("c").as("b"))
+      else {
+        // q132's orientation: u–v points from lower (deg, id) to higher
+        val ori = adj
+          .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(col("du") < col("dv") ||
+                (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("x"), col("v").as("y")))
+              .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+          .select(col("e.x").as("a"), col("e.y").as("b"))
+          .localCheckpoint() // consumed by all three wedge cases
+        // every wedge {p, center, q} lands in exactly one case, once:
+        // both edges out of the center / a directed 2-path / both into it
+        val outOut = ori.join(ori.select(col("a"), col("b").as("c")), Seq("a"))
+          .filter(col("b") < col("c"))
+          .select(col("b").as("p"), col("c").as("q"))
+        val dirPath = ori // a→b→c: ord(a) < ord(b) < ord(c) ⇒ endpoints differ
+          .join(ori.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select(col("a").as("p"), col("c").as("q"))
+        val inIn = ori.select(col("b").as("m"), col("a").as("p"))
+          .join(ori.select(col("b").as("m"), col("a").as("q")), Seq("m"))
+          .filter(col("p") < col("q"))
+          .select(col("p"), col("q"))
+        val wedges = outOut.unionAll(dirPath).unionAll(inIn)
+        wedges.select(col("p").as("a"), col("q").as("b"))
+          .unionAll(wedges.select(col("q").as("a"), col("p").as("b")))
+      }
     val reach = sym.select(col("a"), col("b"))
       .unionAll(hop2)
       .filter(col("a") =!= col("b"))
@@ -1104,23 +1161,58 @@ object Warehouse {
   // ── q142: revenue concentration (Pareto/Lorenz) — cumulative revenue
   // share by customer decile, the 80/20 audit behind account-tiering
   // decisions. Ranks are deterministic on (cents DESC, custkey); all
-  // shares integer bp over exact cents. The global rank here is
-  // customer-DIM sized; at 1e9-customer scale the same deciles come
-  // from q130's histogram boundaries (range-partitioned rank) instead
-  // of a single-partition window — the decile math is unchanged. ──
-  private def q142(spark: SparkSession, dir: String): DataFrame = {
+  // shares integer bp over exact cents. TWO selectable rank paths, both
+  // exact (the spec pins their equality):
+  //   - exact-window: one customer-grain row_number — the simple plan,
+  //     but its Window.orderBy is a single-partition barrier, so it is
+  //     only taken while the customer census stays under
+  //     [[ParetoWindowCap]];
+  //   - value-census (q130's histogram-boundary rule at cents grain):
+  //     rank = (#customers with strictly higher cents, read off a
+  //     cumulative window over the DISTINCT-cents census) + row_number
+  //     within the customer's own cents value (a PARTITIONED window on
+  //     cents, ordered by custkey — the same tie-break as the exact
+  //     path). The only global-order window left runs at value grain,
+  //     which is bounded by the money domain, not the customer count —
+  //     at 1e9 customers the barrier processes ~1e5 distinct cents
+  //     values while every customer-grain step stays partitioned. ──
+  /** Customer-census threshold above which q142 abandons the
+    * single-partition exact-rank window for the value-census rank. */
+  private[graft] val ParetoWindowCap = 8L * 1000 * 1000
+
+  private def q142(spark: SparkSession, dir: String): DataFrame =
+    q142Pareto(spark, dir, forceScalePath = None)
+
+  /** Both q142 rank paths behind one census-driven selector;
+    * `forceScalePath` lets the spec pin their equality at test scale. */
+  private[graft] def q142Pareto(spark: SparkSession, dir: String,
+      forceScalePath: Option[Boolean]): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val nCust = rev.count() // driver scalar (q92's pattern) = the trigger census
+    val scalePath = forceScalePath.getOrElse(nCust > ParetoWindowCap)
+    val ranked =
+      if (!scalePath) {
+        val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
+        rev.withColumn("rk", row_number().over(rank).cast("long"))
+      } else {
+        val byValue = rev.groupBy("cents").agg(count(lit(1)).as("vcnt"))
+        val cum = Window.orderBy(col("cents").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val above = byValue
+          .withColumn("above", sum("vcnt").over(cum) - col("vcnt"))
+          .select(col("cents"), col("above"))
+        val within = Window.partitionBy("cents").orderBy("o_custkey")
+        rev.join(above, Seq("cents"))
+          .withColumn("rk", col("above") + row_number().over(within).cast("long"))
+      }
     val tot = Window.partitionBy()
-    rev
-      .withColumn("rk", row_number().over(rank).cast("long"))
-      .withColumn("nc", count(lit(1)).over(tot))
+    ranked
+      .withColumn("nc", lit(nCust))
       .withColumn("decile", expr("((rk - 1) * 10) div nc"))
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"),
-        max("nc").as("nc"))
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"))
       .withColumn("total", sum("cents").over(tot))
       .withColumn("share_bp", expr("(cents * 10000) div total"))
       .withColumn("cum_share_bp",

@@ -35,8 +35,11 @@ object Writers {
     try body(dir.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(dir)
+      // materialize before closing, close before deleting: the stream
+      // holds a directory handle per open level until closed
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

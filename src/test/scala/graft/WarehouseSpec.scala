@@ -394,4 +394,24 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getAs[Long]("n_events") == starts.length)
     }
   }
+
+  test("q142: value-census rank path equals the exact-window path") {
+    val exact = graft.queries.Warehouse
+      .q142Pareto(spark, dir, forceScalePath = Some(false)).collect().toSeq
+    val census = graft.queries.Warehouse
+      .q142Pareto(spark, dir, forceScalePath = Some(true)).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(exact == census,
+      s"paths diverge:\nexact=${exact.mkString("\n")}\ncensus=${census.mkString("\n")}")
+  }
+
+  test("q138: degree-oriented wedge path equals the naive self-join path") {
+    val naive = graft.queries.Warehouse
+      .q138TwoHop(spark, dir, forceOriented = Some(false)).collect().toSeq
+    val oriented = graft.queries.Warehouse
+      .q138TwoHop(spark, dir, forceOriented = Some(true)).collect().toSeq
+    assert(naive.nonEmpty)
+    assert(naive == oriented,
+      s"paths diverge:\nnaive=${naive.mkString("\n")}\noriented=${oriented.mkString("\n")}")
+  }
 }
