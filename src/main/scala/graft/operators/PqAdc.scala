@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+
+/** Product-quantization encode + asymmetric-distance-computation (ADC)
+  * search — the fine-quantizer half of the FAISS-style IVFADC design
+  * (reference capability: similarity search over an embedding column;
+  * [[IvfFlat]] is the coarse half, this composes with it).
+  *
+  * Scale design:
+  *   - Codebooks (M subspaces × K codewords × subDim floats) are
+  *     driver-side model state embedded as plan literals — the same
+  *     contract as [[IvfFlat.assign]]'s centroids. Encoding is a
+  *     ZERO-SHUFFLE row-local projection: M·K squared-L2 folds per row,
+  *     argmin per subspace — the corpus is touched once, map-side, and
+  *     at rest each vector is M small codes instead of dim floats.
+  *   - Search never brings full vectors to the distance loop: per probe
+  *     a LOOKUP TABLE of M×K probe→codeword distances is computed ONCE
+  *     on the (tiny) probe side, and the candidate scan is M integer
+  *     array lookups + an integer sum per candidate — no per-candidate
+  *     float fold until the exact re-rank, which touches only the
+  *     `shortlist` survivors. That asymmetry (probe pays M·K folds once,
+  *     candidates pay O(M) lookups each) is what makes a 100 TB corpus
+  *     scannable: the scan cost per row is independent of `dim`.
+  *   - Determinism: per-subspace distances are left-to-right double
+  *     folds (bit-identical across engines — the q112 contract), then
+  *     quantized to e9 fixed-point BEFORE the cross-subspace sum, so the
+  *     ADC total is an exact integer — partitioning and row order cannot
+  *     move it, and ranking ties break to the lowest candidate id.
+  */
+object PqAdc {
+
+  /** Squared L2 between a subvector slice and one codeword, as a
+    * deterministic left-to-right `subDim`-term double fold. */
+  private def d2(sub: Column, cw: Array[Float]): Column =
+    aggregate(
+      zip_with(sub, typedLit(cw), (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ encode: adds `codes` — ARRAY<INT> of length M where codes(m) is
+    * the 1-based argmin-L2² codeword of subspace m (ties → lowest code).
+    * `codebooks(m)(k)` is codeword k of subspace m, each of `subDim`
+    * floats; the input vector must have M·subDim dimensions. */
+  def encode(vecs: DataFrame, codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+             vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.size >= 2),
+      "pq_adc: need >= 1 subspace with >= 2 codewords each")
+    val codes = codebooks.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(col(vecCol), m * subDim + 1, subDim)
+      val dists = array(cb.map(cw => d2(sub, cw)): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    vecs.withColumn("codes", array(codes: _*))
+  }
+
+  /** IVFADC search: IVF-prune candidate clusters (nprobe nearest
+    * centroids per probe, [[IvfFlat.probe]]'s ranking), ADC-scan the
+    * candidates' PQ codes against the probe's lookup table keeping the
+    * `shortlist` best (ascending integer adc_e9, ties → lowest id), then
+    * exact-cosine re-rank ONLY the shortlist to the final top `k`.
+    *
+    * `assigned` must carry `idCol`, `vecCol`, `cluster` (from
+    * [[IvfFlat.assign]]) and `codes` (from [[encode]], built with the
+    * same `codebooks`/`subDim`). Probes present in the corpus are
+    * excluded from their own results. */
+  def search(assigned: DataFrame, probes: DataFrame,
+             centroids: Seq[Array[Float]], codebooks: Seq[Seq[Array[Float]]],
+             subDim: Int, nprobe: Int, shortlist: Int, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size, s"pq_adc: nprobe=$nprobe out of range")
+    require(shortlist >= k, s"pq_adc: shortlist=$shortlist must cover k=$k")
+    val m = codebooks.size
+    // probe → nprobe nearest centroids, with the probe's ADC lookup
+    // table (M arrays of K e9-quantized distances) computed in the same
+    // tiny projection — P×nprobe rows, broadcast-sized
+    val centRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("__pc_cos").desc, col("__cent_id"))
+    val luts = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(probeVecCol), mi * subDim + 1, subDim)
+      array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lut$mi")
+    }
+    val probeClusters = probes
+      .select(Seq(col(probeIdCol), col(probeVecCol),
+        posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv"))) ++ luts: _*)
+      .select(Seq(col(probeIdCol), col(probeVecCol),
+        (col("__pos") + 1).cast("int").as("__cent_id"),
+        CosineSimilarity(col(probeVecCol), col("__cv")).as("__pc_cos")) ++
+        (0 until m).map(mi => col(s"__lut$mi")): _*)
+      .withColumn("__cr", row_number().over(centRank))
+      .filter(col("__cr") <= nprobe)
+      .drop("__cr", "__pc_cos")
+    // candidate fetch (broadcast probe list, corpus never shuffles) +
+    // ADC scan: M integer lookups and an integer sum per candidate
+    val adcE9 = (0 until m)
+      .map(mi => element_at(col(s"__lut$mi"), element_at(col("codes"), mi + 1)))
+      .reduce(_ + _)
+    val sRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("adc_e9").asc, col(idCol))
+    val kRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    assigned
+      .join(broadcast(probeClusters), col("cluster") === col("__cent_id"))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .withColumn("adc_e9", adcE9)
+      .withColumn("__sr", row_number().over(sRank))
+      .filter(col("__sr") <= shortlist)
+      // exact distance only for shortlist survivors
+      .withColumn("cosine", CosineSimilarity(col(probeVecCol), col(vecCol)))
+      .withColumn("rk", row_number().over(kRank).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
+        col("adc_e9"), col("cosine"), col("rk"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{IvfFlat, MinHashLsh}
+import graft.operators.{IvfFlat, MinHashLsh, PqAdc}
 
 /** Round-5+ training-data operators: corpus governance, index-quality
   * measurement, sketch maintenance and tokenizer training on top of the
@@ -1013,6 +1013,140 @@ object TrainData2 {
       |  CAST(SUM(CAST(round(d2 * 1e9) AS BIGINT)) AS BIGINT) AS dist2_e9_sum
       |FROM best GROUP BY 1, 2 ORDER BY m, code""".stripMargin
 
+  // ── q151: IVFADC search — the composed production index: q76's IVF
+  // coarse pruning (trained centroids, nprobe clusters) + q112's PQ
+  // codes scanned by ASYMMETRIC DISTANCE (per-probe M×K lookup table of
+  // e9-fixed-point probe→codeword distances; each candidate costs M
+  // integer lookups + an integer sum, never a float fold) → shortlist →
+  // exact-cosine re-rank of the shortlist only → top-k, scored against
+  // brute-force ground truth per probe (q80's recall pattern). The
+  // oracle replays the FULL lifecycle — Lloyd training, PQ encode,
+  // probe LUT, ADC ranking, re-rank, recall — so a drift anywhere in
+  // train→encode→scan→re-rank breaks the gate. Scale: the corpus-side
+  // scan touches codes only (M bytes/row, dim-independent); full
+  // vectors are read solely for the ≤shortlist survivors per probe. ──
+  private val AdcShortlist = 2 * TrainData.IvfTopK
+
+  private def q151(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = TrainData.embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val codebooks = (0 until PqM).map(m =>
+      seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val encoded = PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, PqSub)
+    val ivfadc = PqAdc.search(encoded, probes, cents, codebooks, PqSub,
+        nprobe = TrainData.IvfNprobe, shortlist = AdcShortlist,
+        k = TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val wk = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    val brute = probes
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", TrainData.cosine(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = brute.join(ivfadc, Seq("probe_id", "cand_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TrainData.IvfTopK)
+          .as("recall_at_k"))
+      .orderBy("probe_id")
+  }
+
+  private val q151Sql =
+    s"""WITH ${TrainData.kmTrainCtesSql},
+      |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+      |cb AS (
+      |  SELECT ms.m, CAST(e.vec_id + 1 AS INT) AS code,
+      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
+      |  FROM ms CROSS JOIN
+      |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PqK) e),
+      |sub AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+      |  FROM embeddings e CROSS JOIN ms),
+      |d AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+      |         * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))), 'sum') AS d2
+      |  FROM sub s JOIN cb c ON s.m = c.m),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM d
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
+      |psub AS (
+      |  SELECT p.probe_id, ms.m,
+      |    list_slice(p.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+      |  FROM probes p CROSS JOIN ms),
+      |plut AS (
+      |  SELECT s.probe_id, s.m, c.code,
+      |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+      |         * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))), 'sum')
+      |      * 1e9) AS BIGINT) AS d2e9
+      |  FROM psub s JOIN cb c ON s.m = c.m),
+      |pc AS (
+      |  SELECT p.probe_id, c.cid,
+      |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
+      |  FROM probes p CROSS JOIN c2 c),
+      |probed AS (
+      |  SELECT probe_id, cid FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY pc_cos DESC, cid) <= ${TrainData.IvfNprobe}),
+      |cand AS (
+      |  SELECT pr.probe_id, a.vec_id AS cand_id
+      |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
+      |  WHERE a.vec_id != pr.probe_id),
+      |adc AS (
+      |  SELECT cd.probe_id, cd.cand_id, CAST(SUM(l.d2e9) AS BIGINT) AS adc_e9
+      |  FROM cand cd
+      |  JOIN codes co ON co.vec_id = cd.cand_id
+      |  JOIN plut l ON l.probe_id = cd.probe_id AND l.m = co.m AND l.code = co.code
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT probe_id, cand_id FROM adc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY adc_e9, cand_id) <= $AdcShortlist),
+      |rescored AS (
+      |  SELECT s.probe_id, s.cand_id,
+      |    ${TrainData.cosExprSql("pe.embedding", "ce.embedding")} AS cosine
+      |  FROM short s
+      |  JOIN embeddings pe ON s.probe_id = pe.vec_id
+      |  JOIN embeddings ce ON s.cand_id = ce.vec_id),
+      |ivfadc AS (
+      |  SELECT probe_id, cand_id FROM rescored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |bscored AS (
+      |  SELECT p.probe_id, e.vec_id AS cand_id,
+      |    ${TrainData.cosExprSql("p.embedding", "e.embedding")} AS cosine
+      |  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id),
+      |brute AS (
+      |  SELECT probe_id, cand_id FROM bscored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |hits AS (
+      |  SELECT b.probe_id, COUNT(*) AS n_hits
+      |  FROM brute b JOIN ivfadc i
+      |    ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+      |  GROUP BY 1)
+      |SELECT p.probe_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${TrainData.IvfTopK} AS recall_at_k
+      |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+      |ORDER BY p.probe_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1026,5 +1160,6 @@ object TrainData2 {
     QueryDef("q88_bpe_batch", q88, Some(q88Sql)),
     QueryDef("q89_bpe_encode", q89, Some(q89Sql)),
     QueryDef("q92_pagerank", q92, Some(q92Sql)),
-    QueryDef("q112_pq_encode", q112, Some(q112Sql)))
+    QueryDef("q112_pq_encode", q112, Some(q112Sql)),
+    QueryDef("q151_ivfadc", q151, Some(q151Sql)))
 }

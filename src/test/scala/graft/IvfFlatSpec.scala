@@ -228,4 +228,44 @@ class IvfFlatSpec extends SparkSpec {
       plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
+
+  test("IVFADC with a full-coverage shortlist equals IVF-Flat exactly") {
+    // when the ADC shortlist covers every candidate, the exact re-rank
+    // sees the same set IvfFlat.probe scores — results must be identical
+    val subDim = 4 // 16-dim vectors → M=4 subspaces
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim)).toSeq)
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val encoded = graft.operators.PqAdc.encode(assigned, codebooks, subDim)
+    val probes = corpusDf.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val adc = graft.operators.PqAdc.search(encoded, probes, cents, codebooks,
+        subDim, nprobe = 3, shortlist = corpus.size, k = 5)
+      .select("probe_id", "cand_id", "cluster", "cosine", "rk")
+      .collect().map(_.toSeq).toSet
+    val flat = IvfFlat.probe(assigned, probes, cents, nprobe = 3, k = 5)
+      .select("probe_id", "cand_id", "cluster", "cosine", "rk")
+      .collect().map(_.toSeq).toSet
+    assert(flat.nonEmpty)
+    assert(adc == flat, s"adc=$adc\nflat=$flat")
+  }
+
+  test("IVFADC shortlist prunes by ADC distance but never below k results") {
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim)).toSeq)
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val encoded = graft.operators.PqAdc.encode(assigned, codebooks, subDim)
+    val probes = corpusDf.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val res = graft.operators.PqAdc.search(encoded, probes, cents, codebooks,
+        subDim, nprobe = 8, shortlist = 5, k = 5).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 3)
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length == 5, s"probe $p returned ${rs.length} of k=5")
+      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to 5), s"probe $p ranks $rks")
+    }
+  }
 }
