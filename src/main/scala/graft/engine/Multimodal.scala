@@ -602,9 +602,9 @@ object Multimodal {
     * aHash even though their BYTES (and so their content digests)
     * differ. Scale: decode+hash is row-local (mapPartitions-class work
     * fused into the scan); the only exchange is a groupBy on the 8-byte
-    * hash. Near-dup matching (Hamming ≤ k) would band the 64 bits
-    * exactly like q22's SimHash banding — same machinery, image
-    * payloads. */
+    * hash. For Hamming ≤ k NEAR-dups (brightness-nudged or slightly
+    * cropped copies whose hashes differ in a few bits) use
+    * [[imageNearDup]]. */
   def imageHashDedup(media: DataFrame): DataFrame = {
     val ah = udf((content: Array[Byte]) => aHash64(content))
     dedupByHash(media.select(col("media_id"), ah(col("content")).as("phash")))
@@ -613,10 +613,86 @@ object Multimodal {
   /** Audio dedup by acoustic fingerprint — the audio-side twin of
     * [[imageHashDedup]]: container/endianness re-encodes of the same
     * PCM (WAV ↔ AIFF) group under one [[audioHash64]] despite differing
-    * bytes. Same keeper policy, same single-shuffle shape. */
+    * bytes. Same keeper policy, same single-shuffle shape. Hamming ≤ k
+    * variant: [[audioNearDup]]. */
   def audioHashDedup(media: DataFrame): DataFrame = {
     val ah = udf((content: Array[Byte]) => audioHash64(content))
     dedupByHash(media.select(col("media_id"), ah(col("content")).as("phash")))
+  }
+
+  /** Banded Hamming-≤k NEAR-dup over 64-bit perceptual hashes — q51's
+    * SimHash machinery (Manku et al., WWW'07) pointed at media
+    * fingerprints: the hash splits into 4 × 16-bit bands, any pair
+    * within Hamming distance ≤ 3 agrees exactly on ≥ 1 band by
+    * pigeonhole (guaranteed recall, not probabilistic), band buckets
+    * above `maxBucket` are dropped (the hub cap every LSH path here
+    * shares), survivors pair within buckets, exact 64-bit `bit_count`
+    * filters to ≤ `maxHamming`, and [[graft.operators.ConnectedComponents]]
+    * resolves transitive groups to a min-id keeper. NULL hashes
+    * (undecodable payloads) keep themselves and never group.
+    *
+    * Input: `media_id` + `phash` (64-bit fingerprint). Output mirrors
+    * [[imageHashDedup]]: media_id, phash, keeper, n_members, is_dup.
+    * Scale: candidate generation is bucketed + capped (never all-pairs),
+    * the exact filter touches only in-bucket pairs, and CC contracts in
+    * O(log n) rounds — the same 100 TB story as the text near-dup path. */
+  def nearDupByHash(hashed: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"near_dup: 4x16 banding guarantees recall only for hamming 1..3, got $maxHamming")
+    // one materialization: the banded relation feeds the bucket-size
+    // probe, both pair sides and the final attach (q51's rationale)
+    val h = hashed.select(col("media_id"), col("phash")).localCheckpoint()
+    val bandStructs = (1 to 4).map(band => struct(
+      lit(band).as("band"),
+      shiftright(col("phash"), 16 * (band - 1)).bitwiseAND(lit(65535L)).as("bk")))
+    val banded = h.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val small = banded.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "bk")
+    val kept = banded.join(small, Seq("band", "bk"))
+    val a = kept.select(col("band"), col("bk"),
+      col("media_id").as("a_id"), col("phash").as("a_h"))
+    val b = kept.select(col("band"), col("bk"),
+      col("media_id").as("b_id"), col("phash").as("b_h"))
+    val pairs = a.join(b, Seq("band", "bk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_h ^ b_h) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id")
+    val comps = graft.operators.ConnectedComponents(pairs, "a_id", "b_id")
+      .select(col("node").as("media_id"), col("comp"))
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
+    h.join(comps, Seq("media_id"), "left")
+      .join(sizes, Seq("comp"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("comp"), col("media_id")).as("keeper"),
+        coalesce(col("__sz"), lit(1L)).as("n_members"),
+        (coalesce(col("comp"), col("media_id")) =!= col("media_id")).as("is_dup"))
+  }
+
+  /** Image NEAR-dup: [[aHash64]] fingerprints through [[nearDupByHash]]
+    * — catches the brightness-nudged / re-sampled copy whose hash
+    * differs from the original's in ≤ `maxHamming` bits, which the
+    * exact-equality [[imageHashDedup]] misses. */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val ah = udf((content: Array[Byte]) => aHash64(content))
+    nearDupByHash(media.select(col("media_id"), ah(col("content")).as("phash")),
+      maxHamming, maxBucket)
+  }
+
+  /** Audio NEAR-dup: [[audioHash64]] envelopes through
+    * [[nearDupByHash]] — the slightly-trimmed or re-leveled clip whose
+    * envelope words differ in a few windows. */
+  def audioNearDup(media: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val ah = udf((content: Array[Byte]) => audioHash64(content))
+    nearDupByHash(media.select(col("media_id"), ah(col("content")).as("phash")),
+      maxHamming, maxBucket)
   }
 
   /** Build a synthetic media table from `documents` (text bytes as payload)

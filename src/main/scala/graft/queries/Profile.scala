@@ -187,6 +187,63 @@ object Profile {
       |  CAST(MAX(length(text)) AS INTEGER) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
+  // ── q152: perceptual NEAR-dup census — drives the banded
+  // Hamming-≤3 media-fingerprint kernel (Multimodal.nearDupByHash: the
+  // machinery behind imageNearDup/audioNearDup) end-to-end through the
+  // oracle. The codec half (aHash/envelope words) can only be
+  // spec-gated — DuckDB cannot decode pixels — so the gated input is a
+  // deterministic 60-bit stand-in fingerprint both engines derive
+  // identically: 15 md5 nibbles of the GROUP key (media_id div 4, the
+  // q22 hex-to-int primitive), XOR-perturbed by media_id % 4 — members
+  // of a group sit within Hamming ≤ 2 of each other (the planted
+  // near-dup class), distinct groups sit ~30 bits apart. The oracle
+  // replays the ENTIRE kernel — banding, bucket cap, in-bucket pairs,
+  // exact bit_count filter, recursive-CTE closure — never the plant, so
+  // a drift in any stage breaks the hash gate. Output is the per-keeper
+  // cluster census (clusters only, q49's convention). ──
+  private def q152(spark: SparkSession, dir: String): DataFrame = {
+    val compose = (0 until 15).map(n =>
+      s"(instr('0123456789abcdef', substring(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}L").mkString(" + ")
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("__h", md5(expr("CAST(media_id div 4 AS STRING)")))
+      .withColumn("phash", expr(s"($compose) ^ (media_id % 4)"))
+      .select("media_id", "phash")
+    graft.engine.Multimodal.nearDupByHash(hashed, maxHamming = 3)
+      .filter(col("n_members") >= 2)
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("cluster_size"), max("media_id").as("max_member"))
+      .orderBy("keeper")
+  }
+
+  private val q152Sql = {
+    val compose = (0 until 15).map(n =>
+      s"(instr('0123456789abcdef', substr(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}").mkString(" + ")
+    s"""WITH RECURSIVE h AS (
+      |  SELECT media_id, xor($compose, media_id % 4) AS phash FROM (
+      |    SELECT doc_id AS media_id,
+      |      md5(CAST(doc_id // 4 AS VARCHAR)) AS __h
+      |    FROM documents)),
+      |banded AS (
+      |  SELECT media_id, phash, band,
+      |    (phash >> (16 * (band - 1))) & 65535 AS bk
+      |  FROM h, (SELECT unnest([1, 2, 3, 4]) AS band) bands),
+      |small AS (SELECT band, bk FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+      |kept AS (
+      |  SELECT b.media_id, b.phash, b.band, b.bk
+      |  FROM banded b JOIN small s ON b.band = s.band AND b.bk = s.bk),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+      |  FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk
+      |    AND a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+      |${TrainData.ccClosureSql("pairs", "a_id", "b_id")}
+      |SELECT comp AS keeper, COUNT(*) AS cluster_size, MAX(node) AS max_member
+      |FROM comps GROUP BY 1 ORDER BY keeper""".stripMargin
+  }
+
   // ── q37: exact percentiles — Spark `percentile` and DuckDB
   // `quantile_cont` share linear interpolation; over integer-valued
   // quantities the results are bit-identical. ──
@@ -778,5 +835,6 @@ object Profile {
     QueryDef("q71_hll_shard_union", q71, Some(q71Sql)),
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),
-    QueryDef("q46_csv_count", q46, Some(q46Sql)))
+    QueryDef("q46_csv_count", q46, Some(q46Sql)),
+    QueryDef("q152_phash_neardup", q152, Some(q152Sql)))
 }

@@ -368,4 +368,101 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1.isDefined && out(3L)._1 != out(1L)._1)
     assert(out(4L)._1.isEmpty && out(4L)._2 == 4L && !out(4L)._3)
   }
+
+  /** High-contrast test card: left half black, right half white, with an
+    * optional 2×2 block in the black half flipped white — the flip maps
+    * to one 8×8-thumbnail cell, so the aHash of the perturbed card
+    * differs from the original's in a small, non-zero number of bits. */
+  private def halfCard(perturb: Boolean, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x >= 8) 0xffffff else 0x000000)
+    if (perturb)
+      for (y <- 2 until 4; x <- 2 until 4) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("imageNearDup clusters a bit-perturbed transcode that exact dedup misses") {
+    val orig = halfCard(perturb = false, "png")
+    val nudged = halfCard(perturb = true, "bmp") // perturbed AND transcoded
+    val df = media(
+      (1L, "image", orig),
+      (2L, "image", nudged),
+      (3L, "image", png(16, 16, 0x808080)),          // unrelated picture
+      (4L, "image", "not an image".getBytes("UTF-8"))) // undecodable
+    // exact-equality dedup cannot group them (hashes differ in >0 bits)…
+    val exact = Multimodal.imageHashDedup(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("keeper")).toMap
+    assert(exact(1L) == 1L && exact(2L) == 2L,
+      "fixture must be a true near-dup: hashes differ, exact dedup splits them")
+    // …the banded Hamming path does
+    val near = Multimodal.imageNearDup(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Long]("n_members"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    val hd = {
+      val hs = Multimodal.imageNearDup(df).filter("media_id <= 2")
+        .select("phash").collect().map(_.getLong(0))
+      java.lang.Long.bitCount(hs(0) ^ hs(1))
+    }
+    assert(hd >= 1 && hd <= 3, s"perturbation moved $hd bits — fixture drifted")
+    assert(near(1L) == ((1L, 2L, false)), near.toString)
+    assert(near(2L) == ((1L, 2L, true)), near.toString)
+    assert(near(3L)._1 == 3L && !near(3L)._3)
+    assert(near(4L)._1 == 4L && !near(4L)._3)
+  }
+
+  test("audioNearDup clusters a one-window re-level that exact dedup misses") {
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    // clipPerturbed: same PCM as clip(seed) except ONE 32-frame window's
+    // gain flips — one envelope bit moves, give or take the mean shift
+    def clipP(container: javax.sound.sampled.AudioFileFormat.Type,
+              seed: Int, flipWindow: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val n = 2048
+      val samples = new Array[Byte](n * 2)
+      var x = seed
+      for (i <- 0 until n) {
+        x = x * 1103515245 + 12345
+        val w = i * 64 / n
+        val loudBase = (w + seed) % 2 == 0
+        val loud = if (w == flipWindow) !loudBase else loudBase
+        val s = ((x >> 16).toShort / (if (loud) 1 else 8)).toShort
+        samples(2 * i) = (s & 0xff).toByte
+        samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, container, bos)
+      bos.toByteArray
+    }
+    val orig = clipP(WAVE, seed = 7, flipWindow = -1)
+    val nudged = clipP(AIFF, seed = 7, flipWindow = 10) // re-leveled AND re-containerized
+    val df = media(
+      (1L, "audio", orig),
+      (2L, "audio", nudged),
+      (3L, "audio", clipP(WAVE, seed = 100, flipWindow = -1)),
+      (4L, "audio", "not audio".getBytes("UTF-8")))
+    val exact = Multimodal.audioHashDedup(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("keeper")).toMap
+    assert(exact(1L) == 1L && exact(2L) == 2L,
+      "fixture must be a true near-dup: envelopes differ, exact dedup splits them")
+    val near = Multimodal.audioNearDup(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Boolean]("is_dup"))).toMap
+    val hd = {
+      val hs = Multimodal.audioNearDup(df).filter("media_id <= 2")
+        .select("phash").collect().map(_.getLong(0))
+      java.lang.Long.bitCount(hs(0) ^ hs(1))
+    }
+    assert(hd >= 1 && hd <= 3, s"re-level moved $hd bits — fixture drifted")
+    assert(near(1L) == ((1L, false)) && near(2L) == ((1L, true)), near.toString)
+    assert(near(3L)._1 == 3L && !near(3L)._2)
+    assert(near(4L)._1 == 4L && !near(4L)._2)
+  }
 }
