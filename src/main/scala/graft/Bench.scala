@@ -174,17 +174,29 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Top-20 slowest (by min), ~500 chars: at 150 queries the
+    // alphabetical "queries" map truncates somewhere in the q1xx range,
+    // so the SLOWEST queries' timings — the only ones a perf review
+    // needs — used to survive only when the alphabet cooperated. This
+    // block puts them inside the window BY CONSTRUCTION; together with
+    // rep_outliers (which carries its own rep arrays) every number a
+    // drift adjudication needs is in the captured artifact, no local
+    // file required.
+    val topJson = results.sortBy { case (_, ts) => -ts.min }.take(20)
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min, 2) }
+      .mkString("{", ",", "}")
     // Key order is survival priority under a `tail` capture (the HEAD of
     // an over-long line is what gets cut): sacrificial per-rep detail
     // first (at 87+ queries it can NEVER fit the 2000-char window — it
     // lives for the committed bench_local file only), then "queries"
-    // (partially truncatable), then the rep-spread outliers, then the
-    // diagnosis block (~130 chars: cpu/wall/gc/host_ticks — r6 buried
-    // these before "queries" and they were truncated out exactly when
-    // they were needed to prove host contention), then "errors", then
-    // the contract keys ("metric":"total","value") at the very END so
-    // they survive ANY window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"rep_outliers":$outJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    // (partially truncatable), then the top-20-slowest block, then the
+    // rep-spread outliers, then the diagnosis block (~130 chars:
+    // cpu/wall/gc/host_ticks — r6 buried these before "queries" and they
+    // were truncated out exactly when they were needed to prove host
+    // contention), then "errors", then the contract keys
+    // ("metric":"total","value") at the very END so they survive ANY
+    // window.
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)

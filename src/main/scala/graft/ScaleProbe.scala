@@ -163,6 +163,142 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=warehouse: the round-7/8 analytics kernels with
+    // declared scaling shapes — PIT reads (q119: one partitioned LEAD
+    // window + a row-local filter, key-linear), rolling 24 h distinct
+    // (q137: fans DEDUPED user-hours ×24, user-hour-linear), transition
+    // matrix (q139: per-user LEAD then a |types|²-grain census,
+    // event-linear) and two-hop reach (q138: BOTH wedge paths on the
+    // same graph — a planted hub makes the naive Σdeg² mass visible and
+    // the oriented path's bound measurable, the evidence behind its
+    // census-driven selection).
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "warehouse") {
+      val ev0 = graft.engine.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val u0 = ev0.agg(max("user_id")).collect()(0).getLong(0) + 1L
+      val e0 = ev0.agg(max("event_id")).collect()(0).getLong(0) + 1L
+      val events = (0 until mult).map(k =>
+          ev0.select((col("user_id") + lit(k * u0)).as("user_id"),
+            (col("event_id") + lit(k * e0)).as("event_id"),
+            col("event_type"), col("ts")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nEv = events.count()
+      val (nRoll, tRoll) = timed {
+        val uh = events
+          .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+          .distinct().localCheckpoint(true)
+        val hours = uh.select(col("h").as("rh")).distinct()
+        uh.select(col("user_id"), col("h"),
+            explode(sequence(col("h"), col("h") + 23)).as("rh"))
+          .join(hours, Seq("rh"), "left_semi")
+          .groupBy("rh").agg(countDistinct("user_id").as("n")).count()
+      }
+      val (nTrans, tTrans) = timed {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        events
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type").agg(count(lit(1))).count()
+      }
+      val ord0 = graft.engine.Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+      val c0 = ord0.agg(max("o_custkey")).collect()(0).getLong(0) + 1L
+      val k0 = ord0.agg(max("o_orderkey")).collect()(0).getLong(0) + 1L
+      val orders = (0 until mult).map(k =>
+          ord0.select((col("o_custkey") + lit(k * c0)).as("o_custkey"),
+            (col("o_orderkey") + lit(k * k0)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_orderdate")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nOrd = orders.count()
+      val (nPit, tPit) = timed {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val d = lit("1998-06-01").cast("timestamp")
+        orders
+          .select(col("o_custkey"), col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+          .filter(col("valid_from") <= d &&
+            (col("valid_to").isNull || col("valid_to") > d))
+          .groupBy("status").agg(count(lit(1))).count()
+      }
+      // two-hop: same synthetic adjacency as q138 over mult× the node
+      // count, PLUS one planted hub (node 0 linked to every 20th node)
+      // so the Σdeg² census actually fires the way a hub-heavy real
+      // graph would
+      val nNodes = n // corpus docs × mult
+      val ids = corpus.select(col("doc_id")).localCheckpoint(true)
+      val baseAdj = ids
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"),
+          ((col("src") * col("src") * 31 + col("j") * 97) % nNodes).as("dst"))
+      val hubAdj = ids.filter(col("doc_id") % 20 === 0 && col("doc_id") =!= 0)
+        .select(lit(0L).as("src"), col("doc_id").as("dst"))
+      val adj = baseAdj.unionByName(hubAdj)
+        .filter(col("dst") =!= col("src"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint(true)
+      val sym = adj.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(adj.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val fanout = deg.agg(sum(col("deg") * col("deg"))).collect()(0).getLong(0)
+      val nEdges = adj.count()
+      def reachCount(hop2: DataFrame): Long =
+        sym.select(col("a"), col("b")).unionAll(hop2)
+          .filter(col("a") =!= col("b"))
+          .groupBy("a").agg(countDistinct("b")).count()
+      val (nNaive, tNaive) = timed {
+        reachCount(sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select(col("a"), col("c").as("b")))
+      }
+      val (nOri, tOri) = timed {
+        val ori = adj
+          .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(col("du") < col("dv") ||
+                (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("x"), col("v").as("y")))
+              .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+          .select(col("e.x").as("a"), col("e.y").as("b"))
+          .localCheckpoint(true)
+        val outOut = ori.join(ori.select(col("a"), col("b").as("c")), Seq("a"))
+          .filter(col("b") < col("c"))
+          .select(col("b").as("p"), col("c").as("q"))
+        val dirPath = ori
+          .join(ori.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select(col("a").as("p"), col("c").as("q"))
+        val inIn = ori.select(col("b").as("m"), col("a").as("p"))
+          .join(ori.select(col("b").as("m"), col("a").as("q")), Seq("m"))
+          .filter(col("p") < col("q"))
+          .select(col("p"), col("q"))
+        val wedges = outOut.unionAll(dirPath).unionAll(inIn)
+        reachCount(wedges.select(col("p").as("a"), col("q").as("b"))
+          .unionAll(wedges.select(col("q").as("a"), col("p").as("b"))))
+      }
+      require(nNaive == nOri, s"two-hop paths disagree: $nNaive vs $nOri")
+      println(s"""{"probe":"warehouse","sf":"$sfDir","mult":$mult,""" +
+        s""""events":$nEv,"orders":$nOrd,"nodes":$nNodes,"edges":$nEdges,""" +
+        s""""deg2_fanout":$fanout,"roll_rows":$nRoll,"trans_cells":$nTrans,""" +
+        s""""pit_rows":$nPit,"twohop_nodes":$nNaive,""" +
+        s""""roll_sec":${f"$tRoll%.2f"},"trans_sec":${f"$tTrans%.2f"},""" +
+        s""""pit_sec":${f"$tPit%.2f"},"twohop_naive_sec":${f"$tNaive%.2f"},""" +
+        s""""twohop_oriented_sec":${f"$tOri%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     val (sigs, tSig) = timed {
       MinHashLsh.signatures(corpus).localCheckpoint(true)
     }

@@ -79,7 +79,12 @@ object Pipeline {
 
   /** Bronze upsert: union with the existing layer, keep the
     * latest-ingested version per id (reference: bronze_loader.py:143-188
-    * ON CONFLICT upsert, re-expressed as read ∪ new → dedup → rewrite). */
+    * ON CONFLICT upsert, re-expressed as read ∪ new → dedup → rewrite).
+    * EQUAL-timestamp ties resolve by content hash (descending), so the
+    * survivor is a pure function of the data — the same row wins on any
+    * partitioning, upsert order, or replay (a bare timestamp sort would
+    * leave the winner to partition arrival order). Identical-content
+    * ties are harmless by construction. */
   def upsertBronze(spark: SparkSession, newBronze: DataFrame, lake: String): DataFrame = {
     val path = s"$lake/bronze"
     val merged =
@@ -87,7 +92,8 @@ object Pipeline {
         spark.read.parquet(path).unionByName(newBronze, allowMissingColumns = true)
       else newBronze
     val deduped = Silver.dedupLatest(merged, Seq("id"),
-      Seq(col("ingestion_timestamp").desc))
+      Seq(col("ingestion_timestamp").desc,
+        xxhash64(struct(merged.columns.map(col): _*)).desc))
     overwriteParquet(deduped, path)
     spark.read.parquet(path)
   }

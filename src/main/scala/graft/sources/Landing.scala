@@ -45,17 +45,35 @@ object Landing {
 
   /** S8 — ordered DDL executor: run every .sql file under `dir` in
     * filename order (model_executor.py:32-137; ordering by name at :80).
-    * Statements are split on ';' at line ends, comments dropped. */
+    * Statements are split on ';' at LINE ends only — a semicolon inside
+    * a string literal (`'x;y'`) never splits — with comment lines
+    * dropped, repeated/trailing semicolons collapsed and blank
+    * statements skipped; a final statement without a terminator still
+    * runs (WritersSpec pins all of these). */
   def applyModels(spark: SparkSession, dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
     files.flatMap { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val statements = text.split(";")
-        .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-        .filter(_.nonEmpty)
-      statements.map { s => spark.sql(s); s"${f.getName}: OK" }
+      val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      def flush(): Unit = {
+        val s = cur.toString.trim
+        if (s.nonEmpty) statements += s
+        cur.clear()
+      }
+      text.linesIterator
+        .filterNot(_.trim.startsWith("--"))
+        .map(_.replaceAll("\\s+$", ""))
+        .foreach { line =>
+          if (line.endsWith(";")) {
+            cur.append(line.replaceAll(";+$", ""))
+            flush()
+          } else cur.append(line).append('\n')
+        }
+      flush() // unterminated final statement still runs
+      statements.toSeq.map { s => spark.sql(s); s"${f.getName}: OK" }
     }.toSeq
   }
 

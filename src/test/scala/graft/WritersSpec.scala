@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Pipeline
+import graft.sources.Landing
+
+/** Edge-case pins for the writer/DDL operators the oracle round-trips
+  * (q146/q147/q149/q150) can't see: upsert ties at EQUAL ingestion
+  * timestamps, CSV quoting with embedded quotes/newlines/commas, and the
+  * DDL splitter's handling of trailing semicolons, blank statements and
+  * comment-only files. */
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def batch(rows: (Long, String, String)*) = {
+    val data = rows.map { case (id, payload, ts) =>
+      Row(id, payload, java.sql.Timestamp.valueOf(ts))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 3),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType),
+        StructField("ingestion_timestamp", TimestampType))))
+  }
+
+  test("upsert: equal-timestamp ties pick one deterministic survivor") {
+    val ts = "2024-01-01 00:00:00"
+    val a = batch((1L, "version-a", ts), (2L, "only", ts))
+    val b = batch((1L, "version-b", ts))
+    // same two candidate rows for id=1, both upsert orders: the survivor
+    // must be the SAME payload both times (content-hash tie-break), not
+    // whichever partition arrived last
+    val lake1 = tmpDir("graft_ws_tie1_")
+    Pipeline.upsertBronze(spark, a, lake1)
+    val r1 = Pipeline.upsertBronze(spark, b, lake1)
+      .filter(col("id") === 1L).select("payload").collect()(0).getString(0)
+    val lake2 = tmpDir("graft_ws_tie2_")
+    Pipeline.upsertBronze(spark, b, lake2)
+    val r2 = Pipeline.upsertBronze(spark, a, lake2)
+      .filter(col("id") === 1L).select("payload").collect()(0).getString(0)
+    assert(r1 == r2, s"upsert order changed the equal-timestamp survivor: $r1 vs $r2")
+    // …and a LATER timestamp still beats any content hash
+    val lake3 = tmpDir("graft_ws_tie3_")
+    Pipeline.upsertBronze(spark, a, lake3)
+    val r3 = Pipeline.upsertBronze(spark,
+        batch((1L, "version-late", "2024-01-02 00:00:00")), lake3)
+      .filter(col("id") === 1L).select("payload").collect()(0).getString(0)
+    assert(r3 == "version-late")
+  }
+
+  test("upsert: equal-timestamp survivor is partition-count independent") {
+    val ts = "2024-01-01 00:00:00"
+    val rows = (1 to 7).map(i => (1L, s"candidate-$i", ts))
+    def runWith(parts: Int): String = {
+      val lake = tmpDir(s"graft_ws_parts${parts}_")
+      Pipeline.upsertBronze(spark, batch(rows: _*).repartition(parts), lake)
+        .select("payload").collect()(0).getString(0)
+    }
+    val survivors = Seq(1, 3, 8).map(runWith).distinct
+    assert(survivors.size == 1,
+      s"survivor depends on partitioning: $survivors")
+  }
+
+  test("CSV sink round-trips embedded quotes, newlines and commas") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("text", StringType)))
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line one\nline two"),
+      (5L, "all: \"q\", comma,\nand newline"),
+      (6L, ""))
+    val df = nasty.toDF("id", "text")
+    val dir = tmpDir("graft_ws_csv_") + "/out"
+    Landing.writeCsv(df, dir)
+    // embedded newlines require the multiLine reader — the read side of
+    // the same contract the writer's quoting promises
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.foreach { case (id, text) =>
+      // CSV has no empty-vs-NULL distinction: empty strings land as NULL
+      val expect = if (text.isEmpty) null else text
+      assert(back(id) == expect, s"row $id: ${back(id)} != $expect")
+    }
+  }
+
+  test("DDL executor: trailing semicolons, blank statements, comment-only files") {
+    val dir = tmpDir("graft_ws_ddl_")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), text)
+    write("00_comments_only.sql",
+      "-- nothing but comments in this file\n-- second comment line\n")
+    write("01_view.sql",
+      // trailing semicolon + stray semicolon-only line + interior comment
+      """CREATE OR REPLACE TEMPORARY VIEW ws_ddl_v AS
+        |-- interior comment must be stripped, statement must survive
+        |SELECT 1 AS a, 'x;y' AS s;
+        |;
+        |""".stripMargin)
+    write("02_second.sql",
+      "CREATE OR REPLACE TEMPORARY VIEW ws_ddl_w AS SELECT a + 1 AS b FROM ws_ddl_v;;")
+    write("ignored.txt", "not sql, must be skipped")
+    val applied = Landing.applyModels(spark, dir)
+    // exactly the two real statements ran — no empties, no comment-only
+    assert(applied == Seq("01_view.sql: OK", "02_second.sql: OK"), applied.toString)
+    assert(spark.table("ws_ddl_w").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
