@@ -9,34 +9,42 @@ import graft.functions.CosineSimilarity
 /** Product-quantization encode + asymmetric-distance-computation (ADC)
   * search — the fine-quantizer half of the FAISS-style IVFADC design
   * (reference capability: similarity search over an embedding column;
-  * [[IvfFlat]] is the coarse half, this composes with it).
+  * [[IvfFlat]] is the coarse half, this composes with it). Two variants:
+  * DIRECT (codes over the raw vectors, [[encode]]/[[search]]) and
+  * RESIDUAL (codes over vector − assigned-centroid,
+  * [[encodeResidual]]/[[searchResidual]] — the classic IVFADC layout:
+  * residuals are centered near zero, so the same codebook budget spends
+  * its precision where the vectors actually are).
   *
   * Scale design:
-  *   - Codebooks (M subspaces × K codewords × subDim floats) are
+  *   - Codebooks (M subspaces × K codewords × subDim doubles) are
   *     driver-side model state embedded as plan literals — the same
   *     contract as [[IvfFlat.assign]]'s centroids. Encoding is a
   *     ZERO-SHUFFLE row-local projection: M·K squared-L2 folds per row,
   *     argmin per subspace — the corpus is touched once, map-side, and
   *     at rest each vector is M small codes instead of dim floats.
   *   - Search never brings full vectors to the distance loop: per probe
-  *     a LOOKUP TABLE of M×K probe→codeword distances is computed ONCE
-  *     on the (tiny) probe side, and the candidate scan is M integer
-  *     array lookups + an integer sum per candidate — no per-candidate
-  *     float fold until the exact re-rank, which touches only the
-  *     `shortlist` survivors. That asymmetry (probe pays M·K folds once,
-  *     candidates pay O(M) lookups each) is what makes a 100 TB corpus
-  *     scannable: the scan cost per row is independent of `dim`.
+  *     (per probed CLUSTER in the residual variant) a LOOKUP TABLE of
+  *     M×K probe→codeword distances is computed ONCE on the (tiny)
+  *     probe side, and the candidate scan is M integer array lookups +
+  *     an integer sum per candidate — no per-candidate float fold until
+  *     the exact re-rank, which touches only the `shortlist` survivors.
+  *     That asymmetry (probe pays M·K folds once, candidates pay O(M)
+  *     lookups each) is what makes a 100 TB corpus scannable: the scan
+  *     cost per row is independent of `dim`.
   *   - Determinism: per-subspace distances are left-to-right double
   *     folds (bit-identical across engines — the q112 contract), then
   *     quantized to e9 fixed-point BEFORE the cross-subspace sum, so the
   *     ADC total is an exact integer — partitioning and row order cannot
   *     move it, and ranking ties break to the lowest candidate id.
+  *     Residuals subtract float32 values under exact double arithmetic,
+  *     so they too are pure functions of the stored model.
   */
 object PqAdc {
 
   /** Squared L2 between a subvector slice and one codeword, as a
     * deterministic left-to-right `subDim`-term double fold. */
-  private def d2(sub: Column, cw: Array[Float]): Column =
+  private def d2(sub: Column, cw: Array[Double]): Column =
     aggregate(
       zip_with(sub, typedLit(cw), (x, y) => {
         val diff = x.cast("double") - y.cast("double")
@@ -44,11 +52,15 @@ object PqAdc {
       }),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Element-wise vector − centroid under exact double arithmetic. */
+  private def residualOf(vec: Column, cent: Column): Column =
+    zip_with(vec, cent, (x, c) => x.cast("double") - c.cast("double"))
+
   /** PQ encode: adds `codes` — ARRAY<INT> of length M where codes(m) is
     * the 1-based argmin-L2² codeword of subspace m (ties → lowest code).
     * `codebooks(m)(k)` is codeword k of subspace m, each of `subDim`
-    * floats; the input vector must have M·subDim dimensions. */
-  def encode(vecs: DataFrame, codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+    * doubles; the input vector must have M·subDim dimensions. */
+  def encode(vecs: DataFrame, codebooks: Seq[Seq[Array[Double]]], subDim: Int,
              vecCol: String = "embedding"): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.size >= 2),
       "pq_adc: need >= 1 subspace with >= 2 codewords each")
@@ -60,18 +72,59 @@ object PqAdc {
     vecs.withColumn("codes", array(codes: _*))
   }
 
-  /** IVFADC search: IVF-prune candidate clusters (nprobe nearest
-    * centroids per probe, [[IvfFlat.probe]]'s ranking), ADC-scan the
-    * candidates' PQ codes against the probe's lookup table keeping the
-    * `shortlist` best (ascending integer adc_e9, ties → lowest id), then
-    * exact-cosine re-rank ONLY the shortlist to the final top `k`.
+  /** RESIDUAL PQ encode: codes over (vector − centroid of the row's
+    * `cluster`) — `assigned` must already carry `cluster` from
+    * [[IvfFlat.assign]]. The residual is computed in-plan (row-local,
+    * exact double subtraction of the float32 model values) and never
+    * materialized beyond this projection. */
+  def encodeResidual(assigned: DataFrame, centroids: Seq[Array[Float]],
+                     codebooks: Seq[Seq[Array[Double]]], subDim: Int,
+                     vecCol: String = "embedding"): DataFrame = {
+    val cent = element_at(typedLit(centroids.toArray), col("cluster"))
+    encode(assigned.withColumn("__resid", residualOf(col(vecCol), cent)),
+        codebooks, subDim, "__resid")
+      .drop("__resid")
+  }
+
+  /** Shared ADC tail: candidate fetch from the probed clusters
+    * (broadcast probe list, corpus never shuffles), M integer lookups +
+    * integer sum per candidate, shortlist by ascending adc_e9 (ties →
+    * lowest id), exact-cosine re-rank of the shortlist only, top-k. */
+  private def adcTail(assigned: DataFrame, probeClusters: DataFrame, m: Int,
+                      shortlist: Int, k: Int, idCol: String, vecCol: String,
+                      probeIdCol: String, probeVecCol: String): DataFrame = {
+    val adcE9 = (0 until m)
+      .map(mi => element_at(col(s"__lut$mi"), element_at(col("codes"), mi + 1)))
+      .reduce(_ + _)
+    val sRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("adc_e9").asc, col(idCol))
+    val kRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    assigned
+      .join(broadcast(probeClusters), col("cluster") === col("__cent_id"))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .withColumn("adc_e9", adcE9)
+      .withColumn("__sr", row_number().over(sRank))
+      .filter(col("__sr") <= shortlist)
+      // exact distance only for shortlist survivors
+      .withColumn("cosine", CosineSimilarity(col(probeVecCol), col(vecCol)))
+      .withColumn("rk", row_number().over(kRank).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
+        col("adc_e9"), col("cosine"), col("rk"))
+  }
+
+  /** IVFADC search over DIRECT codes: IVF-prune candidate clusters
+    * (nprobe nearest centroids per probe, [[IvfFlat.probe]]'s ranking),
+    * ADC-scan the candidates' PQ codes against the probe's lookup
+    * table, shortlist, exact-cosine re-rank to the final top `k`.
     *
     * `assigned` must carry `idCol`, `vecCol`, `cluster` (from
     * [[IvfFlat.assign]]) and `codes` (from [[encode]], built with the
     * same `codebooks`/`subDim`). Probes present in the corpus are
     * excluded from their own results. */
   def search(assigned: DataFrame, probes: DataFrame,
-             centroids: Seq[Array[Float]], codebooks: Seq[Seq[Array[Float]]],
+             centroids: Seq[Array[Float]], codebooks: Seq[Seq[Array[Double]]],
              subDim: Int, nprobe: Int, shortlist: Int, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
@@ -97,26 +150,41 @@ object PqAdc {
       .withColumn("__cr", row_number().over(centRank))
       .filter(col("__cr") <= nprobe)
       .drop("__cr", "__pc_cos")
-    // candidate fetch (broadcast probe list, corpus never shuffles) +
-    // ADC scan: M integer lookups and an integer sum per candidate
-    val adcE9 = (0 until m)
-      .map(mi => element_at(col(s"__lut$mi"), element_at(col("codes"), mi + 1)))
-      .reduce(_ + _)
-    val sRank = Window.partitionBy(probeIdCol)
-      .orderBy(col("adc_e9").asc, col(idCol))
-    val kRank = Window.partitionBy(probeIdCol)
-      .orderBy(col("cosine").desc, col(idCol))
-    assigned
-      .join(broadcast(probeClusters), col("cluster") === col("__cent_id"))
-      .filter(col(idCol) =!= col(probeIdCol))
-      .withColumn("adc_e9", adcE9)
-      .withColumn("__sr", row_number().over(sRank))
-      .filter(col("__sr") <= shortlist)
-      // exact distance only for shortlist survivors
-      .withColumn("cosine", CosineSimilarity(col(probeVecCol), col(vecCol)))
-      .withColumn("rk", row_number().over(kRank).cast("int"))
-      .filter(col("rk") <= k)
-      .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
-        col("adc_e9"), col("cosine"), col("rk"))
+    adcTail(assigned, probeClusters, m, shortlist, k,
+      idCol, vecCol, probeIdCol, probeVecCol)
+  }
+
+  /** IVFADC search over RESIDUAL codes: identical pruning and tail, but
+    * the lookup table is computed PER PROBED CLUSTER from the probe's
+    * residual against that cluster's centroid — the asymmetric twin of
+    * [[encodeResidual]]'s layout (FAISS's IVFADC scan). Still P×nprobe
+    * LUT computations total: the residual trick costs nothing extra at
+    * scan time. */
+  def searchResidual(assigned: DataFrame, probes: DataFrame,
+                     centroids: Seq[Array[Float]], codebooks: Seq[Seq[Array[Double]]],
+                     subDim: Int, nprobe: Int, shortlist: Int, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size, s"pq_adc: nprobe=$nprobe out of range")
+    require(shortlist >= k, s"pq_adc: shortlist=$shortlist must cover k=$k")
+    val m = codebooks.size
+    val centRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("__pc_cos").desc, col("__cent_id"))
+    val luts = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("__presid"), mi * subDim + 1, subDim)
+      array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lut$mi")
+    }
+    val probeClusters = probes
+      .select(col(probeIdCol), col(probeVecCol),
+        posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv")))
+      .select(col(probeIdCol), col(probeVecCol),
+        (col("__pos") + 1).cast("int").as("__cent_id"),
+        CosineSimilarity(col(probeVecCol), col("__cv")).as("__pc_cos"),
+        residualOf(col(probeVecCol), col("__cv")).as("__presid"))
+      .withColumn("__cr", row_number().over(centRank))
+      .filter(col("__cr") <= nprobe)
+      .select(Seq(col(probeIdCol), col(probeVecCol), col("__cent_id")) ++ luts: _*)
+    adcTail(assigned, probeClusters, m, shortlist, k,
+      idCol, vecCol, probeIdCol, probeVecCol)
   }
 }

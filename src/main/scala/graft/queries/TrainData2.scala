@@ -1035,7 +1035,7 @@ object TrainData2 {
       .filter(col("vec_id") < PqK).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     val codebooks = (0 until PqM).map(m =>
-      seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+      seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble)))
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val encoded = PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, PqSub)
@@ -1147,6 +1147,159 @@ object TrainData2 {
       |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
       |ORDER BY p.probe_id""".stripMargin
 
+  // ── q153: RESIDUAL IVFADC — the classic FAISS layout completing
+  // q151: PQ codes are trained on and applied to (vector − assigned
+  // coarse centroid), so the codebook's precision concentrates where
+  // the cluster's vectors actually sit instead of spanning the whole
+  // space; at search time the lookup table is built per probed CLUSTER
+  // from the probe's residual against that centroid (still P×nprobe
+  // tiny folds — the residual trick costs nothing at scan time).
+  // Residual codebooks are the PqK seed vectors' residuals vs their own
+  // assigned trained centroid (driver-side model state, q112's seeding
+  // rationale). Output is q80's recall-vs-brute-force shape; the oracle
+  // replays Lloyd training → residual codebooks → residual encode →
+  // per-cluster LUT → integer ADC → shortlist → exact re-rank → recall,
+  // so a drift anywhere in the residual arithmetic breaks the gate
+  // (both engines subtract the same float32 model values under exact
+  // double arithmetic — the centroid values are bit-identical because
+  // both sides round the fixed-point Lloyd means to FLOAT). ──
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = TrainData.embParallel(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val seedRows = IvfFlat.assign(e.filter(col("vec_id") < PqK), cents)
+      .orderBy("vec_id").select("embedding", "cluster").collect()
+    val seedResid: Seq[Array[Double]] = seedRows.map { r =>
+      val emb = r.getSeq[Float](0).toArray
+      val c = cents(r.getInt(1) - 1)
+      Array.tabulate(emb.length)(i => emb(i).toDouble - c(i).toDouble)
+    }.toSeq
+    val codebooks = (0 until PqM).map(m =>
+      seedResid.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val encoded = PqAdc.encodeResidual(IvfFlat.assign(corpus, cents), cents,
+      codebooks, PqSub)
+    val ivfadc = PqAdc.searchResidual(encoded, probes, cents, codebooks, PqSub,
+        nprobe = TrainData.IvfNprobe, shortlist = AdcShortlist,
+        k = TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val wk = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    val brute = probes
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", TrainData.cosine(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= TrainData.IvfTopK)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = brute.join(ivfadc, Seq("probe_id", "cand_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TrainData.IvfTopK)
+          .as("recall_at_k"))
+      .orderBy("probe_id")
+  }
+
+  private val q153Sql = {
+    val sub16 = (col: String, base: String) =>
+      s"list_transform(range(1, ${PqSub + 1}), i -> " +
+        s"CAST($col[$base + i] AS DOUBLE) - CAST(c.cv[$base + i] AS DOUBLE))"
+    s"""WITH ${TrainData.kmTrainCtesSql},
+      |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+      |rcb AS (
+      |  SELECT ms.m, CAST(s.vec_id + 1 AS INT) AS code,
+      |    ${sub16("s.embedding", s"ms.m * $PqSub")} AS cv
+      |  FROM ms CROSS JOIN
+      |    (SELECT e.vec_id, e.embedding, a.cluster AS cid
+      |     FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+      |     WHERE e.vec_id < $PqK) s
+      |  JOIN c2 c ON s.cid = c.cid),
+      |rsub AS (
+      |  SELECT e.vec_id, ms.m,
+      |    ${sub16("e.embedding", s"ms.m * $PqSub")} AS sv
+      |  FROM embeddings e
+      |  JOIN assigned a ON e.vec_id = a.vec_id
+      |  JOIN c2 c ON a.cluster = c.cid
+      |  CROSS JOIN ms),
+      |rd AS (
+      |  SELECT s.vec_id, s.m, cb.code,
+      |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum') AS d2
+      |  FROM rsub s JOIN rcb cb ON s.m = cb.m),
+      |rcodes AS (
+      |  SELECT vec_id, m, code FROM rd
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
+      |pc AS (
+      |  SELECT p.probe_id, c.cid,
+      |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
+      |  FROM probes p CROSS JOIN c2 c),
+      |probed AS (
+      |  SELECT probe_id, cid FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY pc_cos DESC, cid) <= ${TrainData.IvfNprobe}),
+      |prsub AS (
+      |  SELECT p.probe_id, pr.cid, ms.m,
+      |    ${sub16("p.embedding", s"ms.m * $PqSub")} AS sv
+      |  FROM probes p
+      |  JOIN probed pr ON p.probe_id = pr.probe_id
+      |  JOIN c2 c ON pr.cid = c.cid
+      |  CROSS JOIN ms),
+      |rlut AS (
+      |  SELECT s.probe_id, s.cid, s.m, cb.code,
+      |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum')
+      |      * 1e9) AS BIGINT) AS d2e9
+      |  FROM prsub s JOIN rcb cb ON s.m = cb.m),
+      |cand AS (
+      |  SELECT pr.probe_id, pr.cid, a.vec_id AS cand_id
+      |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
+      |  WHERE a.vec_id != pr.probe_id),
+      |adc AS (
+      |  SELECT cd.probe_id, cd.cand_id, CAST(SUM(l.d2e9) AS BIGINT) AS adc_e9
+      |  FROM cand cd
+      |  JOIN rcodes co ON co.vec_id = cd.cand_id
+      |  JOIN rlut l ON l.probe_id = cd.probe_id AND l.cid = cd.cid
+      |    AND l.m = co.m AND l.code = co.code
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT probe_id, cand_id FROM adc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY adc_e9, cand_id) <= $AdcShortlist),
+      |rescored AS (
+      |  SELECT s.probe_id, s.cand_id,
+      |    ${TrainData.cosExprSql("pe.embedding", "ce.embedding")} AS cosine
+      |  FROM short s
+      |  JOIN embeddings pe ON s.probe_id = pe.vec_id
+      |  JOIN embeddings ce ON s.cand_id = ce.vec_id),
+      |ivfadc AS (
+      |  SELECT probe_id, cand_id FROM rescored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |bscored AS (
+      |  SELECT p.probe_id, e.vec_id AS cand_id,
+      |    ${TrainData.cosExprSql("p.embedding", "e.embedding")} AS cosine
+      |  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id),
+      |brute AS (
+      |  SELECT probe_id, cand_id FROM bscored
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |hits AS (
+      |  SELECT b.probe_id, COUNT(*) AS n_hits
+      |  FROM brute b JOIN ivfadc i
+      |    ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+      |  GROUP BY 1)
+      |SELECT p.probe_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${TrainData.IvfTopK} AS recall_at_k
+      |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+      |ORDER BY p.probe_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1161,5 +1314,6 @@ object TrainData2 {
     QueryDef("q89_bpe_encode", q89, Some(q89Sql)),
     QueryDef("q92_pagerank", q92, Some(q92Sql)),
     QueryDef("q112_pq_encode", q112, Some(q112Sql)),
-    QueryDef("q151_ivfadc", q151, Some(q151Sql)))
+    QueryDef("q151_ivfadc", q151, Some(q151Sql)),
+    QueryDef("q153_ivfadc_residual", q153, Some(q153Sql)))
 }

@@ -234,7 +234,7 @@ class IvfFlatSpec extends SparkSpec {
     // sees the same set IvfFlat.probe scores — results must be identical
     val subDim = 4 // 16-dim vectors → M=4 subspaces
     val codebooks = (0 until dim / subDim).map(m =>
-      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim)).toSeq)
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
     val assigned = IvfFlat.assign(corpusDf, cents)
     val encoded = graft.operators.PqAdc.encode(assigned, codebooks, subDim)
     val probes = corpusDf.filter(col("vec_id") < 3L)
@@ -250,10 +250,37 @@ class IvfFlatSpec extends SparkSpec {
     assert(adc == flat, s"adc=$adc\nflat=$flat")
   }
 
+  test("residual IVFADC with a full-coverage shortlist equals IVF-Flat exactly") {
+    // residual codes change the SHORTLIST ranking only; with every
+    // candidate surviving it, the exact re-rank must reproduce IVF-Flat
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map { m =>
+      // residual codebooks: codeword = (seed - its nearest centroid) slice
+      cents.take(4).map { c =>
+        val cl = bruteAssign(c) - 1
+        Array.tabulate(subDim)(i =>
+          c(m * subDim + i).toDouble - cents(cl)(m * subDim + i).toDouble)
+      }.toSeq
+    }
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val encoded = graft.operators.PqAdc.encodeResidual(assigned, cents, codebooks, subDim)
+    val probes = corpusDf.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val adc = graft.operators.PqAdc.searchResidual(encoded, probes, cents, codebooks,
+        subDim, nprobe = 3, shortlist = corpus.size, k = 5)
+      .select("probe_id", "cand_id", "cluster", "cosine", "rk")
+      .collect().map(_.toSeq).toSet
+    val flat = IvfFlat.probe(assigned, probes, cents, nprobe = 3, k = 5)
+      .select("probe_id", "cand_id", "cluster", "cosine", "rk")
+      .collect().map(_.toSeq).toSet
+    assert(flat.nonEmpty)
+    assert(adc == flat, s"adc=$adc\nflat=$flat")
+  }
+
   test("IVFADC shortlist prunes by ADC distance but never below k results") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>
-      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim)).toSeq)
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
     val assigned = IvfFlat.assign(corpusDf, cents)
     val encoded = graft.operators.PqAdc.encode(assigned, codebooks, subDim)
     val probes = corpusDf.filter(col("vec_id") < 3L)
