@@ -495,4 +495,74 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
     assert(got.map(_._3).distinct.length == got.length, "bijection: no collisions")
   }
+
+  private val phashGen: Gen[Seq[Long]] = for {
+    bases <- Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue))
+    extras <- Gen.listOfN(12, for {
+      nCopies <- Gen.choose(0, 2)
+      masks <- Gen.listOfN(nCopies, for {
+        nBits <- Gen.choose(1, 3)
+        bits <- Gen.listOfN(nBits, Gen.choose(0, 63))
+      } yield bits.map(1L << _).foldLeft(0L)(_ | _))
+    } yield masks)
+  } yield bases.zip(extras).flatMap { case (b, ms) => b +: ms.map(b ^ _) }
+
+  test("nearDupByHash equals brute-force transitive closure of the hd<=3 graph") {
+    import graft.engine.Multimodal
+    samples(phashGen, 6).foreach { hashes =>
+      val rows = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val df = rows.toDF("media_id", "phash")
+      // maxBucket high enough never to cap: the pigeonhole recall
+      // guarantee then makes the operator EXACTLY the hd<=3 closure
+      val out = Multimodal.nearDupByHash(df, maxHamming = 3, maxBucket = 10000)
+        .collect().map(r => r.getAs[Long]("media_id") ->
+          (r.getAs[Long]("keeper"), r.getAs[Long]("n_members"))).toMap
+      val parent = Array.tabulate(rows.size)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (i <- rows.indices; j <- i + 1 until rows.size)
+        if (java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <= 3)
+          parent(find(i)) = find(j)
+      rows.indices.groupBy(find).values.foreach { members =>
+        val keeper = members.min.toLong
+        members.foreach { m =>
+          assert(out(m.toLong)._1 == keeper,
+            s"node $m keeper ${out(m.toLong)._1} != $keeper")
+          assert(out(m.toLong)._2 == members.size.toLong,
+            s"node $m size ${out(m.toLong)._2} != ${members.size}")
+        }
+      }
+    }
+  }
+
+  private val pqGen = for {
+    vecs <- Gen.listOfN(15, Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)))
+    cbs <- Gen.listOfN(2, Gen.listOfN(3, Gen.listOfN(4, Gen.choose(-1.0, 1.0))))
+  } yield (vecs.map(_.toArray), cbs.map(_.map(_.toArray)))
+
+  test("PQ codes equal brute-force per-subspace argmin on random vectors") {
+    import graft.operators.PqAdc
+    samples(pqGen, 6).foreach { case (vecs, codebooks) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = PqAdc.encode(df, codebooks, subDim = 4)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Int](r.fieldIndex("codes"))).toMap
+      vecs.zipWithIndex.foreach { case (v, id) =>
+        val want = codebooks.zipWithIndex.map { case (cb, m) =>
+          // the expression's exact accumulation: left-to-right double fold
+          val d2s = cb.map { cw =>
+            var acc = 0.0
+            for (i <- 0 until 4) {
+              val d = v(m * 4 + i).toDouble - cw(i)
+              acc += d * d
+            }
+            acc
+          }
+          d2s.indexOf(d2s.min) + 1 // ties -> lowest code, 1-based
+        }
+        assert(got(id.toLong) == want, s"vec $id: ${got(id.toLong)} != $want")
+      }
+    }
+  }
 }
