@@ -277,6 +277,20 @@ class IvfFlatSpec extends SparkSpec {
     assert(adc == flat, s"adc=$adc\nflat=$flat")
   }
 
+  test("PQ encode fails loudly on dim-mismatched vectors") {
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
+    val short = corpusDf.unionByName(
+      Seq((999L, Array.fill(dim - 3)(0.5f))).toDF("vec_id", "embedding"))
+    // consume codes — pruning the projection would prune the guard too
+    val e = intercept[Exception](
+      graft.operators.PqAdc.encode(short, codebooks, subDim)
+        .select("codes").collect())
+    assert(e.getMessage.contains("pq_adc") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_adc")), e.getMessage)
+  }
+
   test("IVFADC shortlist prunes by ADC distance but never below k results") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>

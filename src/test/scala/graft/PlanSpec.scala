@@ -182,6 +182,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("Aggregate").length - 1 <= 1, plan.take(800))
   }
 
+  test("q151/q153: IVFADC corpus fetch broadcasts the probe list; top-k plans group-limits") {
+    // the candidate fetch must reach the corpus as a broadcast hash join
+    // (cluster === cent_id) — a shuffle here would move the corpus for a
+    // 5-probe search — and the shortlist/top-k windows must plan
+    // WindowGroupLimit so map tasks forward <= k rows per probe
+    Seq("q151_ivfadc", "q153_ivfadc_residual").foreach { name =>
+      val s = planString(q(name))
+      assert(s.contains("BroadcastHashJoin"), s"$name: ${s.take(800)}")
+      assert(s.contains("WindowGroupLimit"), s"$name: ${s.take(800)}")
+    }
+  }
+
   test("GLOBAL SWEEP: no registered query plans a cartesian or nested-loop join") {
     // Two sanctioned nested-loop shapes, nothing else:
     //  - the 1-ROW-total crossJoin (q62 pattern): the broadcast side is
