@@ -254,40 +254,27 @@ object ScaleProbe {
       val deg = sym.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint(true)
       val fanout = deg.agg(sum(col("deg") * col("deg"))).collect()(0).getLong(0)
       val nEdges = adj.count()
-      def reachCount(hop2: DataFrame): Long =
-        sym.select(col("a"), col("b")).unionAll(hop2)
+      // (nodes, Σ per-node distinct reach): the SUM is the real equality
+      // check — the node count alone is the number of non-isolated nodes,
+      // identical for any wedge enumeration no matter how wrong
+      def reachStats(hop2: DataFrame): (Long, Long) = {
+        val r = sym.select(col("a"), col("b")).unionAll(hop2)
           .filter(col("a") =!= col("b"))
-          .groupBy("a").agg(countDistinct("b")).count()
-      val (nNaive, tNaive) = timed {
-        reachCount(sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .groupBy("a").agg(countDistinct("b").as("r"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("mass")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val ((nNaive, massNaive), tNaive) = timed {
+        reachStats(sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
           .select(col("a"), col("c").as("b")))
       }
-      val (nOri, tOri) = timed {
-        val ori = adj
-          .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
-          .select(
-            when(col("du") < col("dv") ||
-                (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("x"), col("v").as("y")))
-              .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
-          .select(col("e.x").as("a"), col("e.y").as("b"))
-          .localCheckpoint(true)
-        val outOut = ori.join(ori.select(col("a"), col("b").as("c")), Seq("a"))
-          .filter(col("b") < col("c"))
-          .select(col("b").as("p"), col("c").as("q"))
-        val dirPath = ori
-          .join(ori.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-          .select(col("a").as("p"), col("c").as("q"))
-        val inIn = ori.select(col("b").as("m"), col("a").as("p"))
-          .join(ori.select(col("b").as("m"), col("a").as("q")), Seq("m"))
-          .filter(col("p") < col("q"))
-          .select(col("p"), col("q"))
-        val wedges = outOut.unionAll(dirPath).unionAll(inIn)
-        reachCount(wedges.select(col("p").as("a"), col("q").as("b"))
-          .unionAll(wedges.select(col("q").as("a"), col("p").as("b"))))
+      val ((nOri, massOri), tOri) = timed {
+        // the SAME kernel q138 ships (operators/Wedges) — the probe
+        // benchmarks the shipping algorithm, not a copy that can drift
+        reachStats(graft.operators.Wedges.orientedTwoHop(adj, deg))
       }
-      require(nNaive == nOri, s"two-hop paths disagree: $nNaive vs $nOri")
+      require(nNaive == nOri && massNaive == massOri,
+        s"two-hop paths disagree: nodes $nNaive vs $nOri, mass $massNaive vs $massOri")
       println(s"""{"probe":"warehouse","sf":"$sfDir","mult":$mult,""" +
         s""""events":$nEv,"orders":$nOrd,"nodes":$nNodes,"edges":$nEdges,""" +
         s""""deg2_fanout":$fanout,"roll_rows":$nRoll,"trans_cells":$nTrans,""" +

@@ -657,12 +657,16 @@ object Multimodal {
       col("media_id").as("a_id"), col("phash").as("a_h"))
     val b = kept.select(col("band"), col("bk"),
       col("media_id").as("b_id"), col("phash").as("b_h"))
+    // hamming filter BEFORE the pair dedup: the filter is row-local and
+    // drops the vast majority of in-bucket pairs, so the distinct()
+    // shuffles only actual near-dups (a pair repeated across bands is
+    // identical each time — hamming is a pure function of the pair)
     val pairs = a.join(b, Seq("band", "bk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("CAST(bit_count(a_h ^ b_h) AS INT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id")
+      .distinct()
     val comps = graft.operators.ConnectedComponents(pairs, "a_id", "b_id")
       .select(col("node").as("media_id"), col("comp"))
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("__sz"))

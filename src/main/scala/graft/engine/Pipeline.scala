@@ -91,9 +91,14 @@ object Pipeline {
       if (exists(spark, path))
         spark.read.parquet(path).unionByName(newBronze, allowMissingColumns = true)
       else newBronze
+    // hash fields in NAME order: merged.columns order depends on which
+    // batch was written first (allowMissingColumns appends new columns
+    // at the end), so a positional struct would make the tie-break hash
+    // — and thus the surviving row — depend on upsert order under
+    // schema evolution, breaking the replay guarantee below
     val deduped = Silver.dedupLatest(merged, Seq("id"),
       Seq(col("ingestion_timestamp").desc,
-        xxhash64(struct(merged.columns.map(col): _*)).desc))
+        xxhash64(struct(merged.columns.sorted.map(col): _*)).desc))
     overwriteParquet(deduped, path)
     spark.read.parquet(path)
   }

@@ -56,6 +56,17 @@ object PqAdc {
   private def residualOf(vec: Column, cent: Column): Column =
     zip_with(vec, cent, (x, c) => x.cast("double") - c.cast("double"))
 
+  /** Loud failure for a dim-mismatched PROBE vector — without it the
+    * probe's LUT entries and re-rank cosines all go NULL and the caller
+    * silently receives k lowest-id rows with cosine = NULL (the corpus
+    * side gets the same guard inside [[encode]]). */
+  private def guardProbes(probes: DataFrame, probeVecCol: String, dim: Int): DataFrame =
+    probes.withColumn(probeVecCol,
+      when(size(col(probeVecCol)) === dim, col(probeVecCol))
+        .otherwise(raise_error(concat(
+          lit(s"pq_adc: probe vector must have $dim dims (M*subDim), got "),
+          coalesce(size(col(probeVecCol)).cast("string"), lit("NULL"))))))
+
   /** PQ encode: adds `codes` — ARRAY<INT> of length M where codes(m) is
     * the 1-based argmin-L2² codeword of subspace m (ties → lowest code).
     * `codebooks(m)(k)` is codeword k of subspace m, each of `subDim`
@@ -90,9 +101,19 @@ object PqAdc {
   def encodeResidual(assigned: DataFrame, centroids: Seq[Array[Float]],
                      codebooks: Seq[Seq[Array[Double]]], subDim: Int,
                      vecCol: String = "embedding"): DataFrame = {
+    val dim = codebooks.size * subDim
+    require(centroids.forall(_.length == dim),
+      s"pq_adc: every centroid must have $dim dims (M*subDim)")
     val cent = element_at(typedLit(centroids.toArray), col("cluster"))
-    encode(assigned.withColumn("__resid", residualOf(col(vecCol), cent)),
-        codebooks, subDim, "__resid")
+    // guard the RAW vector here, not just inside encode: zip_with in
+    // residualOf null-pads a short vector to the centroid's length, so
+    // the residual would pass encode's own size check with NULL elements
+    // and silently emit NULL codes
+    val resid = when(size(col(vecCol)) === dim, residualOf(col(vecCol), cent))
+      .otherwise(raise_error(concat(
+        lit(s"pq_adc: vector must have $dim dims (M*subDim), got "),
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL")))))
+    encode(assigned.withColumn("__resid", resid), codebooks, subDim, "__resid")
       .drop("__resid")
   }
 
@@ -141,6 +162,9 @@ object PqAdc {
     require(nprobe >= 1 && nprobe <= centroids.size, s"pq_adc: nprobe=$nprobe out of range")
     require(shortlist >= k, s"pq_adc: shortlist=$shortlist must cover k=$k")
     val m = codebooks.size
+    require(centroids.forall(_.length == m * subDim),
+      s"pq_adc: every centroid must have ${m * subDim} dims (M*subDim)")
+    val guarded = guardProbes(probes, probeVecCol, m * subDim)
     // probe → nprobe nearest centroids, with the probe's ADC lookup
     // table (M arrays of K e9-quantized distances) computed in the same
     // tiny projection — P×nprobe rows, broadcast-sized
@@ -150,7 +174,7 @@ object PqAdc {
       val sub = slice(col(probeVecCol), mi * subDim + 1, subDim)
       array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lut$mi")
     }
-    val probeClusters = probes
+    val probeClusters = guarded
       .select(Seq(col(probeIdCol), col(probeVecCol),
         posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv"))) ++ luts: _*)
       .select(Seq(col(probeIdCol), col(probeVecCol),
@@ -178,13 +202,16 @@ object PqAdc {
     require(nprobe >= 1 && nprobe <= centroids.size, s"pq_adc: nprobe=$nprobe out of range")
     require(shortlist >= k, s"pq_adc: shortlist=$shortlist must cover k=$k")
     val m = codebooks.size
+    require(centroids.forall(_.length == m * subDim),
+      s"pq_adc: every centroid must have ${m * subDim} dims (M*subDim)")
+    val guarded = guardProbes(probes, probeVecCol, m * subDim)
     val centRank = Window.partitionBy(probeIdCol)
       .orderBy(col("__pc_cos").desc, col("__cent_id"))
     val luts = codebooks.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(col("__presid"), mi * subDim + 1, subDim)
       array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lut$mi")
     }
-    val probeClusters = probes
+    val probeClusters = guarded
       .select(col(probeIdCol), col(probeVecCol),
         posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv")))
       .select(col(probeIdCol), col(probeVecCol),

@@ -972,42 +972,18 @@ object Warehouse {
       .unionAll(adj.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
-    // the q131-style pre-flight: Σdeg² prices the naive join BEFORE it runs
-    val fanout = deg.agg(sum(col("deg") * col("deg")).as("f"))
+    // the q131-style pre-flight: Σdeg² prices the naive join BEFORE it
+    // runs — by-need, so a spec-pinned `forceOriented` never pays the
+    // census job it would discard
+    lazy val fanout = deg.agg(sum(col("deg") * col("deg")).as("f"))
       .collect()(0).getLong(0) // driver scalar: one number off the degree census
     val oriented = forceOriented.getOrElse(fanout > TwoHopFanoutCap)
     val hop2 =
       if (!oriented)
         sym.join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
           .select(col("a"), col("c").as("b"))
-      else {
-        // q132's orientation: u–v points from lower (deg, id) to higher
-        val ori = adj
-          .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
-          .select(
-            when(col("du") < col("dv") ||
-                (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("x"), col("v").as("y")))
-              .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
-          .select(col("e.x").as("a"), col("e.y").as("b"))
-          .localCheckpoint() // consumed by all three wedge cases
-        // every wedge {p, center, q} lands in exactly one case, once:
-        // both edges out of the center / a directed 2-path / both into it
-        val outOut = ori.join(ori.select(col("a"), col("b").as("c")), Seq("a"))
-          .filter(col("b") < col("c"))
-          .select(col("b").as("p"), col("c").as("q"))
-        val dirPath = ori // a→b→c: ord(a) < ord(b) < ord(c) ⇒ endpoints differ
-          .join(ori.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-          .select(col("a").as("p"), col("c").as("q"))
-        val inIn = ori.select(col("b").as("m"), col("a").as("p"))
-          .join(ori.select(col("b").as("m"), col("a").as("q")), Seq("m"))
-          .filter(col("p") < col("q"))
-          .select(col("p"), col("q"))
-        val wedges = outOut.unionAll(dirPath).unionAll(inIn)
-        wedges.select(col("p").as("a"), col("q").as("b"))
-          .unionAll(wedges.select(col("q").as("a"), col("p").as("b")))
-      }
+      else // q132's orientation — the shared kernel in operators/Wedges
+        graft.operators.Wedges.orientedTwoHop(adj, deg)
     val reach = sym.select(col("a"), col("b"))
       .unionAll(hop2)
       .filter(col("a") =!= col("b"))

@@ -45,36 +45,59 @@ object Landing {
 
   /** S8 — ordered DDL executor: run every .sql file under `dir` in
     * filename order (model_executor.py:32-137; ordering by name at :80).
-    * Statements are split on ';' at LINE ends only — a semicolon inside
-    * a string literal (`'x;y'`) never splits — with comment lines
-    * dropped, repeated/trailing semicolons collapsed and blank
-    * statements skipped; a final statement without a terminator still
-    * runs (WritersSpec pins all of these). */
+    * Statements are split by [[splitStatements]]: a ';' inside a string
+    * literal never splits (even across lines), `--` line comments are
+    * dropped wherever they start (whole-line, interior, or trailing
+    * after a terminator), repeated/trailing semicolons collapse, blank
+    * statements are skipped, and a final statement without a terminator
+    * still runs (WritersSpec pins all of these). */
   def applyModels(spark: SparkSession, dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
     files.flatMap { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val statements = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      def flush(): Unit = {
-        val s = cur.toString.trim
-        if (s.nonEmpty) statements += s
-        cur.clear()
-      }
-      text.linesIterator
-        .filterNot(_.trim.startsWith("--"))
-        .map(_.replaceAll("\\s+$", ""))
-        .foreach { line =>
-          if (line.endsWith(";")) {
-            cur.append(line.replaceAll(";+$", ""))
-            flush()
-          } else cur.append(line).append('\n')
-        }
-      flush() // unterminated final statement still runs
-      statements.toSeq.map { s => spark.sql(s); s"${f.getName}: OK" }
+      splitStatements(text).map { s => spark.sql(s); s"${f.getName}: OK" }
     }.toSeq
+  }
+
+  /** Split a SQL script into statements with a single character scan
+    * that tracks string-literal state: ';' splits only OUTSIDE literals
+    * (`'x;y'` survives intact, even when the literal spans lines or the
+    * ';' falls at end-of-line), `--` starts a to-end-of-line comment
+    * only outside literals (so `'a--b'` survives and `SELECT 1; -- n`
+    * terminates cleanly), and a doubled quote `''` inside a literal is
+    * two toggles — net inside, the SQL escape. Empty statements (from
+    * `;;` or comment-only regions) are dropped. */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) statements += s
+      cur.clear()
+    }
+    var i = 0
+    var inLiteral = false
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inLiteral) {
+        cur.append(c)
+        if (c == '\'') inLiteral = false
+        i += 1
+      } else if (c == '\'') {
+        cur.append(c); inLiteral = true; i += 1
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1 // comment; keep the newline
+      } else if (c == ';') {
+        flush(); i += 1
+      } else {
+        cur.append(c); i += 1
+      }
+    }
+    flush() // unterminated final statement still runs
+    statements.toSeq
   }
 
   /** S9 — stats probes over a loaded layer as a one-row DataFrame: row

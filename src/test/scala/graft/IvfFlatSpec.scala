@@ -291,6 +291,45 @@ class IvfFlatSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("pq_adc")), e.getMessage)
   }
 
+  test("residual PQ encode fails loudly on dim-mismatched vectors") {
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
+    // cluster supplied by hand — an index re-loaded from parquet, so
+    // IvfFlat.assign's own guard never ran; the residual zip_with would
+    // null-pad the short vector to full centroid length, which slips
+    // past encode's size check unless encodeResidual guards the RAW vec
+    val shortAssigned = Seq((999L, Array.fill(dim - 3)(0.5f), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val e = intercept[Exception](
+      graft.operators.PqAdc.encodeResidual(shortAssigned, cents, codebooks, subDim)
+        .select("codes").collect())
+    assert(e.getMessage.contains("pq_adc") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_adc")), e.getMessage)
+  }
+
+  test("IVFADC search fails loudly on a dim-mismatched probe vector") {
+    // without the probe guard every LUT entry and re-rank cosine goes
+    // NULL and the caller silently receives k lowest-id rows
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val direct = graft.operators.PqAdc.encode(assigned, codebooks, subDim)
+    val badProbes = Seq((7L, Array.fill(dim - 1)(0.1f))).toDF("probe_id", "pv")
+    val e1 = intercept[Exception](
+      graft.operators.PqAdc.search(direct, badProbes, cents, codebooks,
+        subDim, nprobe = 2, shortlist = 5, k = 5).collect())
+    assert(e1.getMessage.contains("pq_adc") ||
+      Option(e1.getCause).exists(_.getMessage.contains("pq_adc")), e1.getMessage)
+    val residual = graft.operators.PqAdc.encodeResidual(assigned, cents, codebooks, subDim)
+    val e2 = intercept[Exception](
+      graft.operators.PqAdc.searchResidual(residual, badProbes, cents, codebooks,
+        subDim, nprobe = 2, shortlist = 5, k = 5).collect())
+    assert(e2.getMessage.contains("pq_adc") ||
+      Option(e2.getCause).exists(_.getMessage.contains("pq_adc")), e2.getMessage)
+  }
+
   test("IVFADC shortlist prunes by ADC distance but never below k results") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>

@@ -67,6 +67,30 @@ class WritersSpec extends SparkSpec {
       s"survivor depends on partitioning: $survivors")
   }
 
+  test("upsert: equal-timestamp survivor is schema-evolution order independent") {
+    // batches with DIFFERENT extra columns: merged.columns order depends
+    // on which batch was written first (allowMissingColumns appends),
+    // so a positional tie-break hash would let upsert order pick the
+    // survivor; the name-sorted hash must not
+    val ts = "2024-01-01 00:00:00"
+    def wide(extraName: String, tag: String) =
+      batch((1L to 16L).map(i => (i, s"$tag-$i", ts)): _*)
+        .withColumn(extraName, lit(tag))
+    val a = wide("aa_col", "alpha")
+    val b = wide("zz_col", "omega")
+    def survivors(first: org.apache.spark.sql.DataFrame,
+                  second: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val lake = tmpDir("graft_ws_se_")
+      Pipeline.upsertBronze(spark, first, lake)
+      Pipeline.upsertBronze(spark, second, lake)
+        .select("id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val ab = survivors(a, b)
+    val ba = survivors(b, a)
+    assert(ab == ba, s"upsert order changed equal-timestamp survivors: $ab vs $ba")
+  }
+
   test("CSV sink round-trips embedded quotes, newlines and commas") {
     val schema = StructType(Seq(
       StructField("id", LongType),
@@ -114,5 +138,37 @@ class WritersSpec extends SparkSpec {
     // exactly the two real statements ran — no empties, no comment-only
     assert(applied == Seq("01_view.sql: OK", "02_second.sql: OK"), applied.toString)
     assert(spark.table("ws_ddl_w").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("DDL splitter: trailing comments, one-line multi-statements, literal state") {
+    import Landing.splitStatements
+    // trailing same-line comment after a terminator must not glue the
+    // statements together (the old line-end-only splitter did)
+    assert(splitStatements("SELECT 1; -- note\nSELECT 2;") ==
+      Seq("SELECT 1", "SELECT 2"))
+    // two statements on one line both run
+    assert(splitStatements("SELECT 1; SELECT 2") == Seq("SELECT 1", "SELECT 2"))
+    // ';' inside a literal never splits; '--' inside a literal is data
+    assert(splitStatements("SELECT 'x;y' AS a;\nSELECT 'a--b' AS c;") ==
+      Seq("SELECT 'x;y' AS a", "SELECT 'a--b' AS c"))
+    // a literal spanning lines with ';' at end-of-line stays one statement
+    assert(splitStatements("SELECT 'one;\ntwo' AS s;") ==
+      Seq("SELECT 'one;\ntwo' AS s"))
+    // the doubled-quote escape stays inside the literal
+    assert(splitStatements("SELECT 'it''s; fine' AS s;") ==
+      Seq("SELECT 'it''s; fine' AS s"))
+    // interior comment glues its line's remainder out, nothing else
+    assert(splitStatements("SELECT -- pick\n  7 AS n;") ==
+      Seq("SELECT \n  7 AS n"))
+    // end-to-end: the executor runs a file whose first statement carries
+    // a trailing comment — both views must exist afterwards
+    val dir = tmpDir("graft_ws_ddl2_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/00_two.sql"),
+      "CREATE OR REPLACE TEMPORARY VIEW ws_ddl2_a AS SELECT 5 AS a; -- five\n" +
+        "CREATE OR REPLACE TEMPORARY VIEW ws_ddl2_b AS SELECT a * 2 AS b FROM ws_ddl2_a;")
+    val applied = Landing.applyModels(spark, dir)
+    assert(applied == Seq("00_two.sql: OK", "00_two.sql: OK"), applied.toString)
+    assert(spark.table("ws_ddl2_b").collect().map(_.getInt(0)).toSeq == Seq(10))
   }
 }
