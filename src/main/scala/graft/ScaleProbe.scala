@@ -32,6 +32,99 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_PROBE=ann: the round-9 similarity-search family —
+    // IVF train (fixed model work on the BASE corpus), assign+PQ-encode
+    // (map-side, corpus-linear), IVFADC search (per-probe cost tracks
+    // probed-cluster mass, not corpus size times dim), brute-force
+    // ground truth for recall, and the banded Hamming near-dup over
+    // synthetic 64-bit fingerprints with planted 1-bit-perturbed groups
+    // of 4. Runs BEFORE the documents-corpus replication below — this
+    // family reads embeddings only and must not pay that checkpoint.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "ann") {
+      def timedA[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      import graft.operators.{IvfFlat, PqAdc}
+      import graft.functions.CosineSimilarity
+      val embBase = graft.engine.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val dim = embBase.select(size(col("embedding"))).first().getInt(0)
+      val stride = embBase.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+      val vecs = (0 until mult).map(k =>
+          embBase.select((col("vec_id") + lit(k * stride)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nVec = vecs.count()
+      val ivfK = 16
+      val pqM = 4
+      val pqSub = dim / pqM
+      require(pqM * pqSub == dim, s"dim $dim not divisible into $pqM subspaces")
+      val seeds = embBase.filter(col("vec_id") < ivfK).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      val cbSeeds = embBase.filter(col("vec_id") < 64).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val codebooks = (0 until pqM).map(m =>
+        cbSeeds.toSeq.map(s => s.slice(m * pqSub, (m + 1) * pqSub).map(_.toDouble)))
+      // model training is fixed work on the base corpus — it does NOT
+      // scale with mult (the 100 TB story: train on a sample, apply
+      // everywhere); timed to show it stays flat
+      val (cents, tTrain) = timedA { IvfFlat.train(embBase, seeds, iters = 3) }
+      val ((encoded, _), tEncode) = timedA {
+        val e = PqAdc.encode(IvfFlat.assign(vecs, cents), codebooks, pqSub)
+          .localCheckpoint(true)
+        (e, e.count())
+      }
+      val probes = embBase.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .localCheckpoint(true)
+      val topK = 10
+      val (adc, tAdc) = timedA[Set[(Long, Long)]] {
+        PqAdc.search(encoded, probes, cents, codebooks, pqSub,
+            nprobe = 4, shortlist = 4 * topK, k = topK)
+          .select("probe_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val (brute, tBrute) = timedA[Set[(Long, Long)]] {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        probes.join(vecs.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cv")), col("probe_id") =!= col("cand_id"))
+          .withColumn("cosine", CosineSimilarity(col("pv"), col("cv")))
+          .withColumn("rk", row_number().over(wk))
+          .filter(col("rk") <= topK)
+          .select("probe_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recall = brute.count(adc.contains).toDouble / brute.size
+      // planted-perturbation Hamming near-dup: ids in groups of 4 share
+      // a group hash; members 1..3 flip one distinct bit each, so every
+      // in-group pair is within Hamming 2 and groups cluster fully
+      val hashed = vecs.select(col("vec_id").as("media_id"),
+        xxhash64(expr("vec_id DIV 4"))
+          .bitwiseXOR(expr(
+            "CASE WHEN vec_id % 4 = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE shiftleft(CAST(1 AS BIGINT), CAST(vec_id % 4 AS INT) * 7) END"))
+          .as("phash"))
+      val ((nGroups, nDups), tNeardup) = timedA {
+        val r = graft.engine.Multimodal.nearDupByHash(hashed)
+          .agg(countDistinct(when(col("n_members") === 4, col("keeper"))).as("g"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("d")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      println(s"""{"probe":"ann","sf":"$sfDir","mult":$mult,"vectors":$nVec,""" +
+        s""""dim":$dim,"ivf_k":$ivfK,"pq_m":$pqM,""" +
+        s""""train_sec":${f"$tTrain%.2f"},"encode_sec":${f"$tEncode%.2f"},""" +
+        s""""adc_sec":${f"$tAdc%.2f"},"brute_sec":${f"$tBrute%.2f"},""" +
+        s""""recall_at_$topK":${f"$recall%.3f"},""" +
+        s""""neardup_groups":$nGroups,"neardup_dups":$nDups,""" +
+        s""""neardup_sec":${f"$tNeardup%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     val base = graft.engine.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     // stride by the id-space BOUND, not the row count — sparse ids would
