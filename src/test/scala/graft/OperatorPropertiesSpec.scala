@@ -565,4 +565,25 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // statements built from benign words plus literals that CONTAIN the
+  // splitter's trigger characters — ';' and '--' inside quotes are data
+  private val sqlStmtGen: Gen[String] = for {
+    head <- Gen.oneOf("SELECT a", "SELECT b, c", "UPDATE t SET x = 1")
+    lit <- Gen.oneOf("'x;y'", "'a--b'", "'it''s; ok'", "'multi\nline;'", "'plain'")
+    tail <- Gen.oneOf("", s" WHERE s = $lit", s", $lit AS s")
+  } yield head + tail
+
+  private val sqlScriptGen = for {
+    stmts <- Gen.nonEmptyListOf(sqlStmtGen)
+    seps <- Gen.listOfN(stmts.size, Gen.oneOf(";", ";;", ";\n", "; -- note\n", ";\n-- whole-line\n"))
+  } yield (stmts, stmts.zip(seps).map { case (s, sep) => s + sep }.mkString)
+
+  test("DDL splitter recovers the statement list under any separator dressing") {
+    import graft.sources.Landing.splitStatements
+    samples(sqlScriptGen, 40).foreach { case (stmts, script) =>
+      assert(splitStatements(script) == stmts,
+        s"script <<$script>> split to ${splitStatements(script)}, want $stmts")
+    }
+  }
 }
