@@ -300,17 +300,33 @@ object ScaleProbe {
       }
       val ord0 = graft.engine.Tables.orders(spark, sfDir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderdate"))
+          col("o_orderdate"), col("o_totalprice"))
       val c0 = ord0.agg(max("o_custkey")).collect()(0).getLong(0) + 1L
       val k0 = ord0.agg(max("o_orderkey")).collect()(0).getLong(0) + 1L
       val orders = (0 until mult).map(k =>
           ord0.select((col("o_custkey") + lit(k * c0)).as("o_custkey"),
             (col("o_orderkey") + lit(k * k0)).as("o_orderkey"),
-            col("o_orderstatus"), col("o_orderdate")))
+            col("o_orderstatus"), col("o_orderdate"), col("o_totalprice")))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val nOrd = orders.count()
+      // q142's two Pareto rank paths over mult× the customer base: the
+      // exact single-partition window vs the value-census rank, verified
+      // identical via a full-assignment fingerprint (bit_xor of per-row
+      // (custkey, rk) hashes — order-free, overflow-free; each pair
+      // appears exactly once so xor cancellation cannot hide a diff)
+      val rev = orders.groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val nCust = rev.count()
+      def rankFp(scalePath: Boolean): Long =
+        graft.queries.Warehouse.paretoRank(rev, scalePath)
+          .agg(expr("bit_xor(xxhash64(o_custkey, rk))")).collect()(0).getLong(0)
+      val (fpExact, tParetoExact) = timed { rankFp(scalePath = false) }
+      val (fpCensus, tParetoCensus) = timed { rankFp(scalePath = true) }
+      require(fpExact == fpCensus,
+        s"pareto rank paths disagree: fingerprint $fpExact vs $fpCensus")
       val (nPit, tPit) = timed {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -369,11 +385,15 @@ object ScaleProbe {
       require(nNaive == nOri && massNaive == massOri,
         s"two-hop paths disagree: nodes $nNaive vs $nOri, mass $massNaive vs $massOri")
       println(s"""{"probe":"warehouse","sf":"$sfDir","mult":$mult,""" +
-        s""""events":$nEv,"orders":$nOrd,"nodes":$nNodes,"edges":$nEdges,""" +
+        s""""events":$nEv,"orders":$nOrd,"customers":$nCust,""" +
+        s""""nodes":$nNodes,"edges":$nEdges,""" +
         s""""deg2_fanout":$fanout,"roll_rows":$nRoll,"trans_cells":$nTrans,""" +
-        s""""pit_rows":$nPit,"twohop_nodes":$nNaive,""" +
+        s""""pit_rows":$nPit,"twohop_nodes":$nNaive,"twohop_mass":$massNaive,""" +
         s""""roll_sec":${f"$tRoll%.2f"},"trans_sec":${f"$tTrans%.2f"},""" +
-        s""""pit_sec":${f"$tPit%.2f"},"twohop_naive_sec":${f"$tNaive%.2f"},""" +
+        s""""pit_sec":${f"$tPit%.2f"},""" +
+        s""""pareto_exact_sec":${f"$tParetoExact%.2f"},""" +
+        s""""pareto_census_sec":${f"$tParetoCensus%.2f"},""" +
+        s""""twohop_naive_sec":${f"$tNaive%.2f"},""" +
         s""""twohop_oriented_sec":${f"$tOri%.2f"}}""")
       spark.stop()
       return

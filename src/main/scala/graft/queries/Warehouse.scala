@@ -1159,6 +1159,29 @@ object Warehouse {
   private def q142(spark: SparkSession, dir: String): DataFrame =
     q142Pareto(spark, dir, forceScalePath = None)
 
+  /** The two q142 rank paths over a (o_custkey, cents) relation —
+    * shared with `ScaleProbe`'s warehouse family so the probe measures
+    * the shipping kernel. Both produce the identical deterministic rank
+    * on (cents DESC, o_custkey): the exact path through one
+    * single-partition row_number window, the scale path through the
+    * value-census rank (cumulative window at DISTINCT-cents grain +
+    * a PARTITIONED within-value row_number). */
+  private[graft] def paretoRank(rev: DataFrame, scalePath: Boolean): DataFrame =
+    if (!scalePath) {
+      val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
+      rev.withColumn("rk", row_number().over(rank).cast("long"))
+    } else {
+      val byValue = rev.groupBy("cents").agg(count(lit(1)).as("vcnt"))
+      val cum = Window.orderBy(col("cents").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val above = byValue
+        .withColumn("above", sum("vcnt").over(cum) - col("vcnt"))
+        .select(col("cents"), col("above"))
+      val within = Window.partitionBy("cents").orderBy("o_custkey")
+      rev.join(above, Seq("cents"))
+        .withColumn("rk", col("above") + row_number().over(within).cast("long"))
+    }
+
   /** Both q142 rank paths behind one census-driven selector;
     * `forceScalePath` lets the spec pin their equality at test scale. */
   private[graft] def q142Pareto(spark: SparkSession, dir: String,
@@ -1167,22 +1190,7 @@ object Warehouse {
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
     val nCust = rev.count() // driver scalar (q92's pattern) = the trigger census
-    val scalePath = forceScalePath.getOrElse(nCust > ParetoWindowCap)
-    val ranked =
-      if (!scalePath) {
-        val rank = Window.orderBy(col("cents").desc, col("o_custkey"))
-        rev.withColumn("rk", row_number().over(rank).cast("long"))
-      } else {
-        val byValue = rev.groupBy("cents").agg(count(lit(1)).as("vcnt"))
-        val cum = Window.orderBy(col("cents").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val above = byValue
-          .withColumn("above", sum("vcnt").over(cum) - col("vcnt"))
-          .select(col("cents"), col("above"))
-        val within = Window.partitionBy("cents").orderBy("o_custkey")
-        rev.join(above, Seq("cents"))
-          .withColumn("rk", col("above") + row_number().over(within).cast("long"))
-      }
+    val ranked = paretoRank(rev, forceScalePath.getOrElse(nCust > ParetoWindowCap))
     val tot = Window.partitionBy()
     ranked
       .withColumn("nc", lit(nCust))
