@@ -1300,6 +1300,158 @@ object TrainData2 {
       |ORDER BY p.probe_id""".stripMargin
   }
 
+  // ── q154: intra-document repetition filters — the Gopher quality-rule
+  // trio (Rae et al. 2021, Table A1): a document whose single most
+  // frequent 2/3/4-gram covers more than 20/18/16% of its tokens is
+  // machine-generated boilerplate or keyword spam. Token share is
+  // integer cross-multiplied (top_count * n * 100 > n_tok * pct), never
+  // a float ratio. Complements q56 (CROSS-document shared spans): this
+  // is WITHIN-document repetition, invisible to any corpus-level census
+  // because the repeated gram may be globally unique. Scale: ONE corpus
+  // scan — the three shingle arrays are built per row by the codegen'd
+  // WordNgrams kernel and exploded tagged by n — then two partial-agg
+  // shuffles keyed (doc_id, n, gram) → (doc_id, n). Map-side combine
+  // absorbs exactly the pathology being measured (the repeated gram IS
+  // the aggregation key), so a spam doc costs no more shuffle bytes
+  // than a clean one; no join is wider than doc grain. ──
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+    val grams = d.select(col("doc_id"), explode(array((2 to 4).map(n =>
+        struct(lit(n).as("n"),
+          graft.functions.WordNgrams(col("text"), n).as("gs"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
+    val tops = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(max("c").as("top"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("top"))).as("top2"),
+        max(when(col("n") === 3, col("top"))).as("top3"),
+        max(when(col("n") === 4, col("top"))).as("top4"))
+    val f2 = coalesce(col("top2"), lit(0L)) * 2 * 5 > col("n_tok")
+    val f3 = coalesce(col("top3"), lit(0L)) * 3 * 100 > col("n_tok") * 18
+    val f4 = coalesce(col("top4"), lit(0L)) * 4 * 100 > col("n_tok") * 16
+    val drop = f2 || f3 || f4
+    d.select(col("doc_id"), col("source"),
+        size(TrainData.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(tops, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(f2, 1L).otherwise(0L)).as("n_flag_2g"),
+        sum(when(f3, 1L).otherwise(0L)).as("n_flag_3g"),
+        sum(when(f4, 1L).otherwise(0L)).as("n_flag_4g"),
+        sum(when(drop, 1L).otherwise(0L)).as("n_drop"),
+        sum(when(!drop, col("n_tok")).otherwise(0L)).as("kept_tok"),
+        min(when(drop, col("doc_id"))).as("first_drop_doc"))
+      .orderBy("source")
+  }
+
+  private val q154Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 3, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 4, unnest(list_transform(range(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) FROM toks),
+      |tc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+      |tn AS (SELECT doc_id, n, MAX(c) AS top FROM tc GROUP BY 1, 2),
+      |tops AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN n = 2 THEN top END) AS top2,
+      |    MAX(CASE WHEN n = 3 THEN top END) AS top3,
+      |    MAX(CASE WHEN n = 4 THEN top END) AS top4
+      |  FROM tn GROUP BY 1),
+      |v AS (
+      |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+      |    COALESCE(t.top2, 0) * 2 * 5 > len(string_split(d.text, ' ')) AS f2,
+      |    COALESCE(t.top3, 0) * 3 * 100 > len(string_split(d.text, ' ')) * 18 AS f3,
+      |    COALESCE(t.top4, 0) * 4 * 100 > len(string_split(d.text, ' ')) * 16 AS f4
+      |  FROM documents d LEFT JOIN tops t ON d.doc_id = t.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_2g,
+      |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_3g,
+      |  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_4g,
+      |  CAST(SUM(CASE WHEN f2 OR f3 OR f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+      |  CAST(SUM(CASE WHEN NOT (f2 OR f3 OR f4) THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS kept_tok,
+      |  MIN(CASE WHEN f2 OR f3 OR f4 THEN doc_id END) AS first_drop_doc
+      |FROM v GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ── q155: duplicated-substring census at stride 1 — the sliding-window
+  // approximation of exact substring dedup (Lee et al. 2021, "Deduplicating
+  // Training Data Makes Language Models Better"): every WinW-word window
+  // (stride 1, unlike q60's stride-K chunking) is hashed; a window whose
+  // hash repeats ANYWHERE in the corpus marks duplicated text, and runs
+  // of consecutive duplicated positions recover the duplicated SPAN
+  // length (run + WinW - 1 words) — the signal suffix-array dedup reads
+  // off directly. Catches the cross-chunk-boundary repeats q60 cannot
+  // see and, unlike q56, is not gated on ≥2 distinct documents (an
+  // intra-doc copy-paste also fires). Scale: windows shuffle as 16-byte
+  // digests keyed by hash (never the window text — the W× string blowup
+  // stays map-side and is dropped before the exchange); the frequency
+  // window and the per-doc run detection are two linear shuffles (hash,
+  // then doc_id), and run-length recovery is a per-doc island count —
+  // no pairwise expansion anywhere, so a 10^6×-repeated span costs its
+  // occurrence count, not its occurrence-pair square. ──
+  private val WinW = 10
+
+  private def q155(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+    val win = d.select(col("doc_id"),
+        posexplode(graft.functions.WordNgrams(col("text"), WinW)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("h"))
+    val dup = win
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "pos")
+    val runs = dup.withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(
+        sum("run").as("n_dup_windows"),
+        count(lit(1)).as("n_runs"),
+        max("run").as("max_run"))
+    val nw = d.select(col("doc_id"),
+      size(graft.functions.WordNgrams(col("text"), WinW)).cast("long").as("n_windows"))
+    runs.join(nw, Seq("doc_id"))
+      .withColumn("max_dup_span_words", col("max_run") + lit(WinW - 1))
+      .select("doc_id", "n_windows", "n_dup_windows", "n_runs", "max_run",
+        "max_dup_span_words")
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  private val q155Sql = {
+    val gram = (0 until WinW).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |win AS (
+      |  SELECT doc_id, i AS pos, md5($gram) AS h
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, len(t) - ${WinW - 2})) AS i FROM toks)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM win)
+      |  WHERE n_occ >= 2),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dup),
+      |rg AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup_windows,
+      |    COUNT(*) AS n_runs, CAST(MAX(run) AS BIGINT) AS max_run
+      |  FROM rg GROUP BY 1),
+      |nw AS (
+      |  SELECT doc_id, CAST(len(t) - ${WinW - 1} AS BIGINT) AS n_windows
+      |  FROM toks WHERE len(t) >= $WinW)
+      |SELECT p.doc_id, w.n_windows, p.n_dup_windows, p.n_runs, p.max_run,
+      |  p.max_run + ${WinW - 1} AS max_dup_span_words
+      |FROM per p JOIN nw w ON p.doc_id = w.doc_id
+      |ORDER BY p.doc_id LIMIT 200""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1315,5 +1467,7 @@ object TrainData2 {
     QueryDef("q92_pagerank", q92, Some(q92Sql)),
     QueryDef("q112_pq_encode", q112, Some(q112Sql)),
     QueryDef("q151_ivfadc", q151, Some(q151Sql)),
-    QueryDef("q153_ivfadc_residual", q153, Some(q153Sql)))
+    QueryDef("q153_ivfadc_residual", q153, Some(q153Sql)),
+    QueryDef("q154_repetition", q154, Some(q154Sql)),
+    QueryDef("q155_window_dedup", q155, Some(q155Sql)))
 }

@@ -318,4 +318,83 @@ class TrainData2Spec extends SparkSpec {
       }
     }
   }
+
+  // Shared brute-force shingler for the q154/q155 pins: exact split-on-
+  // space n-grams, matching WordNgrams semantics (empties preserved,
+  // <n tokens -> no grams).
+  private def grams(text: String, n: Int): Seq[String] = {
+    val t = text.split(" ", -1)
+    if (t.length < n) Seq.empty
+    else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+  }
+
+  test("q154: per-source rollup matches a driver-side brute-force recount") {
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    case class V(src: String, id: Long, nTok: Long,
+                 f2: Boolean, f3: Boolean, f4: Boolean) {
+      def drop: Boolean = f2 || f3 || f4
+    }
+    val verdicts = docs.map { case (id, src, text) =>
+      val nTok = text.split(" ", -1).length.toLong
+      def top(n: Int): Long = {
+        val g = grams(text, n)
+        if (g.isEmpty) 0L
+        else g.groupBy(identity).values.map(_.size).max.toLong
+      }
+      V(src, id, nTok,
+        top(2) * 2 * 5 > nTok,
+        top(3) * 3 * 100 > nTok * 18,
+        top(4) * 4 * 100 > nTok * 16)
+    }
+    val expected = verdicts.groupBy(_.src).map { case (src, vs) =>
+      (src, vs.length.toLong,
+        vs.count(_.f2).toLong, vs.count(_.f3).toLong, vs.count(_.f4).toLong,
+        vs.count(_.drop).toLong,
+        vs.filterNot(_.drop).map(_.nTok).sum,
+        vs.filter(_.drop).map(_.id).minOption)
+    }.toSeq.sortBy(_._1)
+    val got = q("q154_repetition").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }.toSeq
+    assert(got == expected)
+    // the corpus must exercise both verdict classes or the pin is vacuous
+    assert(got.map(_._6).sum > 0, "no doc dropped — thresholds never fire")
+    assert(got.map(_._6).sum < docs.length, "every doc dropped")
+  }
+
+  test("q155: dup-window census matches a driver-side brute-force recount") {
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, text) =>
+      grams(text, 10).zipWithIndex.map { case (g, i) => (id, i + 1, g) }
+    }
+    val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = wins.filter(w => freq(w._3) >= 2)
+      .groupBy(_._1).map { case (id, dups) =>
+        val pos = dups.map(_._2).sorted
+        // islands of consecutive positions = runs
+        val runs = pos.zipWithIndex.groupBy { case (p, i) => p - i }
+          .values.map(_.size.toLong).toSeq
+        val nWin = docs.find(_._1 == id).map(d =>
+          math.max(d._2.split(" ", -1).length - 9, 0)).get.toLong
+        (id, nWin, pos.length.toLong, runs.length.toLong, runs.max,
+          runs.max + 9)
+      }.toSeq.sortBy(_._1)
+    val got = q("q155_window_dedup").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expected.take(200))
+    assert(got.nonEmpty, "no duplicated spans found — census is vacuous")
+    // structural invariants on every row
+    got.foreach { case (id, nWin, nDup, nRuns, maxRun, span) =>
+      assert(maxRun >= 1 && maxRun <= nDup && nDup <= nWin,
+        s"doc $id: run/dup/window ordering violated")
+      assert(nRuns >= 1 && nRuns <= nDup && span == maxRun + 9)
+    }
+  }
 }
