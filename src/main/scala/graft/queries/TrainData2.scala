@@ -1452,6 +1452,84 @@ object TrainData2 {
       |ORDER BY p.doc_id LIMIT 200""".stripMargin
   }
 
+  // ── q156: LM-surprisal quality buckets — the CCNet head/middle/tail
+  // split (Wenzek et al. 2020) with the reference LM replaced by the
+  // corpus's own unigram model, integer-exact end to end: per-token
+  // surprisal ≈ floor(log2(T / count)) computed as
+  // length(bin(T div count)) - 1 (both engines render BIGINT binary
+  // identically, so no float log ever enters the gate), per-doc score =
+  // Σ surprisal, and the bucket boundary is CENTI-rarity
+  // (score*100 div n_tok) against fixed documented cut points — the
+  // constant-threshold stand-in for CCNet's learned percentiles, like
+  // q154's Gopher constants. Low surprisal = repetitive/common-token
+  // text (CCNet keeps "head" for quality), high = rare-token gibberish.
+  // Scale: the unigram LM is VOCAB-sized; the grand total reaches it
+  // through the non-foldable pmod(hash) 1-row broadcast (Relational's
+  // idiom — BroadcastHashJoin, never a cartesian), and re-scoring joins
+  // tokens to the LM keyed by word — two corpus-linear shuffles
+  // (vocab count, score rollup) plus one vocab-sized exchange; the
+  // token explode is recomputed rather than materialized because at
+  // 100 TB a second scan is cheaper than checkpointing the tall token
+  // relation. ──
+  private val SurprisalHeadMax = 401L
+  private val SurprisalMidMax = 404L
+
+  private def q156(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+    val toks = d.select(col("doc_id"), col("source"),
+      explode(TrainData.tokens(col("text"))).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val total = counts.agg(sum("n_occ").cast("long").as("t"))
+      .withColumn("__k", one(col("t")))
+    val lm = counts.withColumn("__k", one(col("word")))
+      .join(broadcast(total), "__k")
+      .withColumn("rarity",
+        (length(bin(expr("t div n_occ"))) - 1).cast("long"))
+      .select("word", "rarity")
+    val centi = expr("score * 100 div n_tok")
+    toks.join(lm, Seq("word"))
+      .groupBy("doc_id", "source").agg(
+        count(lit(1)).as("n_tok"),
+        sum("rarity").as("score"))
+      .withColumn("bucket",
+        when(centi <= SurprisalHeadMax, "head")
+          .when(centi <= SurprisalMidMax, "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        sum("score").as("total_score"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "bucket")
+  }
+
+  private val q156Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |counts AS (SELECT word, COUNT(*) AS n_occ FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS t FROM counts),
+      |lm AS (
+      |  SELECT word, CAST(length(bin(t // n_occ)) - 1 AS BIGINT) AS rarity
+      |  FROM counts, tot),
+      |scored AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_tok,
+      |    CAST(SUM(rarity) AS BIGINT) AS score
+      |  FROM toks JOIN lm USING (word) GROUP BY 1, 2),
+      |b AS (
+      |  SELECT source, doc_id, n_tok, score,
+      |    CASE WHEN score * 100 // n_tok <= $SurprisalHeadMax THEN 'head'
+      |         WHEN score * 100 // n_tok <= $SurprisalMidMax THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM scored)
+      |SELECT source, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  CAST(SUM(score) AS BIGINT) AS total_score,
+      |  MIN(doc_id) AS first_doc
+      |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1469,5 +1547,6 @@ object TrainData2 {
     QueryDef("q151_ivfadc", q151, Some(q151Sql)),
     QueryDef("q153_ivfadc_residual", q153, Some(q153Sql)),
     QueryDef("q154_repetition", q154, Some(q154Sql)),
-    QueryDef("q155_window_dedup", q155, Some(q155Sql)))
+    QueryDef("q155_window_dedup", q155, Some(q155Sql)),
+    QueryDef("q156_surprisal_filter", q156, Some(q156Sql)))
 }

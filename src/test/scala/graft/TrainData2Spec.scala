@@ -397,4 +397,32 @@ class TrainData2Spec extends SparkSpec {
       assert(nRuns >= 1 && nRuns <= nDup && span == maxRun + 9)
     }
   }
+
+  test("q156: surprisal buckets match a driver-side unigram-LM recount") {
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val allToks = docs.flatMap(_._3.split(" ", -1))
+    val counts = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = allToks.length.toLong
+    def rarity(w: String): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(t / counts(w))
+    val expected = docs.map { case (id, src, text) =>
+      val ws = text.split(" ", -1)
+      val score = ws.map(rarity).sum
+      val centi = score * 100 / ws.length
+      val bucket = if (centi <= 401) "head"
+        else if (centi <= 404) "middle" else "tail"
+      (src, bucket, id, ws.length.toLong, score)
+    }.groupBy(v => (v._1, v._2)).map { case ((src, b), vs) =>
+      (src, b, vs.length.toLong, vs.map(_._4).sum, vs.map(_._5).sum,
+        vs.map(_._3).min)
+    }.toSeq.sortBy(v => (v._1, v._2))
+    val got = q("q156_surprisal_filter").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the split must be non-degenerate: more than one bucket in play
+    assert(got.map(_._2).distinct.size >= 2, "all docs in one bucket")
+  }
 }
