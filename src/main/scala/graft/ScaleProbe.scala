@@ -401,63 +401,37 @@ object ScaleProbe {
 
     // SPARK_GRAFT_PROBE=repetition: the round-9 text-quality kernels —
     // q154's tagged 2/3/4-gram top-count census, q155's stride-1
-    // duplicated-window census, q156's unigram-LM surprisal rescore.
-    // Replication makes q155 the DENSE worst case: every window of a
-    // replica duplicates its original (global freq ≥ mult), so the probe
-    // measures that a highly-repeated span costs its occurrence count
-    // (partial-agg on the hash key), never an occurrence-pair square.
-    // q156's vocabulary stays ~constant as the corpus multiplies (each
-    // replica adds one salt token), so LM build should go corpus-linear
-    // while the vocab exchange stays flat.
+    // duplicated-window census, q156's unigram-LM surprisal rescore —
+    // through the SAME private[graft] kernels the gated queries ship
+    // (repetitionVerdicts/windowDupRuns/surprisalScores), so a
+    // threshold or tokenizer change cannot drift the published numbers.
+    // Replication makes the window census the DENSE case: all but the
+    // single salt-spanning window per replica doc duplicate the
+    // original (global freq ≥ mult), so the probe measures that a
+    // highly-repeated span costs its occurrence count (partial-agg on
+    // the digest key), never an occurrence-pair square. The surprisal
+    // vocabulary stays ~constant as the corpus multiplies (each replica
+    // adds one salt token), so the LM exchange stays flat while the
+    // scoring pass goes corpus-linear.
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "repetition") {
-      import org.apache.spark.sql.expressions.Window
+      import graft.queries.TrainData2
       val (nFlagged, tRep) = timed {
-        val grams = corpus.select(col("doc_id"), explode(array((2 to 4).map(k =>
-            struct(lit(k).as("n"),
-              graft.functions.WordNgrams(col("text"), k).as("gs"))): _*)).as("e"))
-          .select(col("doc_id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
-        val tops = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "n").agg(max("c").as("top"))
-        val nTok = corpus.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        tops.join(nTok, "doc_id")
-          .filter((col("n") === 2 && col("top") * 10 > col("n_tok")) ||
-            (col("n") === 3 && col("top") * 300 > col("n_tok") * 18) ||
-            (col("n") === 4 && col("top") * 400 > col("n_tok") * 16))
-          .select("doc_id").distinct().count()
+        TrainData2.repetitionVerdicts(corpus)
+          .filter(col("f2") || col("f3") || col("f4")).count()
       }
       val ((nDupDocs, maxRun), tWin) = timed {
-        val win = corpus.select(col("doc_id"),
-            posexplode(graft.functions.WordNgrams(col("text"), 10)))
-          .select(col("doc_id"), (col("pos") + 1).as("pos"),
-            md5(col("col")).as("h"))
-        val dup = win
-          .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
-          .filter(col("n_occ") >= 2).select("doc_id", "pos")
-        val runs = dup.withColumn("grp", col("pos") -
-            row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
-          .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-          .groupBy("doc_id").agg(max("run").as("mr"))
-        val r = runs.agg(count(lit(1)), max("mr")).collect()(0)
+        // coalesce: a corpus with NO duplicated window yields (0, null)
+        // and the probe must report 0, not NPE
+        val r = TrainData2.windowDupRuns(corpus)
+          .agg(count(lit(1)), coalesce(max("max_run"), lit(0L))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-      val ((vocabN, nHead), tLm) = timed {
-        val toks = corpus.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("word"))
-        val counts = toks.groupBy("word").agg(count(lit(1)).as("n_occ"))
-          .localCheckpoint(true)
-        val v = counts.count()
-        val total = counts.agg(sum("n_occ").cast("long").as("t"))
-          .withColumn("__k", pmod(hash(col("t")), lit(1)))
-        val lm = counts.withColumn("__k", pmod(hash(col("word")), lit(1)))
-          .join(broadcast(total), "__k")
-          .withColumn("rarity",
-            (length(bin(expr("t div n_occ"))) - 1).cast("long"))
-          .select("word", "rarity")
-        val nh = toks.join(lm, Seq("word")).groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), sum("rarity").as("score"))
-          .filter(expr("score * 100 div n_tok") <= 401).count()
-        (v, nh)
+      val vocabN = corpus
+        .select(explode(split(col("text"), " ")).as("word")).distinct().count()
+      val (nHead, tLm) = timed {
+        TrainData2.surprisalScores(corpus.withColumn("source", lit("probe")))
+          .filter(expr("score * 100 div n_tok") <= TrainData2.SurprisalHeadMax)
+          .count()
       }
       println(s"""{"probe":"repetition","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""rep_flagged":$nFlagged,"dup_docs":$nDupDocs,"max_run":$maxRun,""" +

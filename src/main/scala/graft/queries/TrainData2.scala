@@ -1314,8 +1314,13 @@ object TrainData2 {
   // absorbs exactly the pathology being measured (the repeated gram IS
   // the aggregation key), so a spam doc costs no more shuffle bytes
   // than a clean one; no join is wider than doc grain. ──
-  private def q154(spark: SparkSession, dir: String): DataFrame = {
-    val d = TrainData.docsParallel(spark, dir)
+  /** Per-doc Gopher repetition verdicts over a (doc_id, text [, ...])
+    * frame: the input columns minus text, plus n_tok and the three
+    * share flags. The SHIPPING kernel — q154's rollup and the
+    * ScaleProbe repetition leg both consume this, so the published
+    * scaling numbers measure the gated algorithm, not a copy that can
+    * drift. */
+  private[graft] def repetitionVerdicts(d: DataFrame): DataFrame = {
     val grams = d.select(col("doc_id"), explode(array((2 to 4).map(n =>
         struct(lit(n).as("n"),
           graft.functions.WordNgrams(col("text"), n).as("gs"))): _*)).as("e"))
@@ -1326,18 +1331,24 @@ object TrainData2 {
         max(when(col("n") === 2, col("top"))).as("top2"),
         max(when(col("n") === 3, col("top"))).as("top3"),
         max(when(col("n") === 4, col("top"))).as("top4"))
-    val f2 = coalesce(col("top2"), lit(0L)) * 2 * 5 > col("n_tok")
-    val f3 = coalesce(col("top3"), lit(0L)) * 3 * 100 > col("n_tok") * 18
-    val f4 = coalesce(col("top4"), lit(0L)) * 4 * 100 > col("n_tok") * 16
-    val drop = f2 || f3 || f4
-    d.select(col("doc_id"), col("source"),
-        size(TrainData.tokens(col("text"))).cast("long").as("n_tok"))
+    d.withColumn("n_tok", size(TrainData.tokens(col("text"))).cast("long"))
+      .drop("text")
       .join(tops, Seq("doc_id"), "left")
+      .withColumn("f2", coalesce(col("top2"), lit(0L)) * 2 * 5 > col("n_tok"))
+      .withColumn("f3", coalesce(col("top3"), lit(0L)) * 3 * 100 > col("n_tok") * 18)
+      .withColumn("f4", coalesce(col("top4"), lit(0L)) * 4 * 100 > col("n_tok") * 16)
+      .drop("top2", "top3", "top4")
+  }
+
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    val drop = col("f2") || col("f3") || col("f4")
+    repetitionVerdicts(TrainData.docsParallel(spark, dir)
+        .select("doc_id", "source", "text"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        sum(when(f2, 1L).otherwise(0L)).as("n_flag_2g"),
-        sum(when(f3, 1L).otherwise(0L)).as("n_flag_3g"),
-        sum(when(f4, 1L).otherwise(0L)).as("n_flag_4g"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("n_flag_2g"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("n_flag_3g"),
+        sum(when(col("f4"), 1L).otherwise(0L)).as("n_flag_4g"),
         sum(when(drop, 1L).otherwise(0L)).as("n_drop"),
         sum(when(!drop, col("n_tok")).otherwise(0L)).as("kept_tok"),
         min(when(drop, col("doc_id"))).as("first_drop_doc"))
@@ -1397,25 +1408,34 @@ object TrainData2 {
   // occurrence count, not its occurrence-pair square. ──
   private val WinW = 10
 
-  private def q155(spark: SparkSession, dir: String): DataFrame = {
-    val d = TrainData.docsParallel(spark, dir)
+  /** Per-doc duplicated-window run census over a (doc_id, text) frame:
+    * docs with ≥1 corpus-duplicated WinW-word window, with dup-position
+    * count, run count and longest run. Windows shuffle as 16-byte
+    * unhex'd md5 digests (BinaryType), never the window text. Shared by
+    * q155 and the ScaleProbe repetition leg. */
+  private[graft] def windowDupRuns(d: DataFrame): DataFrame = {
     val win = d.select(col("doc_id"),
         posexplode(graft.functions.WordNgrams(col("text"), WinW)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("h"))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        unhex(md5(col("col"))).as("h"))
     val dup = win
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("n_occ") >= 2)
       .select("doc_id", "pos")
-    val runs = dup.withColumn("grp",
+    dup.withColumn("grp",
         col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
       .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
       .groupBy("doc_id").agg(
         sum("run").as("n_dup_windows"),
         count(lit(1)).as("n_runs"),
         max("run").as("max_run"))
+  }
+
+  private def q155(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
     val nw = d.select(col("doc_id"),
       size(graft.functions.WordNgrams(col("text"), WinW)).cast("long").as("n_windows"))
-    runs.join(nw, Seq("doc_id"))
+    windowDupRuns(d.select("doc_id", "text")).join(nw, Seq("doc_id"))
       .withColumn("max_dup_span_words", col("max_run") + lit(WinW - 1))
       .select("doc_id", "n_windows", "n_dup_windows", "n_runs", "max_run",
         "max_dup_span_words")
@@ -1471,11 +1491,13 @@ object TrainData2 {
   // token explode is recomputed rather than materialized because at
   // 100 TB a second scan is cheaper than checkpointing the tall token
   // relation. ──
-  private val SurprisalHeadMax = 401L
+  private[graft] val SurprisalHeadMax = 401L
   private val SurprisalMidMax = 404L
 
-  private def q156(spark: SparkSession, dir: String): DataFrame = {
-    val d = TrainData.docsParallel(spark, dir)
+  /** Per-doc unigram-LM surprisal over a (doc_id, source, text) frame:
+    * (doc_id, source, n_tok, score). Shared by q156 and the ScaleProbe
+    * repetition leg. */
+  private[graft] def surprisalScores(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), col("source"),
       explode(TrainData.tokens(col("text"))).as("word"))
     val counts = toks.groupBy("word").agg(count(lit(1)).as("n_occ"))
@@ -1488,11 +1510,16 @@ object TrainData2 {
       .withColumn("rarity",
         (length(bin(expr("t div n_occ"))) - 1).cast("long"))
       .select("word", "rarity")
-    val centi = expr("score * 100 div n_tok")
     toks.join(lm, Seq("word"))
       .groupBy("doc_id", "source").agg(
         count(lit(1)).as("n_tok"),
         sum("rarity").as("score"))
+  }
+
+  private def q156(spark: SparkSession, dir: String): DataFrame = {
+    val centi = expr("score * 100 div n_tok")
+    surprisalScores(TrainData.docsParallel(spark, dir)
+        .select("doc_id", "source", "text"))
       .withColumn("bucket",
         when(centi <= SurprisalHeadMax, "head")
           .when(centi <= SurprisalMidMax, "middle")

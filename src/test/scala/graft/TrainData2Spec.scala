@@ -319,14 +319,9 @@ class TrainData2Spec extends SparkSpec {
     }
   }
 
-  // Shared brute-force shingler for the q154/q155 pins: exact split-on-
-  // space n-grams, matching WordNgrams semantics (empties preserved,
-  // <n tokens -> no grams).
-  private def grams(text: String, n: Int): Seq[String] = {
-    val t = text.split(" ", -1)
-    if (t.length < n) Seq.empty
-    else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
-  }
+  // Brute-force shingler for the q154/q155 pins: SparkSpec.naiveWordNgrams
+  // (the shared reference implementation, also pinned by WordNgramsSpec).
+  private def grams(text: String, n: Int): Seq[String] = naiveWordNgrams(text, n)
 
   test("q154: per-source rollup matches a driver-side brute-force recount") {
     val docs = graft.engine.Tables.documents(spark, dir)

@@ -20,13 +20,10 @@ class WordNgramsSpec extends SparkSpec {
   private def viaExpr(s: String, n: Int): Seq[String] =
     Seq(s).toDF("t").select(WordNgrams($"t", n)).collect()(0).getSeq[String](0)
 
-  /** Reference semantics: split-on-space (empties preserved), sliding
-    * window of n tokens re-joined by single spaces. */
-  private def naive(s: String, n: Int): Seq[String] = {
-    val t = s.split(" ", -1)
-    if (t.length < n) Seq.empty
-    else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
-  }
+  /** Reference semantics: SparkSpec.naiveWordNgrams — split-on-space
+    * (empties preserved), sliding window of n tokens re-joined by
+    * single spaces; shared with the q154/q155 pins. */
+  private def naive(s: String, n: Int): Seq[String] = naiveWordNgrams(s, n)
 
   test("property: matches the naive sliding window for arbitrary token soup") {
     // tokens drawn to include empties (consecutive/leading/trailing
