@@ -402,6 +402,37 @@ object Streams {
       .select("doc_id", "ts")
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Streaming LM-surprisal quality filter — the online form of q156
+    * (`TrainData2.surprisalScores` + bucket): the unigram LM is
+    * BATCH-trained model state (vocab-sized, like IvfFlat's centroids)
+    * handed in as a driver-side map, and each arriving doc scores
+    * ROW-LOCALLY — per-token rarity lookup (OOV tokens take
+    * `oovRarity`, the rarity floor-log2(T) of a count-1 word), integer
+    * sum, centi-rarity bucket against the same constants the batch
+    * query gates. STATELESS by construction: no shuffle, no watermark,
+    * no state store — append mode at any rate; the LM rides the plan as
+    * a literal map here (fine for bounded vocabs; a production
+    * 100M-token vocab ships as a broadcast map-side join or an
+    * in-process scorer instead, same row-local shape). Batch equality
+    * on shared docs is pinned in StreamsSpec. */
+  def surprisalFilter(docs: DataFrame, lm: Map[String, Long], oovRarity: Long,
+                      headMax: Long = 401L, midMax: Long = 404L): DataFrame = {
+    val lmCol = typedLit(lm)
+    val centi = expr("score * 100 div n_tok")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("score", aggregate(
+        transform(col("toks"),
+          w => coalesce(element_at(lmCol, w), lit(oovRarity))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("bucket",
+        when(centi <= headMax, "head")
+          .when(centi <= midMax, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "ts", "n_tok", "score", "bucket")
+  }
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

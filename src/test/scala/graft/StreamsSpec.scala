@@ -260,6 +260,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("surprisalFilter matches batch q156 scoring on shared docs; OOV takes the default") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the cat"),
+      (3L, "rare words appear once only"),
+      (4L, "the the the the the the"))
+    // batch-train the unigram LM exactly as the shipping kernel derives
+    // it: rarity = floor(log2(T div count))
+    val allToks = corpus.flatMap(_._2.split(" ", -1))
+    val t = allToks.length.toLong
+    val lm = allToks.groupBy(identity).map { case (w, ws) =>
+      w -> (63L - java.lang.Long.numberOfLeadingZeros(t / ws.length))
+    }
+    val oov = 63L - java.lang.Long.numberOfLeadingZeros(t)
+    // batch reference: the SHIPPING kernel over the same corpus
+    val batch = graft.queries.TrainData2.surprisalScores(
+        corpus.toDF("doc_id", "text").withColumn("source", lit("s")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("score"))).toMap
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.surprisalFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), lm, oov)
+      .writeStream.format("memory").queryName("surp").outputMode("append").start()
+    try {
+      in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+        (id, ts(s"2024-01-01 10:0$i:00"), text)
+      }: _*)
+      q.processAllAvailable()
+      val got = spark.table("surp").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      corpus.foreach { case (id, _) =>
+        val (bTok, bScore) = batch(id)
+        assert(got(id)._1 == bTok && got(id)._2 == bScore,
+          s"doc $id: stream ${got(id)} vs batch ($bTok, $bScore)")
+        val centi = bScore * 100 / bTok
+        val bucket = if (centi <= 401) "head"
+          else if (centi <= 404) "middle" else "tail"
+        assert(got(id)._3 == bucket, s"doc $id bucket")
+      }
+      // an unseen token scores at the OOV default
+      in.addData((9L, ts("2024-01-01 10:09:00"), "the zzzunseen"))
+      q.processAllAvailable()
+      val r9 = spark.table("surp").collect().find(_.getLong(0) == 9L).get
+      assert(r9.getLong(3) == lm("the") + oov, "OOV rarity not applied")
+    } finally q.stop()
+  }
+
   test("nearDupFilter flags docs sharing a band bucket against the keeper") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
