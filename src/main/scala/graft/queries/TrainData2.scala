@@ -1492,7 +1492,7 @@ object TrainData2 {
   // 100 TB a second scan is cheaper than checkpointing the tall token
   // relation. ──
   private[graft] val SurprisalHeadMax = 401L
-  private val SurprisalMidMax = 404L
+  private[graft] val SurprisalMidMax = 404L
 
   /** Per-doc unigram-LM surprisal over a (doc_id, source, text) frame:
     * (doc_id, source, n_tok, score). Shared by q156 and the ScaleProbe

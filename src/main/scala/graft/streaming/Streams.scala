@@ -414,12 +414,15 @@ object Streams {
     * a literal map here (fine for bounded vocabs; a production
     * 100M-token vocab ships as a broadcast map-side join or an
     * in-process scorer instead, same row-local shape). Batch equality
-    * on shared docs is pinned in StreamsSpec. */
+    * on shared docs is pinned in StreamsSpec; null-text rows are
+    * dropped here because the batch kernel's explode drops them too. */
   def surprisalFilter(docs: DataFrame, lm: Map[String, Long], oovRarity: Long,
-                      headMax: Long = 401L, midMax: Long = 404L): DataFrame = {
+                      headMax: Long = graft.queries.TrainData2.SurprisalHeadMax,
+                      midMax: Long = graft.queries.TrainData2.SurprisalMidMax): DataFrame = {
     val lmCol = typedLit(lm)
     val centi = expr("score * 100 div n_tok")
     docs
+      .filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("score", aggregate(

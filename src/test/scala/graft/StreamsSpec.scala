@@ -297,15 +297,21 @@ class StreamsSpec extends SparkSpec {
         assert(got(id)._1 == bTok && got(id)._2 == bScore,
           s"doc $id: stream ${got(id)} vs batch ($bTok, $bScore)")
         val centi = bScore * 100 / bTok
-        val bucket = if (centi <= 401) "head"
-          else if (centi <= 404) "middle" else "tail"
+        val bucket =
+          if (centi <= graft.queries.TrainData2.SurprisalHeadMax) "head"
+          else if (centi <= graft.queries.TrainData2.SurprisalMidMax) "middle"
+          else "tail"
         assert(got(id)._3 == bucket, s"doc $id bucket")
       }
-      // an unseen token scores at the OOV default
-      in.addData((9L, ts("2024-01-01 10:09:00"), "the zzzunseen"))
+      // an unseen token scores at the OOV default; a null-text row is
+      // dropped (the batch kernel's explode drops it too)
+      in.addData((9L, ts("2024-01-01 10:09:00"), "the zzzunseen"),
+        (10L, ts("2024-01-01 10:10:00"), null))
       q.processAllAvailable()
-      val r9 = spark.table("surp").collect().find(_.getLong(0) == 9L).get
+      val tail = spark.table("surp").collect()
+      val r9 = tail.find(_.getLong(0) == 9L).get
       assert(r9.getLong(3) == lm("the") + oov, "OOV rarity not applied")
+      assert(!tail.exists(_.getLong(0) == 10L), "null-text row must be dropped")
     } finally q.stop()
   }
 
