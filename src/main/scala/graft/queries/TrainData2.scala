@@ -1646,6 +1646,91 @@ object TrainData2 {
       |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
   }
 
+  // ── q158: BM25 retrieval top-k — query-time keyword scoring (Robertson
+  // et al.'s Okapi BM25), the retrieval shape curation pipelines use for
+  // targeted decontamination and quality-example mining: score every doc
+  // against a small query-term set, return the top-k. Integer-exact by
+  // clearing BM25's fractions: with k1 = 1.2 and b = 0.75, the per-term
+  // saturation tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl) multiplied
+  // through by 10·T (avgdl = T/N) becomes 22·tf·T over
+  // (10·T·tf + 3·T + 9·dl·N) — all int64 — and idf follows q121's
+  // transcendental-free discipline (N·100 div df, linear instead of log:
+  // monotone in 1/df, so rare terms still dominate; no float ever enters
+  // the ranking, which is what makes the two engines agree bit-for-bit).
+  // Scale: the query relation is tiny → BROADCAST onto the token stream
+  // (tf census touches only matching tokens); df derives from the tf
+  // relation (≤ |docs|·|terms| rows); corpus scalars (T, N) reach the
+  // scored rows via the non-foldable pmod(hash) 1-row broadcast
+  // (BroadcastHashJoin, never a cartesian); dl is a row-local size() —
+  // no explode. Top-k is orderBy+limit → TakeOrderedAndProject (per-
+  // partition heaps + driver merge of k), never a corpus-wide window;
+  // the rank column is windowed AFTER the 20-row cut. int64 headroom:
+  // idf ≤ 100·N/min_df ≈ 2·10³, saturation numerator 22·tf·T·10³ ≲ 10¹⁷
+  // at a 10⁹-token corpus — beyond that promote the score expression to
+  // decimal(38,0), same plan. ──
+  private val Bm25Query = Seq("dup", "customer", "spark")
+  private val Bm25TopK = 20
+
+  private def q158(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = TrainData.docsParallel(spark, dir)
+    val dl = d.select(col("doc_id"),
+      size(TrainData.tokens(col("text"))).cast("long").as("dl"))
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val tot = dl.agg(sum("dl").cast("long").as("t"),
+        count(lit(1)).as("n"))
+      .withColumn("__k", one(col("t")))
+    val terms = Bm25Query.toDF("w")
+    val tf = d.select(col("doc_id"),
+        explode(TrainData.tokens(col("text"))).as("w"))
+      .join(broadcast(terms), "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfx), "w")
+      .join(dl, "doc_id")
+      .withColumn("__k", one(col("tf")))
+      .join(broadcast(tot), "__k")
+      .withColumn("s", expr(
+        "(n * 100 div df) * 22 * tf * t * 1000 div (10*t*tf + 3*t + 9*dl*n)"))
+    scored.groupBy("doc_id", "dl")
+      .agg(sum("s").as("score_fp"), count(lit(1)).as("n_terms_hit"),
+        sum("tf").as("n_hits"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "score_fp", "n_terms_hit", "n_hits", "dl")
+      .orderBy("rank")
+  }
+
+  private val q158Sql = {
+    val vals = Bm25Query.map(w => s"('$w')").mkString(", ")
+    s"""WITH q(term) AS (VALUES $vals),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, COUNT(*) AS n FROM dl),
+      |tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  JOIN q ON w = term GROUP BY 1, 2),
+      |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, dl.dl,
+      |    (tot.n * 100 // dfx.df) * 22 * tf.tf * tot.t * 1000
+      |      // (10*tot.t*tf.tf + 3*tot.t + 9*dl.dl*tot.n) AS s,
+      |    tf.tf
+      |  FROM tf JOIN dfx USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN tot),
+      |agg AS (
+      |  SELECT doc_id, dl, CAST(SUM(s) AS BIGINT) AS score_fp,
+      |    COUNT(*) AS n_terms_hit, CAST(SUM(tf) AS BIGINT) AS n_hits
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score_fp, n_terms_hit, n_hits, dl
+      |FROM agg ORDER BY score_fp DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1665,5 +1750,6 @@ object TrainData2 {
     QueryDef("q154_repetition", q154, Some(q154Sql)),
     QueryDef("q155_window_dedup", q155, Some(q155Sql)),
     QueryDef("q156_surprisal_filter", q156, Some(q156Sql)),
-    QueryDef("q157_prefix_join", q157, Some(q157Sql)))
+    QueryDef("q157_prefix_join", q157, Some(q157Sql)),
+    QueryDef("q158_bm25_topk", q158, Some(q158Sql)))
 }

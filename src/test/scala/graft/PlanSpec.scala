@@ -194,6 +194,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q158: query terms and corpus scalars broadcast; top-k is TakeOrderedAndProject") {
+    // the query-term and df joins and the 1-row (T, N) scalar join must
+    // all broadcast (shuffling the token stream for a 3-term query would
+    // move the corpus), and the top-20 must plan as per-partition heaps,
+    // never a corpus-wide sort or window
+    val s = planString(q("q158_bm25_topk"))
+    assert(s.contains("BroadcastHashJoin"), s.take(800))
+    assert(s.contains("TakeOrderedAndProject"), s.take(800))
+  }
+
   test("GLOBAL SWEEP: no registered query plans a cartesian or nested-loop join") {
     // Two sanctioned nested-loop shapes, nothing else:
     //  - the 1-ROW-total crossJoin (q62 pattern): the broadcast side is

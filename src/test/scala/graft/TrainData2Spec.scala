@@ -441,4 +441,34 @@ class TrainData2Spec extends SparkSpec {
     assert(got == expected.take(200))
     assert(got.nonEmpty, "no similar pairs at tau=0.6 — pin is vacuous")
   }
+
+  test("q158: BM25 top-k equals a driver-side integer recount of the cleared formula") {
+    val query = Seq("dup", "customer", "spark")
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val t = docs.map(_._2.length.toLong).sum
+    val n = docs.length.toLong
+    val dfm = query.map(w => w -> docs.count(_._2.contains(w)).toLong).toMap
+    val expected = docs.flatMap { case (id, ws) =>
+      val dl = ws.length.toLong
+      val hits = query.map(w => w -> ws.count(_ == w).toLong).filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else {
+        val score = hits.map { case (w, tf) =>
+          (n * 100 / dfm(w)) * 22 * tf * t * 1000 /
+            (10 * t * tf + 3 * t + 9 * dl * n)
+        }.sum
+        Some((id, dl, score, hits.length.toLong, hits.map(_._2).sum))
+      }
+    }.sortBy(v => (-v._3, v._1)).take(20).zipWithIndex.map { case (v, i) =>
+      (i + 1L, v._1, v._3, v._4, v._5, v._2)
+    }.toSeq
+    val got = q("q158_bm25_topk").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // non-degenerate: the rare planted term must put a multi-term doc on top
+    assert(got.head._4 >= 2, "top doc hits fewer than 2 query terms")
+  }
 }
