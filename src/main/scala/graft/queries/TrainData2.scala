@@ -1671,38 +1671,45 @@ object TrainData2 {
   private val Bm25Query = Seq("dup", "customer", "spark")
   private val Bm25TopK = 20
 
-  private def q158(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = TrainData.docsParallel(spark, dir)
+  /** The cleared-fraction per-term score, shared verbatim by the batch
+    * kernel and (with df/t/n inlined as literals) the streaming scorer. */
+  private[graft] val Bm25ScoreExpr =
+    "(n * 100 div df) * 22 * tf * t * 1000 div (10*t*tf + 3*t + 9*dl*n)"
+
+  /** Per-doc BM25 scores of `d` against `terms` — (doc_id, dl, score_fp,
+    * n_terms_hit, n_hits), docs with no query-term hit omitted. Shared by
+    * q158 (adds the top-k cut) and the StreamsSpec batch-equality pin. */
+  private[graft] def bm25PerDoc(d: DataFrame, terms: Seq[String]): DataFrame = {
+    import d.sparkSession.implicits._
     val dl = d.select(col("doc_id"),
       size(TrainData.tokens(col("text"))).cast("long").as("dl"))
     def one(c: Column): Column = pmod(hash(c), lit(1))
     val tot = dl.agg(sum("dl").cast("long").as("t"),
         count(lit(1)).as("n"))
       .withColumn("__k", one(col("t")))
-    val terms = Bm25Query.toDF("w")
     val tf = d.select(col("doc_id"),
         explode(TrainData.tokens(col("text"))).as("w"))
-      .join(broadcast(terms), "w")
+      .join(broadcast(terms.toDF("w")), "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfx), "w")
+    tf.join(broadcast(dfx), "w")
       .join(dl, "doc_id")
       .withColumn("__k", one(col("tf")))
       .join(broadcast(tot), "__k")
-      .withColumn("s", expr(
-        "(n * 100 div df) * 22 * tf * t * 1000 div (10*t*tf + 3*t + 9*dl*n)"))
-    scored.groupBy("doc_id", "dl")
+      .withColumn("s", expr(Bm25ScoreExpr))
+      .groupBy("doc_id", "dl")
       .agg(sum("s").as("score_fp"), count(lit(1)).as("n_terms_hit"),
         sum("tf").as("n_hits"))
+  }
+
+  private def q158(spark: SparkSession, dir: String): DataFrame =
+    bm25PerDoc(TrainData.docsParallel(spark, dir), Bm25Query)
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(Bm25TopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
       .select("rank", "doc_id", "score_fp", "n_terms_hit", "n_hits", "dl")
       .orderBy("rank")
-  }
 
   private val q158Sql = {
     val vals = Bm25Query.map(w => s"('$w')").mkString(", ")

@@ -436,6 +436,48 @@ object Streams {
       .select("doc_id", "ts", "n_tok", "score", "bucket")
   }
 
+  /** Streaming BM25 relevance filter — the online form of q158
+    * (`TrainData2.bm25PerDoc` + top-k): score each arriving doc against a
+    * fixed query-term set with BATCH-trained model state (the per-term
+    * document-frequency census `dfm` and corpus totals `t` tokens /
+    * `n` docs — term-count-sized, like [[surprisalFilter]]'s LM), keep
+    * docs that hit at least one term. ROW-LOCAL and STATELESS: per-term
+    * tf comes from an array filter over the doc's own tokens, the
+    * cleared-fraction integer score (`TrainData2.Bm25ScoreExpr` with
+    * df/t/n inlined as literals — same truncating arithmetic) needs no
+    * shuffle, no watermark, no state store — append mode at any rate.
+    * Zero-tf terms contribute exactly 0, so the per-doc score equals the
+    * batch kernel's hit-terms-only sum; null-text rows are dropped like
+    * the batch explode drops them. Batch equality is pinned in
+    * StreamsSpec. A top-k over the stream is a WINDOWED question
+    * (top-k-per-what?) — compose with a watermarked window agg when
+    * needed; the unbounded-stream global top-k is deliberately absent. */
+  def bm25Filter(docs: DataFrame, dfm: Map[String, Long],
+                 t: Long, n: Long): DataFrame = {
+    val terms = dfm.keys.toSeq.sorted
+    val withTf = terms.zipWithIndex.foldLeft(
+      docs.filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("dl", size(col("toks")).cast("long"))) {
+      case (d, (w, i)) =>
+        d.withColumn(s"tf_$i",
+          size(filter(col("toks"), x => x === lit(w))).cast("long"))
+    }
+    val score = terms.zipWithIndex.map { case (w, i) =>
+      val idf = n * 100L / dfm(w)
+      s"($idf * 22 * tf_$i * $t * 1000 div (10 * $t * tf_$i + 3 * $t + 9 * dl * $n))"
+    }.mkString(" + ")
+    val nTerms = terms.indices.map(i =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val nHits = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    withTf
+      .withColumn("score_fp", expr(score).cast("long"))
+      .withColumn("n_terms_hit", expr(nTerms).cast("long"))
+      .withColumn("n_hits", expr(nHits).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "ts", "dl", "score_fp", "n_terms_hit", "n_hits")
+  }
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

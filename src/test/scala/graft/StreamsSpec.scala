@@ -315,6 +315,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25Filter matches batch bm25PerDoc on shared docs; no-hit and null docs drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "dup dup customer join scan"),
+      (2L, "customer spark spark spark row row row row"),
+      (3L, "join scan hash row filter sort"),
+      (4L, "dup spark customer dup"))
+    val terms = Seq("dup", "customer", "spark")
+    // batch-train the model state exactly as the kernel derives it
+    val t = corpus.map(_._2.split(" ", -1).length.toLong).sum
+    val n = corpus.length.toLong
+    val dfm = terms.map(w =>
+      w -> corpus.count(_._2.split(" ", -1).contains(w)).toLong).toMap
+    // batch reference: the SHIPPING kernel over the same corpus
+    val batch = graft.queries.TrainData2.bm25PerDoc(
+        corpus.toDF("doc_id", "text"), terms)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dl"), r.getAs[Long]("score_fp"),
+          r.getAs[Long]("n_terms_hit"), r.getAs[Long]("n_hits"))).toMap
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.bm25Filter(
+        in.toDF().toDF("doc_id", "ts", "text"), dfm, t, n)
+      .writeStream.format("memory").queryName("bm25").outputMode("append").start()
+    try {
+      in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+        (id, ts(s"2024-01-01 10:0$i:00"), text)
+      } :+ ((9L, ts("2024-01-01 10:09:00"), null.asInstanceOf[String])): _*)
+      q.processAllAvailable()
+      val got = spark.table("bm25").collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      // doc 3 has zero query-term hits: dropped in BOTH engines; doc 9 is null text
+      assert(got.keySet == batch.keySet && !got.contains(3L) && !got.contains(9L))
+      batch.foreach { case (id, b) =>
+        assert(got(id) == b, s"doc $id: stream ${got(id)} vs batch $b")
+      }
+      // non-degenerate: the planted-rare term outscores the frequent ones
+      assert(got(4L)._2 > got(2L)._2, "rare-term doc must outscore spam doc")
+    } finally q.stop()
+  }
+
   test("nearDupFilter flags docs sharing a band bucket against the keeper") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
