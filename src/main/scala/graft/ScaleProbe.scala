@@ -442,6 +442,27 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=retrieval: q158's BM25 kernel — through the SAME
+    // private[graft] bm25PerDoc + Bm25Query the gated query ships. The
+    // broadcasts (term list, df relation, 1-row corpus scalars) are
+    // constant-sized as the corpus multiplies, so the probe measures
+    // that retrieval cost is ONE scan + one (doc, term)-keyed partial
+    // aggregation — corpus-linear, with the top-k a TakeOrderedAndProject
+    // whose driver share is k rows regardless of corpus size.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "retrieval") {
+      import graft.queries.TrainData2
+      val ((hitDocs, topScore), tBm) = timed {
+        val r = TrainData2.bm25PerDoc(corpus, TrainData2.Bm25Query)
+          .agg(count(lit(1)), coalesce(max("score_fp"), lit(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      println(s"""{"probe":"retrieval","sf":"$sfDir","mult":$mult,"docs":$n,""" +
+        s""""hit_docs":$hitDocs,"top_score":$topScore,""" +
+        s""""bm25_sec":${f"$tBm%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     val (sigs, tSig) = timed {
       MinHashLsh.signatures(corpus).localCheckpoint(true)
     }

@@ -1668,7 +1668,7 @@ object TrainData2 {
   // idf ≤ 100·N/min_df ≈ 2·10³, saturation numerator 22·tf·T·10³ ≲ 10¹⁷
   // at a 10⁹-token corpus — beyond that promote the score expression to
   // decimal(38,0), same plan. ──
-  private val Bm25Query = Seq("dup", "customer", "spark")
+  private[graft] val Bm25Query = Seq("dup", "customer", "spark")
   private val Bm25TopK = 20
 
   /** The cleared-fraction per-term score, shared verbatim by the batch
