@@ -98,7 +98,10 @@ object ScaleProbe {
           .select("probe_id", "cand_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-      val recall = brute.count(adc.contains).toDouble / brute.size
+      // emptiness guard: a degenerate probe set (zero brute-force rows)
+      // reads as recall 1.0 — vacuously true, never a 0/0 NaN
+      val recall =
+        if (brute.isEmpty) 1.0 else brute.count(adc.contains).toDouble / brute.size
       // planted-perturbation Hamming near-dup: ids in groups of 4 share
       // a group hash; members 1..3 flip one distinct bit each, so every
       // in-group pair is within Hamming 2 and groups cluster fully

@@ -1653,10 +1653,15 @@ object TrainData2 {
   // clearing BM25's fractions: with k1 = 1.2 and b = 0.75, the per-term
   // saturation tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl) multiplied
   // through by 10·T (avgdl = T/N) becomes 22·tf·T over
-  // (10·T·tf + 3·T + 9·dl·N) — all int64 — and idf follows q121's
-  // transcendental-free discipline (N·100 div df, linear instead of log:
-  // monotone in 1/df, so rare terms still dominate; no float ever enters
-  // the ranking, which is what makes the two engines agree bit-for-bit).
+  // (10·T·tf + 3·T + 9·dl·N) — all int64 — and idf is INTEGER LOG-idf:
+  // floor(log2(N·100/df)) via the owned length(bin()) − 1 floor-log2
+  // idiom (q156's primitive; bin() renders BIGINT identically in both
+  // engines), damping rare terms logarithmically exactly as Robertson's
+  // log(N/df) prescribes. The ·100 inside the log keeps the
+  // common-term end (df → N) at idf 6 instead of 0 — a constant
+  // +⌊log2·100⌋ shift shared by every term, BM25+-style — and no float
+  // ever enters the ranking, which is what makes the two engines agree
+  // bit-for-bit.
   // Scale: the query relation is tiny → BROADCAST onto the token stream
   // (tf census touches only matching tokens); df derives from the tf
   // relation (≤ |docs|·|terms| rows); corpus scalars (T, N) reach the
@@ -1665,8 +1670,9 @@ object TrainData2 {
   // no explode. Top-k is orderBy+limit → TakeOrderedAndProject (per-
   // partition heaps + driver merge of k), never a corpus-wide window;
   // the rank column is windowed AFTER the 20-row cut. int64 headroom:
-  // idf ≤ 100·N/min_df ≈ 2·10³, saturation numerator 22·tf·T·10³ ≲ 10¹⁷
-  // at a 10⁹-token corpus — beyond that promote the score expression to
+  // idf ≤ 63 by construction, so the score numerator 63·22·tf·T·10³
+  // fits int64 while tf·T < 6.6·10¹² (tf ≤ 6,600 at a 10⁹-token
+  // corpus) — beyond that promote the score expression to
   // decimal(38,0), same plan. ──
   private[graft] val Bm25Query = Seq("dup", "customer", "spark")
   private val Bm25TopK = 20
@@ -1674,7 +1680,7 @@ object TrainData2 {
   /** The cleared-fraction per-term score, shared verbatim by the batch
     * kernel and (with df/t/n inlined as literals) the streaming scorer. */
   private[graft] val Bm25ScoreExpr =
-    "(n * 100 div df) * 22 * tf * t * 1000 div (10*t*tf + 3*t + 9*dl*n)"
+    "(length(bin(n * 100 div df)) - 1) * 22 * tf * t * 1000 div (10*t*tf + 3*t + 9*dl*n)"
 
   /** Per-doc BM25 scores of `d` against `terms` — (doc_id, dl, score_fp,
     * n_terms_hit, n_hits), docs with no query-term hit omitted. Shared by
@@ -1724,7 +1730,7 @@ object TrainData2 {
       |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT tf.doc_id, dl.dl,
-      |    (tot.n * 100 // dfx.df) * 22 * tf.tf * tot.t * 1000
+      |    (length(bin(tot.n * 100 // dfx.df)) - 1) * 22 * tf.tf * tot.t * 1000
       |      // (10*tot.t*tf.tf + 3*tot.t + 9*dl.dl*tot.n) AS s,
       |    tf.tf
       |  FROM tf JOIN dfx USING (w) JOIN dl ON tf.doc_id = dl.doc_id

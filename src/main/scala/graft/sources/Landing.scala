@@ -66,9 +66,13 @@ object Landing {
     * (`'x;y'` survives intact, even when the literal spans lines or the
     * ';' falls at end-of-line), `--` starts a to-end-of-line comment
     * only outside literals (so `'a--b'` survives and `SELECT 1; -- n`
-    * terminates cleanly), and a doubled quote `''` inside a literal is
-    * two toggles — net inside, the SQL escape. Empty statements (from
-    * `;;` or comment-only regions) are dropped. */
+    * terminates cleanly), `/* … */` block comments are dropped (never
+    * nested-aware — ANSI block comments don't nest) with an unclosed
+    * block swallowing to end-of-script like an unterminated literal,
+    * a double-quoted identifier (`"weird;name"`) protects ';'/`--`
+    * exactly like a literal, and a doubled quote `''`/`""` inside
+    * its region is two toggles — net inside, the SQL escape. Empty
+    * statements (from `;;` or comment-only regions) are dropped. */
   private[graft] def splitStatements(text: String): Seq[String] = {
     val statements = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -78,7 +82,8 @@ object Landing {
       cur.clear()
     }
     var i = 0
-    var inLiteral = false
+    var inLiteral = false  // '…' string literal
+    var inQuotedId = false // "…" quoted identifier
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
@@ -86,10 +91,21 @@ object Landing {
         cur.append(c)
         if (c == '\'') inLiteral = false
         i += 1
+      } else if (inQuotedId) {
+        cur.append(c)
+        if (c == '"') inQuotedId = false
+        i += 1
       } else if (c == '\'') {
         cur.append(c); inLiteral = true; i += 1
+      } else if (c == '"') {
+        cur.append(c); inQuotedId = true; i += 1
       } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
         while (i < n && text.charAt(i) != '\n') i += 1 // comment; keep the newline
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        i += 2 // block comment: skip to the matching */ (or end-of-script)
+        while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+        i = if (i + 1 < n) i + 2 else n
+        cur.append(' ') // a comment separates tokens, like whitespace
       } else if (c == ';') {
         flush(); i += 1
       } else {

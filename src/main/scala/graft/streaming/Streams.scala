@@ -454,6 +454,20 @@ object Streams {
     * needed; the unbounded-stream global top-k is deliberately absent. */
   def bm25Filter(docs: DataFrame, dfm: Map[String, Long],
                  t: Long, n: Long): DataFrame = {
+    // loud failure on degenerate model state: an empty census would
+    // otherwise die as an AnalysisException on a malformed score
+    // expression, and a zero df as a raw division error mid-stream
+    require(dfm.nonEmpty, "bm25_filter: empty term census — no terms to score")
+    require(n > 0 && t >= n,
+      s"bm25_filter: degenerate corpus totals (t=$t docs-tokens, n=$n docs)")
+    require(dfm.values.forall(df => df > 0 && df <= n),
+      s"bm25_filter: every term df must be in [1, n=$n], got $dfm")
+    // int64 headroom (same bound as the batch kernel's comment): the
+    // score numerator is ≤ 63·22·tf·t·1000, safe while tf·t < 6.6e12 —
+    // guarded here for tf < 2048; promote to decimal(38,0) beyond that
+    require(t < Long.MaxValue / (64L * 22L * 1000L * 2048L),
+      s"bm25_filter: t=$t exceeds the int64 score headroom assumed for " +
+        "per-term tf < 2048 — promote the score expression to decimal(38,0)")
     val terms = dfm.keys.toSeq.sorted
     val withTf = terms.zipWithIndex.foldLeft(
       docs.filter(col("text").isNotNull)
@@ -464,7 +478,9 @@ object Streams {
           size(filter(col("toks"), x => x === lit(w))).cast("long"))
     }
     val score = terms.zipWithIndex.map { case (w, i) =>
-      val idf = n * 100L / dfm(w)
+      // integer log-idf: floor(log2(n·100/df)), the driver-side mirror
+      // of the batch kernel's length(bin()) − 1 floor-log2 idiom
+      val idf = 63 - java.lang.Long.numberOfLeadingZeros(n * 100L / dfm(w))
       s"($idf * 22 * tf_$i * $t * 1000 div (10 * $t * tf_$i + 3 * $t + 9 * dl * $n))"
     }.mkString(" + ")
     val nTerms = terms.indices.map(i =>

@@ -456,7 +456,8 @@ class TrainData2Spec extends SparkSpec {
       if (hits.isEmpty) None
       else {
         val score = hits.map { case (w, tf) =>
-          (n * 100 / dfm(w)) * 22 * tf * t * 1000 /
+          val idf = 63 - java.lang.Long.numberOfLeadingZeros(n * 100 / dfm(w))
+          idf * 22 * tf * t * 1000 /
             (10 * t * tf + 3 * t + 9 * dl * n)
         }.sum
         Some((id, dl, score, hits.length.toLong, hits.map(_._2).sum))

@@ -160,6 +160,21 @@ class WritersSpec extends SparkSpec {
     // interior comment glues its line's remainder out, nothing else
     assert(splitStatements("SELECT -- pick\n  7 AS n;") ==
       Seq("SELECT \n  7 AS n"))
+    // block comments drop — including one holding a ';' — and separate
+    // tokens like whitespace; an unclosed block swallows to the end
+    assert(splitStatements("SELECT /* a;b */ 1; SELECT/*x*/2;") ==
+      Seq("SELECT   1", "SELECT 2"))
+    assert(splitStatements("SELECT 1; /* dangling ... SELECT 2;") ==
+      Seq("SELECT 1"))
+    // '/*' inside a literal is data, not a comment opener
+    assert(splitStatements("SELECT '/*no' AS s; SELECT 3;") ==
+      Seq("SELECT '/*no' AS s", "SELECT 3"))
+    // a quoted identifier protects ';' and '--' exactly like a literal,
+    // with the doubled-quote escape staying inside
+    assert(splitStatements("SELECT 1 AS \"a;b--c\";\nSELECT 2;") ==
+      Seq("SELECT 1 AS \"a;b--c\"", "SELECT 2"))
+    assert(splitStatements("SELECT 1 AS \"q\"\";x\"; SELECT 2;") ==
+      Seq("SELECT 1 AS \"q\"\";x\"", "SELECT 2"))
     // end-to-end: the executor runs a file whose first statement carries
     // a trailing comment — both views must exist afterwards
     val dir = tmpDir("graft_ws_ddl2_")
