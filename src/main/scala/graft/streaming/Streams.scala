@@ -402,6 +402,13 @@ object Streams {
       .select("doc_id", "ts")
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** A vocab at or under this size may ride the plan as a `typedLit`
+    * map literal; above it the LM ships as BROADCAST DATA instead (see
+    * [[surprisalFilter]]) — a plan tree is re-serialized per micro-batch
+    * and fed through codegen, so an unbounded literal there is a
+    * plan-size bomb long before executor memory becomes one. */
+  private[graft] val SurprisalLiteralMaxVocab = 4096
+
   /** Streaming LM-surprisal quality filter — the online form of q156
     * (`TrainData2.surprisalScores` + bucket): the unigram LM is
     * BATCH-trained model state (vocab-sized, like IvfFlat's centroids)
@@ -410,24 +417,54 @@ object Streams {
     * `oovRarity`, the rarity floor-log2(T) of a count-1 word), integer
     * sum, centi-rarity bucket against the same constants the batch
     * query gates. STATELESS by construction: no shuffle, no watermark,
-    * no state store — append mode at any rate; the LM rides the plan as
-    * a literal map here (fine for bounded vocabs; a production
-    * 100M-token vocab ships as a broadcast map-side join or an
-    * in-process scorer instead, same row-local shape). Batch equality
-    * on shared docs is pinned in StreamsSpec; null-text rows are
-    * dropped here because the batch kernel's explode drops them too. */
+    * no state store — append mode at any rate.
+    *
+    * The LM reaches the scorer by a size census over the vocab (a
+    * driver-side scalar — the map is already in hand): at or under
+    * [[SurprisalLiteralMaxVocab]] entries it inlines as a `typedLit`
+    * plan literal (zero join, pure codegen); above that it becomes a
+    * ONE-ROW static DataFrame holding the map, broadcast-joined onto
+    * the stream via the non-foldable `pmod(hash(·), 1)` key (the
+    * codebase's 1-row BroadcastHashJoin idiom — never a cartesian), so
+    * a production 100M-entry vocab ships once per executor as broadcast
+    * DATA and the plan stays constant-size. `force` pins a path for
+    * tests ("literal" | "broadcast"); StreamsSpec pins batch equality
+    * through BOTH. Null-text rows are dropped here because the batch
+    * kernel's explode drops them too. */
   def surprisalFilter(docs: DataFrame, lm: Map[String, Long], oovRarity: Long,
                       headMax: Long = graft.queries.TrainData2.SurprisalHeadMax,
-                      midMax: Long = graft.queries.TrainData2.SurprisalMidMax): DataFrame = {
-    val lmCol = typedLit(lm)
-    val centi = expr("score * 100 div n_tok")
-    docs
+                      midMax: Long = graft.queries.TrainData2.SurprisalMidMax,
+                      force: Option[String] = None): DataFrame = {
+    require(force.forall(Set("literal", "broadcast")),
+      s"surprisal_filter: force must be literal|broadcast, got $force")
+    val useLiteral = force.map(_ == "literal")
+      .getOrElse(lm.size <= SurprisalLiteralMaxVocab)
+    val base = docs
       .filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")).cast("long"))
+    val withLm =
+      if (useLiteral) base.withColumn("__lm", typedLit(lm))
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        // the whole vocab as ONE map cell in a one-row static frame:
+        // the join ships it as broadcast data, the plan carries only
+        // the join node — __c (an agg output) keeps the key
+        // non-foldable so Catalyst cannot constant-fold the equi-join
+        // into a BroadcastNestedLoopJoin
+        val lmRow = lm.toSeq.toDF("w", "r")
+          .agg(map_from_entries(collect_list(struct(col("w"), col("r"))))
+            .as("__lm"), count(lit(1)).as("__c"))
+          .select(pmod(hash(col("__c")), lit(1)).as("__k"), col("__lm"))
+        base.withColumn("__k", pmod(hash(col("doc_id")), lit(1)))
+          .join(broadcast(lmRow), "__k")
+      }
+    val centi = expr("score * 100 div n_tok")
+    withLm
       .withColumn("score", aggregate(
         transform(col("toks"),
-          w => coalesce(element_at(lmCol, w), lit(oovRarity))),
+          w => coalesce(element_at(col("__lm"), w), lit(oovRarity))),
         lit(0L), (acc, x) => acc + x))
       .withColumn("bucket",
         when(centi <= headMax, "head")

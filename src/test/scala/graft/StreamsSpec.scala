@@ -260,7 +260,7 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("surprisalFilter matches batch q156 scoring on shared docs; OOV takes the default") {
+  test("surprisalFilter matches batch q156 scoring through BOTH scorer paths; OOV takes the default") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val corpus = Seq(
@@ -281,38 +281,64 @@ class StreamsSpec extends SparkSpec {
         corpus.toDF("doc_id", "text").withColumn("source", lit("s")))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tok"), r.getAs[Long]("score"))).toMap
-    val in = MemoryStream[(Long, Timestamp, String)]
-    val q = Streams.surprisalFilter(
-        in.toDF().toDF("doc_id", "ts", "text"), lm, oov)
-      .writeStream.format("memory").queryName("surp").outputMode("append").start()
-    try {
-      in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
-        (id, ts(s"2024-01-01 10:0$i:00"), text)
-      }: _*)
-      q.processAllAvailable()
-      val got = spark.table("surp").collect()
-        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
-      corpus.foreach { case (id, _) =>
-        val (bTok, bScore) = batch(id)
-        assert(got(id)._1 == bTok && got(id)._2 == bScore,
-          s"doc $id: stream ${got(id)} vs batch ($bTok, $bScore)")
-        val centi = bScore * 100 / bTok
-        val bucket =
-          if (centi <= graft.queries.TrainData2.SurprisalHeadMax) "head"
-          else if (centi <= graft.queries.TrainData2.SurprisalMidMax) "middle"
-          else "tail"
-        assert(got(id)._3 == bucket, s"doc $id bucket")
-      }
-      // an unseen token scores at the OOV default; a null-text row is
-      // dropped (the batch kernel's explode drops it too)
-      in.addData((9L, ts("2024-01-01 10:09:00"), "the zzzunseen"),
-        (10L, ts("2024-01-01 10:10:00"), null))
-      q.processAllAvailable()
-      val tail = spark.table("surp").collect()
-      val r9 = tail.find(_.getLong(0) == 9L).get
-      assert(r9.getLong(3) == lm("the") + oov, "OOV rarity not applied")
-      assert(!tail.exists(_.getLong(0) == 10L), "null-text row must be dropped")
-    } finally q.stop()
+    // the vocab census would pick "literal" for this tiny LM — force
+    // EACH path and pin batch equality through both (the broadcast
+    // path is the 100M-vocab plan; nothing but the LM transport
+    // differs, so the outputs must be bit-identical)
+    for (path <- Seq("literal", "broadcast")) {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = Streams.surprisalFilter(
+          in.toDF().toDF("doc_id", "ts", "text"), lm, oov,
+          force = Some(path))
+        .writeStream.format("memory").queryName(s"surp_$path")
+        .outputMode("append").start()
+      try {
+        in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+          (id, ts(s"2024-01-01 10:0$i:00"), text)
+        }: _*)
+        q.processAllAvailable()
+        val got = spark.table(s"surp_$path").collect()
+          .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+        corpus.foreach { case (id, _) =>
+          val (bTok, bScore) = batch(id)
+          assert(got(id)._1 == bTok && got(id)._2 == bScore,
+            s"[$path] doc $id: stream ${got(id)} vs batch ($bTok, $bScore)")
+          val centi = bScore * 100 / bTok
+          val bucket =
+            if (centi <= graft.queries.TrainData2.SurprisalHeadMax) "head"
+            else if (centi <= graft.queries.TrainData2.SurprisalMidMax) "middle"
+            else "tail"
+          assert(got(id)._3 == bucket, s"[$path] doc $id bucket")
+        }
+        // an unseen token scores at the OOV default; a null-text row is
+        // dropped (the batch kernel's explode drops it too)
+        in.addData((9L, ts("2024-01-01 10:09:00"), "the zzzunseen"),
+          (10L, ts("2024-01-01 10:10:00"), null))
+        q.processAllAvailable()
+        val tail = spark.table(s"surp_$path").collect()
+        val r9 = tail.find(_.getLong(0) == 9L).get
+        assert(r9.getLong(3) == lm("the") + oov, s"[$path] OOV rarity not applied")
+        assert(!tail.exists(_.getLong(0) == 10L),
+          s"[$path] null-text row must be dropped")
+      } finally q.stop()
+    }
+    // the census itself: a small vocab picks the literal plan (no join
+    // node), a vocab over the cap picks the broadcast join — observable
+    // as the one-row LM relation in the analyzed plan
+    val small = Streams.surprisalFilter(
+      spark.readStream.format("rate").load()
+        .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+          lit("x").as("text")), lm, oov)
+    assert(!small.queryExecution.analyzed.toString.contains("__k"),
+      "small vocab must inline, not join")
+    val big = (1 to Streams.SurprisalLiteralMaxVocab + 1)
+      .map(i => s"w$i" -> 1L).toMap
+    val bigQ = Streams.surprisalFilter(
+      spark.readStream.format("rate").load()
+        .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+          lit("x").as("text")), big, oov)
+    assert(bigQ.queryExecution.analyzed.toString.contains("__k"),
+      "over-cap vocab must take the broadcast join path")
   }
 
   test("bm25Filter matches batch bm25PerDoc on shared docs; no-hit and null docs drop") {
