@@ -67,6 +67,81 @@ object PqAdc {
           lit(s"pq_adc: probe vector must have $dim dims (M*subDim), got "),
           coalesce(size(col(probeVecCol)).cast("string"), lit("NULL"))))))
 
+  /** Lloyd-train the per-subspace codebooks on `vecs` — the q76/IvfFlat
+    * training recipe transposed to (subspace, code) grain: `iters`
+    * rounds of row-local argmin-L2² assignment (ties → lowest code,
+    * like [[encode]]) + per-(m, code, dim) FIXED-POINT mean update
+    * (sums of round(x·1e6) longs — order-independent, so the trained
+    * model is a pure function of the data and the seeds, never of
+    * partitioning or row order). Emptied codewords keep their previous
+    * value. Each iteration is one corpus scan + one M·K·subDim
+    * partial-aggregated rollup collected as driver-side model state
+    * (the MLlib k-means shape); the corpus never shuffles wider than
+    * the rollup. The oracle replays this exactly (TrainData2's
+    * pqTrainCtes unroll). */
+  def trainCodebooks(vecs: DataFrame, init: Seq[Seq[Array[Double]]], subDim: Int,
+                     iters: Int, vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    require(init.nonEmpty && init.forall(_.size >= 2),
+      "pq_adc: need >= 1 subspace with >= 2 seed codewords each")
+    require(iters >= 0, s"pq_adc: iters=$iters must be >= 0")
+    val mCnt = init.size
+    val sub = vecs.select(explode(array((0 until mCnt).map { mi =>
+        struct(lit(mi).as("m"),
+          transform(slice(col(vecCol), mi * subDim + 1, subDim),
+            x => x.cast("double")).as("sv"))
+      }: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+    var cbs: IndexedSeq[IndexedSeq[Array[Double]]] =
+      init.map(_.toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      // the per-subspace distance vector, dispatched on the row's m —
+      // a when-chain over M branches, each an array of K folds
+      val dists = (0 until mCnt).map(mi =>
+        (mi, array(cbs(mi).map(cw => d2(col("sv"), cw)): _*)))
+      val distArr = dists.tail.foldLeft(
+        when(col("m") === dists.head._1, dists.head._2)) {
+        case (acc, (mi, arr)) => acc.when(col("m") === mi, arr)
+      }
+      val rolled = sub
+        .withColumn("code", array_position(distArr, array_min(distArr)).cast("int"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4)))).toMap
+      cbs = IndexedSeq.tabulate(mCnt) { mi =>
+        IndexedSeq.tabulate(cbs(mi).size) { code =>
+          if (rolled.contains((mi, code + 1, 0)))
+            Array.tabulate(subDim) { p =>
+              val (s, cnt) = rolled((mi, code + 1, p))
+              (s / 1e6) / cnt // exactly the oracle's (s / 1e6) / cnt
+            }
+          else cbs(mi)(code) // emptied codeword keeps its previous value
+        }
+      }
+    }
+    cbs
+  }
+
+  /** RESIDUAL-variant training: Lloyd over (vector − assigned coarse
+    * centroid) — `assigned` must already carry `cluster` from
+    * [[IvfFlat.assign]]; the residual is computed in-plan exactly as
+    * [[encodeResidual]] computes it, so train and encode see the same
+    * doubles. */
+  def trainCodebooksResidual(assigned: DataFrame, centroids: Seq[Array[Float]],
+                             init: Seq[Seq[Array[Double]]], subDim: Int, iters: Int,
+                             vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    val dim = init.size * subDim
+    require(centroids.forall(_.length == dim),
+      s"pq_adc: every centroid must have $dim dims (M*subDim)")
+    val cent = element_at(typedLit(centroids.toArray), col("cluster"))
+    trainCodebooks(
+      assigned.withColumn("__tres", residualOf(col(vecCol), cent)),
+      init, subDim, iters, "__tres")
+  }
+
   /** PQ encode: adds `codes` — ARRAY<INT> of length M where codes(m) is
     * the 1-based argmin-L2² codeword of subspace m (ties → lowest code).
     * `codebooks(m)(k)` is codeword k of subspace m, each of `subDim`

@@ -1025,7 +1025,54 @@ object TrainData2 {
   // train→encode→scan→re-rank breaks the gate. Scale: the corpus-side
   // scan touches codes only (M bytes/row, dim-independent); full
   // vectors are read solely for the ≤shortlist survivors per probe. ──
-  private val AdcShortlist = 2 * TrainData.IvfTopK
+  // 16× k, not 2×: at M=4/K=4 the ADC ranking is COARSE (256 distinct
+  // code words across thousands of candidates → heavy adc_e9 ties), so
+  // a tight shortlist cuts on near-random tie-break order and recall
+  // lands far below the IVF prune ceiling (measured 8/50 vs 38/50 at
+  // sf0.01 with 2×). 16× keeps the exact re-rank trivially cheap and
+  // lets trained codebooks reach the ceiling's neighborhood.
+  private val AdcShortlist = 16 * TrainData.IvfTopK
+  private val PqIters = 2 // Lloyd rounds for the fine codebooks (= KmIters)
+
+  /** The PQ-codebook Lloyd-training unroll over a subvector CTE
+    * `src(vec_id, m, sv)` (sv a DOUBLE list): seeds = the sub-slices of
+    * the first PqK vectors (q112's seeding rationale), then PqIters
+    * argmin-L2² assign / fixed-point-mean update rounds — the q76
+    * kmTrainCtesSql recipe transposed to (m, code) grain, mirroring
+    * [[graft.operators.PqAdc.trainCodebooks]] step for step. Emits
+    * `${p}cb$PqIters` as the trained-codebook CTE (m, code, cv). */
+  private def pqTrainCtes(src: String, p: String): String = {
+    def assign(cbs: String): String =
+      s"""SELECT vec_id, m, sv, code FROM (
+        |    SELECT s.vec_id, s.m, s.sv, c.code,
+        |      list_aggregate(list_transform(range(1, ${PqSub + 1}),
+        |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
+        |    FROM $src s JOIN $cbs c ON s.m = c.m)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1"""
+        .stripMargin
+    def update(asg: String, prev: String): String =
+      s"""SELECT p.m, p.code, COALESCE(u.cv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT m, code, list(CAST((s / 1e6) / cnt AS DOUBLE) ORDER BY pos) AS cv
+        |    FROM (
+        |      SELECT m, code, z[2] AS pos,
+        |        SUM(CAST(round(z[1] * 1e6) AS BIGINT)) AS s, COUNT(*) AS cnt
+        |      FROM (SELECT m, code, unnest(list_zip(sv, range(1, len(sv) + 1))) AS z
+        |            FROM $asg)
+        |      GROUP BY 1, 2, 3)
+        |    GROUP BY 1, 2) u ON p.m = u.m AND p.code = u.code""".stripMargin
+    s"""${p}cb0 AS (
+      |  SELECT m, CAST(vec_id + 1 AS INT) AS code, sv AS cv
+      |  FROM $src WHERE vec_id < $PqK),
+      |${p}a1 AS (
+      |  ${assign(s"${p}cb0")}),
+      |${p}cb1 AS (
+      |  ${update(s"${p}a1", s"${p}cb0")}),
+      |${p}a2 AS (
+      |  ${assign(s"${p}cb1")}),
+      |${p}cb2 AS (
+      |  ${update(s"${p}a2", s"${p}cb1")})""".stripMargin
+  }
 
   private def q151(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -1034,8 +1081,11 @@ object TrainData2 {
     val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < PqK).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    val codebooks = (0 until PqM).map(m =>
+    val init = (0 until PqM).map(m =>
       seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble)))
+    // Lloyd-trained fine codebooks (PqIters rounds from the q112 seeds)
+    // — the same train-then-index lifecycle as the coarse quantizer
+    val codebooks = PqAdc.trainCodebooks(corpus, init, PqSub, PqIters)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val encoded = PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, PqSub)
@@ -1068,21 +1118,18 @@ object TrainData2 {
       |  SELECT vec_id AS probe_id, embedding
       |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
       |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
-      |cb AS (
-      |  SELECT ms.m, CAST(e.vec_id + 1 AS INT) AS code,
-      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
-      |  FROM ms CROSS JOIN
-      |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PqK) e),
-      |sub AS (
+      |psrc AS (
       |  SELECT e.vec_id, ms.m,
-      |    list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+      |    list_transform(
+      |      list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+      |      x -> CAST(x AS DOUBLE)) AS sv
       |  FROM embeddings e CROSS JOIN ms),
+      |${pqTrainCtes("psrc", "pq")},
       |d AS (
       |  SELECT s.vec_id, s.m, c.code,
       |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
-      |      i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
-      |         * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))), 'sum') AS d2
-      |  FROM sub s JOIN cb c ON s.m = c.m),
+      |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
+      |  FROM psrc s JOIN pqcb2 c ON s.m = c.m),
       |codes AS (
       |  SELECT vec_id, m, code FROM d
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
@@ -1093,10 +1140,10 @@ object TrainData2 {
       |plut AS (
       |  SELECT s.probe_id, s.m, c.code,
       |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
-      |      i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
-      |         * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))), 'sum')
+      |      i -> (CAST(s.sv[i] AS DOUBLE) - c.cv[i])
+      |         * (CAST(s.sv[i] AS DOUBLE) - c.cv[i])), 'sum')
       |      * 1e9) AS BIGINT) AS d2e9
-      |  FROM psub s JOIN cb c ON s.m = c.m),
+      |  FROM psub s JOIN pqcb2 c ON s.m = c.m),
       |pc AS (
       |  SELECT p.probe_id, c.cid,
       |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
@@ -1154,9 +1201,11 @@ object TrainData2 {
   // space; at search time the lookup table is built per probed CLUSTER
   // from the probe's residual against that centroid (still P×nprobe
   // tiny folds — the residual trick costs nothing at scan time).
-  // Residual codebooks are the PqK seed vectors' residuals vs their own
-  // assigned trained centroid (driver-side model state, q112's seeding
-  // rationale). Output is q80's recall-vs-brute-force shape; the oracle
+  // Residual codebooks SEED from the PqK seed vectors' residuals vs
+  // their own assigned trained centroid, then Lloyd-refine for PqIters
+  // rounds over the whole residual corpus (driver-side model state,
+  // the q76 train-then-index lifecycle at fine-quantizer grain).
+  // Output is q80's recall-vs-brute-force shape; the oracle
   // replays Lloyd training → residual codebooks → residual encode →
   // per-cluster LUT → integer ADC → shortlist → exact re-rank → recall,
   // so a drift anywhere in the residual arithmetic breaks the gate
@@ -1174,8 +1223,13 @@ object TrainData2 {
       val c = cents(r.getInt(1) - 1)
       Array.tabulate(emb.length)(i => emb(i).toDouble - c(i).toDouble)
     }.toSeq
-    val codebooks = (0 until PqM).map(m =>
+    val init = (0 until PqM).map(m =>
       seedResid.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+    // Lloyd-trained residual codebooks: same PqIters refinement as
+    // q151's, but over (vector − assigned centroid) — train and encode
+    // see identical residual doubles by construction
+    val codebooks = PqAdc.trainCodebooksResidual(
+      IvfFlat.assign(corpus, cents), cents, init, PqSub, PqIters)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val encoded = PqAdc.encodeResidual(IvfFlat.assign(corpus, cents), cents,
@@ -1212,14 +1266,6 @@ object TrainData2 {
       |  SELECT vec_id AS probe_id, embedding
       |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
       |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
-      |rcb AS (
-      |  SELECT ms.m, CAST(s.vec_id + 1 AS INT) AS code,
-      |    ${sub16("s.embedding", s"ms.m * $PqSub")} AS cv
-      |  FROM ms CROSS JOIN
-      |    (SELECT e.vec_id, e.embedding, a.cluster AS cid
-      |     FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
-      |     WHERE e.vec_id < $PqK) s
-      |  JOIN c2 c ON s.cid = c.cid),
       |rsub AS (
       |  SELECT e.vec_id, ms.m,
       |    ${sub16("e.embedding", s"ms.m * $PqSub")} AS sv
@@ -1227,11 +1273,12 @@ object TrainData2 {
       |  JOIN assigned a ON e.vec_id = a.vec_id
       |  JOIN c2 c ON a.cluster = c.cid
       |  CROSS JOIN ms),
+      |${pqTrainCtes("rsub", "rq")},
       |rd AS (
       |  SELECT s.vec_id, s.m, cb.code,
       |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum') AS d2
-      |  FROM rsub s JOIN rcb cb ON s.m = cb.m),
+      |  FROM rsub s JOIN rqcb2 cb ON s.m = cb.m),
       |rcodes AS (
       |  SELECT vec_id, m, code FROM rd
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
@@ -1255,7 +1302,7 @@ object TrainData2 {
       |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum')
       |      * 1e9) AS BIGINT) AS d2e9
-      |  FROM prsub s JOIN rcb cb ON s.m = cb.m),
+      |  FROM prsub s JOIN rqcb2 cb ON s.m = cb.m),
       |cand AS (
       |  SELECT pr.probe_id, pr.cid, a.vec_id AS cand_id
       |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
