@@ -1613,16 +1613,28 @@ object TrainData2 {
   // a prefix shingle, so the equi-join on prefix shingles has recall 1
   // — no bands, no caps, no probabilism — and the τ-length filter
   // (τ|a| ≤ |b| ≤ |a|/τ, integer cross-multiplied) prunes cross-size
-  // pairs before the join. Exact verify = shingle-set intersection,
-  // Jaccard ≥ τ as inter·10 ≥ 6·(|a|+|b|−inter). Measured here:
-  // 124,750 possible pairs → 25 candidates → 25 passes. Scale: the
+  // pairs before the join. PPJoin's POSITIONAL filter tightens the
+  // constant: a shared prefix shingle at (sorted) positions pa, pb
+  // bounds the overlap by 1 + min(|a|−pa, |b|−pb) — for the FIRST
+  // shared token nothing common precedes it, so if the true overlap
+  // meets the τ minoverlap ⌈τ(|a|+|b|)/(1+τ)⌉ that token's bound does
+  // too, and keeping a pair when ANY matched prefix row passes
+  // (integer form: (1+min)·(10+6) ≥ 6·(|a|+|b|)) preserves recall 1
+  // while pruning before the verify join. Exact verify = shingle-set
+  // intersection, Jaccard ≥ τ as inter·10 ≥ 6·(|a|+|b|−inter). The
+  // output carries a CENSUS (n_candidates, n_pairs — 1-row broadcast
+  // join, never a cartesian) so the 200-row report cap is
+  // self-describing: a reader sees exactly how many candidates the
+  // prefixes admitted and how many pairs verified, whatever the cap
+  // truncated. Measured at sf0.01: 124,750 possible pairs →
+  // 25 candidates (positional filter on) → 25 passes. Scale: the
   // candidate fan-out is bounded by the df of the RAREST shingles
   // only (a frequent shingle never enters a prefix unless the doc is
   // tiny), so shuffles are the df census (shingle-keyed), one doc-
   // keyed ordering window, the prefix equi-join over a relation
   // (1−τ)× the shingle mass, and doc-keyed verify joins — the exact
-  // audit-grade path next to LSH's throughput path; production
-  // PPJoin adds positional/suffix filters to tighten constants. ──
+  // audit-grade path next to LSH's throughput path; a suffix filter
+  // is the remaining production constant-tightener. ──
   private val JacTauNum = 6 // τ = 0.6 as an integer ratio over 10
 
   private def q157(spark: SparkSession, dir: String): DataFrame = {
@@ -1637,15 +1649,23 @@ object TrainData2 {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "w")))
       .filter(col("rn") <= expr(s"n - (($JacTauNum*n+9) div 10) + 1"))
-      .select("doc_id", "w", "n")
+      .select("doc_id", "w", "n", "rn")
       .localCheckpoint()
-    val cand = pref.select(col("doc_id").as("doc_a"), col("w"), col("n").as("na"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("w"), col("n").as("nb")), "w")
+    val cand = pref.select(col("doc_id").as("doc_a"), col("w"),
+        col("n").as("na"), col("rn").as("ra"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("w"),
+        col("n").as("nb"), col("rn").as("rb")), "w")
       .filter(col("doc_a") < col("doc_b") &&
         col("na") * JacTauNum <= col("nb") * 10 &&
-        col("nb") * JacTauNum <= col("na") * 10)
+        col("nb") * JacTauNum <= col("na") * 10 &&
+        // PPJoin positional filter: overlap ≤ 1 + min(|a|−pa, |b|−pb)
+        // for this matched token; a pair survives if ANY of its shared
+        // prefix tokens can still reach the τ minoverlap
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")))
+          * (10 + JacTauNum) >= (col("na") + col("nb")) * JacTauNum)
       .select("doc_a", "doc_b").distinct()
-    cand
+      .localCheckpoint()
+    val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -1655,6 +1675,19 @@ object TrainData2 {
         (col("size_a") + col("size_b") - col("inter")) * JacTauNum)
       .withColumn("jac_pct", expr("inter * 100 div (size_a + size_b - inter)"))
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_pct")
+      .localCheckpoint()
+    // the self-describing census: candidate and verified-pair counts
+    // ride every row via the non-foldable 1-row broadcast idiom
+    def one(c: Column): Column = pmod(hash(c), lit(1))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      .withColumn("__k", one(col("n_candidates")))
+    val nPass = verified.agg(count(lit(1)).as("n_pairs"))
+      .withColumn("__k", one(col("n_pairs")))
+    verified.withColumn("__k", one(col("doc_a")))
+      .join(broadcast(nCand), "__k")
+      .join(broadcast(nPass), "__k")
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_pct",
+        "n_candidates", "n_pairs")
       .orderBy("doc_a", "doc_b")
       .limit(200)
   }
@@ -1673,24 +1706,32 @@ object TrainData2 {
       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rn
       |  FROM tok t JOIN df d ON t.w = d.w),
       |pref AS (
-      |  SELECT doc_id, w, n FROM ord
+      |  SELECT doc_id, w, n, rn FROM ord
       |  WHERE rn <= n - (($JacTauNum*n+9) // 10) + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-      |  WHERE a.n * $JacTauNum <= b.n * 10 AND b.n * $JacTauNum <= a.n * 10),
+      |  WHERE a.n * $JacTauNum <= b.n * 10 AND b.n * $JacTauNum <= a.n * 10
+      |    AND (1 + least(a.n - a.rn, b.n - b.rn)) * ${10 + JacTauNum}
+      |        >= (a.n + b.n) * $JacTauNum),
       |ver AS (
       |  SELECT c.doc_a, c.doc_b,
       |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
       |    CAST(len(x.s) AS BIGINT) AS size_a, CAST(len(y.s) AS BIGINT) AS size_b
       |  FROM cand c
       |  JOIN sets x ON c.doc_a = x.doc_id
-      |  JOIN sets y ON c.doc_b = y.doc_id)
-      |SELECT doc_a, doc_b, inter, size_a, size_b,
-      |  inter * 100 // (size_a + size_b - inter) AS jac_pct
-      |FROM ver
-      |WHERE inter * 10 >= (size_a + size_b - inter) * $JacTauNum
-      |ORDER BY doc_a, doc_b LIMIT 200""".stripMargin
+      |  JOIN sets y ON c.doc_b = y.doc_id),
+      |vpass AS (
+      |  SELECT doc_a, doc_b, inter, size_a, size_b,
+      |    inter * 100 // (size_a + size_b - inter) AS jac_pct
+      |  FROM ver
+      |  WHERE inter * 10 >= (size_a + size_b - inter) * $JacTauNum),
+      |cens AS (SELECT COUNT(*) AS n_candidates FROM cand),
+      |pens AS (SELECT COUNT(*) AS n_pairs FROM vpass)
+      |SELECT v.doc_a, v.doc_b, v.inter, v.size_a, v.size_b, v.jac_pct,
+      |  c.n_candidates, p.n_pairs
+      |FROM vpass v CROSS JOIN cens c CROSS JOIN pens p
+      |ORDER BY v.doc_a, v.doc_b LIMIT 200""".stripMargin
   }
 
   // ── q158: BM25 retrieval top-k — query-time keyword scoring (Robertson

@@ -433,13 +433,24 @@ class TrainData2Spec extends SparkSpec {
       if inter * 10 >= union * 6
     } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong,
       inter.toLong * 100 / union)).sortBy(p => (p._1, p._2)).toSeq
-    val got = q("q157_prefix_join").collect().map(r =>
+    val rows = q("q157_prefix_join").collect()
+    val got = rows.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5))).toSeq
     // the pigeonhole guarantee: EVERY qualifying pair survives the
-    // prefix pruning — exactness is the operator's whole contract
+    // prefix pruning AND the positional filter — exactness is the
+    // operator's whole contract
     assert(got == expected.take(200))
     assert(got.nonEmpty, "no similar pairs at tau=0.6 — pin is vacuous")
+    // the census columns are constant across rows and self-describing:
+    // n_pairs is the complete verified count (cap-independent) and the
+    // positionally-filtered candidate set covers every true pair
+    val nCand = rows.map(_.getLong(6)).distinct
+    val nPass = rows.map(_.getLong(7)).distinct
+    assert(nCand.length == 1 && nPass.length == 1, "census must be constant")
+    assert(nPass.head == expected.size.toLong,
+      s"n_pairs=${nPass.head} vs brute-force ${expected.size}")
+    assert(nCand.head >= nPass.head, "candidates must cover verified pairs")
   }
 
   test("q158: BM25 top-k equals a driver-side integer recount of the cleared formula") {
