@@ -133,6 +133,48 @@ object ScaleProbe {
     // stride by the id-space BOUND, not the row count — sparse ids would
     // otherwise collide across replicas and silently merge documents
     val n0 = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+
+    // SPARK_GRAFT_PROBE=prefixjoin: q157's exact-Jaccard AllPairs/PPJoin
+    // kernel — through the SAME private[graft] prefixJoinPairs the gated
+    // query ships (runs BEFORE the default salted replication below: it
+    // builds its own similarity-controlled corpus and must not pay that
+    // checkpoint). Replica 1 appends one token to each original (a
+    // planted TRUE near-dup pair per base doc — Jaccard ≈ s/(s+5) ≫ τ
+    // for 5-gram shingles); replicas k ≥ 2 salt EVERY word (disjoint
+    // shingle space, zero cross-family candidates), so ground truth
+    // grows by exactly the planted pairs and all remaining candidate
+    // mass is the base corpus's own internal structure repeated once
+    // per family — candidates and verified pairs should scale LINEARLY
+    // in mult while the df census + prefix join + verify walls track
+    // the corpus scan. An exact similarity join over a corpus that is
+    // ITSELF quadratically similar pays its output size by definition;
+    // that adversarial case belongs to the capped-LSH near-dup path
+    // (the default probe), not the exact audit path.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "prefixjoin") {
+      import graft.queries.TrainData2
+      def timedP[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val pcorpus = (0 until mult).map { k =>
+        base.select((col("doc_id") + lit(k * n0)).as("doc_id"),
+          (if (k == 0) col("text")
+           else if (k == 1) concat(col("text"), lit(" nd1"))
+           else concat(lit(s"z${k}_"),
+             regexp_replace(col("text"), lit(" "), lit(s" z${k}_")))).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val np = pcorpus.count()
+      val ((nCand, nVer), tJoin) = timedP {
+        val (cand, ver) = TrainData2.prefixJoinPairs(pcorpus)
+        (cand.count(), ver.count())
+      }
+      println(s"""{"probe":"prefixjoin","sf":"$sfDir","mult":$mult,"docs":$np,""" +
+        s""""candidates":$nCand,"verified":$nVer,""" +
+        s""""join_sec":${f"$tJoin%.2f"}}""")
+      spark.stop()
+      return
+    }
     // replica k: ids offset by k*n0, text salted with a replica token so
     // copies stay NEAR-dups (high Jaccard) instead of exact dups
     val corpus = (0 until mult).map { k =>

@@ -1637,8 +1637,12 @@ object TrainData2 {
   // is the remaining production constant-tightener. ──
   private val JacTauNum = 6 // τ = 0.6 as an integer ratio over 10
 
-  private def q157(spark: SparkSession, dir: String): DataFrame = {
-    val d = TrainData.docsParallel(spark, dir)
+  /** The shipping prefix/verify kernel of q157 over a (doc_id, text)
+    * frame: (candidate pairs after length + positional filters,
+    * verified pairs with inter/sizes/jac_pct). Both localCheckpointed.
+    * Shared by q157 and the ScaleProbe prefixjoin leg, so the
+    * published scaling numbers measure the gated algorithm. */
+  private[graft] def prefixJoinPairs(d: DataFrame): (DataFrame, DataFrame) = {
     val sets = d.select(col("doc_id"),
         array_distinct(graft.functions.WordNgrams(col("text"), 5)).as("s"))
       .localCheckpoint()
@@ -1676,6 +1680,11 @@ object TrainData2 {
       .withColumn("jac_pct", expr("inter * 100 div (size_a + size_b - inter)"))
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_pct")
       .localCheckpoint()
+    (cand, verified)
+  }
+
+  private def q157(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, verified) = prefixJoinPairs(TrainData.docsParallel(spark, dir))
     // the self-describing census: candidate and verified-pair counts
     // ride every row via the non-foldable 1-row broadcast idiom
     def one(c: Column): Column = pmod(hash(c), lit(1))
