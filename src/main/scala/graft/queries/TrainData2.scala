@@ -1460,7 +1460,13 @@ object TrainData2 {
     * count, run count and longest run. Windows shuffle as 16-byte
     * unhex'd md5 digests (BinaryType), never the window text. Shared by
     * q155 and the ScaleProbe repetition leg. */
-  private[graft] def windowDupRuns(d: DataFrame): DataFrame = {
+  /** Per-RUN duplicated-window islands over a (doc_id, text) frame:
+    * (doc_id, start, run) — one row per maximal run of consecutive
+    * corpus-duplicated WinW-word window positions, start = the run's
+    * first window position (1-based). The positional form of the q155
+    * census, shared by [[windowDupRuns]] and the q159 span-removal
+    * action query. */
+  private[graft] def windowDupRunList(d: DataFrame): DataFrame = {
     val win = d.select(col("doc_id"),
         posexplode(graft.functions.WordNgrams(col("text"), WinW)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
@@ -1471,12 +1477,17 @@ object TrainData2 {
       .select("doc_id", "pos")
     dup.withColumn("grp",
         col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start"), count(lit(1)).as("run"))
+      .select("doc_id", "start", "run")
+  }
+
+  private[graft] def windowDupRuns(d: DataFrame): DataFrame =
+    windowDupRunList(d)
       .groupBy("doc_id").agg(
         sum("run").as("n_dup_windows"),
         count(lit(1)).as("n_runs"),
         max("run").as("max_run"))
-  }
 
   private def q155(spark: SparkSession, dir: String): DataFrame = {
     val d = TrainData.docsParallel(spark, dir)
@@ -1841,6 +1852,109 @@ object TrainData2 {
       |FROM agg ORDER BY score_fp DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ── q159: duplicated-span REMOVAL — the ACTION query on top of
+  // q155's census (Lee et al. 2022's dedup step, not just its audit):
+  // per-doc CUT LISTS from the duplicated-window runs. A run of `run`
+  // consecutive duplicated positions starting at `start` covers words
+  // [start, start+run+WinW−2]; runs whose span is shorter than
+  // MinCutSpan words stay (a lone repeated sentence is not a
+  // boilerplate block), surviving spans MERGE when overlapping or
+  // adjacent (two maximal runs separated by one non-duplicated window
+  // position still overlap as WORD ranges — the q125 interval-merge
+  // islands: a span opens a new island only when its start clears the
+  // running max end + 1), and the output is the per-doc removal plan:
+  // span count, words removed, words kept, first cut offset. Integer
+  // end to end. Scale: everything q155 pays (digest-keyed window
+  // census) plus one doc-keyed window over the RUN relation (runs per
+  // doc ≪ windows per doc) — the merge never touches tokens, only run
+  // endpoints; the cut itself is a downstream row-local slice_text
+  // by the emitted offsets. ──
+  private val MinCutSpan = 20 // words — a cut span must be at least this
+
+  /** The q159 removal plan over a (doc_id, text) frame — shared with
+    * the TrainData2Spec planted-duplicate pin. */
+  private[graft] def spanRemovalPlan(d: DataFrame): DataFrame = {
+    val nTok = d.select(col("doc_id"),
+      size(TrainData.tokens(col("text"))).cast("long").as("n_tok"))
+    val spans = windowDupRunList(d)
+      .filter(col("run") + lit(WinW - 1) >= MinCutSpan)
+      .select(col("doc_id"), col("start"),
+        (col("start") + col("run") + lit(WinW - 2)).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = spans
+      .withColumn("new_isl",
+        when(col("start") > coalesce(max("e").over(wPrev), lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("new_isl").over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min("start").as("s"), max("e").as("e"))
+    merged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("removed_words"),
+        min("s").cast("long").as("first_cut_start"))
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_spans"),
+        col("removed_words"),
+        (col("n_tok") - col("removed_words")).as("kept_words"),
+        col("first_cut_start"))
+  }
+
+  private def q159(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalPlan(TrainData.docsParallel(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  private val q159Sql = {
+    val gram = (0 until WinW).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |win AS (
+      |  SELECT doc_id, i AS pos, md5($gram) AS h
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, len(t) - ${WinW - 2})) AS i FROM toks)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM win)
+      |  WHERE n_occ >= 2),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dup),
+      |rg AS (
+      |  SELECT doc_id, grp, MIN(pos) AS start, COUNT(*) AS run
+      |  FROM runs GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT doc_id, start, start + run + ${WinW - 2} AS e FROM rg
+      |  WHERE run + ${WinW - 1} >= $MinCutSpan),
+      |isl AS (
+      |  SELECT doc_id, start, e,
+      |    CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |        ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        -1) + 1
+      |      THEN 1 ELSE 0 END AS new_isl
+      |  FROM spans),
+      |gisl AS (
+      |  SELECT doc_id, start, e,
+      |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM isl),
+      |merged AS (
+      |  SELECT doc_id, isl, MIN(start) AS s, MAX(e) AS e
+      |  FROM gisl GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_words,
+      |    CAST(MIN(s) AS BIGINT) AS first_cut_start
+      |  FROM merged GROUP BY 1),
+      |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+      |SELECT p.doc_id, n.n_tok, p.n_spans, p.removed_words,
+      |  n.n_tok - p.removed_words AS kept_words, p.first_cut_start
+      |FROM per p JOIN nt n ON p.doc_id = n.doc_id
+      |ORDER BY p.doc_id LIMIT 200""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -1861,5 +1975,6 @@ object TrainData2 {
     QueryDef("q155_window_dedup", q155, Some(q155Sql)),
     QueryDef("q156_surprisal_filter", q156, Some(q156Sql)),
     QueryDef("q157_prefix_join", q157, Some(q157Sql)),
-    QueryDef("q158_bm25_topk", q158, Some(q158Sql)))
+    QueryDef("q158_bm25_topk", q158, Some(q158Sql)),
+    QueryDef("q159_span_removal", q159, Some(q159Sql)))
 }

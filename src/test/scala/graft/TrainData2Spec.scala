@@ -453,6 +453,37 @@ class TrainData2Spec extends SparkSpec {
     assert(nCand.head >= nPass.head, "candidates must cover verified pairs")
   }
 
+  test("q159: planted cross-doc duplicate spans are excised exactly; staggered overlaps merge; short spans stay") {
+    import spark.implicits._
+    def words(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val t = words("t", 60)            // target: unique words t1..t60
+    val s12 = words("s", 12)          // a 12-word shared span (< MinCutSpan)
+    val corpus = Seq(
+      // T shares words 1..20 with H1 and words 15..50 with H2: dup-window
+      // runs {1..11} and {15..41} → word spans [1,20] and [15,50] OVERLAP
+      // and must merge into one 50-word cut
+      (1L, t.mkString(" ")),
+      (2L, t.slice(0, 20).mkString(" ")),  // H1 = T[1..20]
+      (3L, t.slice(14, 50).mkString(" ")), // H2 = T[15..50]
+      // U/V share only a 12-word span → max cut span 12 < 20 → no plan
+      (4L, (words("u", 10) ++ s12 ++ words("uu", 10)).mkString(" ")),
+      (5L, (words("v", 8) ++ s12 ++ words("vv", 22)).mkString(" ")),
+      (6L, words("z", 40).mkString(" ")))  // unique: no plan
+      .toDF("doc_id", "text")
+    val got = graft.queries.TrainData2.spanRemovalPlan(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // the planted duplicate is excised exactly — T loses words 1..50
+    // (one MERGED span), keeps the 10 words nothing else shares
+    assert(got(1L) == ((60L, 1L, 50L, 10L, 1L)), s"T plan: ${got.get(1L)}")
+    // the source docs are fully covered by their shared span
+    assert(got(2L) == ((20L, 1L, 20L, 0L, 1L)), s"H1 plan: ${got.get(2L)}")
+    assert(got(3L) == ((36L, 1L, 36L, 0L, 1L)), s"H2 plan: ${got.get(3L)}")
+    // sub-threshold spans and unique docs emit no removal plan
+    assert(!got.contains(4L) && !got.contains(5L) && !got.contains(6L),
+      s"short/unique docs must stay uncut: ${got.keySet}")
+  }
+
   test("q158: BM25 top-k equals a driver-side integer recount of the cleared formula") {
     val query = Seq("dup", "customer", "spark")
     val docs = graft.engine.Tables.documents(spark, dir)
