@@ -699,6 +699,55 @@ object Multimodal {
       maxHamming, maxBucket)
   }
 
+  /** Per-bit MAJORITY of a clip's frame fingerprints — the frame→clip
+    * reduction of the video near-dup path: bit j of the clip hash is
+    * set iff set in MORE THAN HALF of the clip's frame hashes (integer
+    * cross-multiplied, ties → 0). Majority distributes over a
+    * persistent per-frame XOR (a re-encode that nudges the same bit in
+    * every frame moves the clip hash by exactly that bit) and ABSORBS
+    * single-frame noise (a bit flipped in one of k ≥ 3 frames never
+    * reaches the clip hash) — which is what makes the clip fingerprint
+    * stable enough for [[nearDupByHash]]'s Hamming-≤3 bands. Input:
+    * (media_id, fh) one row per sampled frame; output: (media_id,
+    * phash). Scale: the 64-way bit explode is row-local fan-out into a
+    * partial-aggregated (media_id, bit) rollup — two shuffles at clip
+    * grain, no pairs. */
+  def clipMajorityHash(frameHashes: DataFrame): DataFrame =
+    frameHashes
+      .select(col("media_id"), col("fh"),
+        explode(expr("sequence(0, 63)")).as("j"))
+      .groupBy("media_id", "j")
+      .agg(sum(expr("shiftright(fh, CAST(j AS INT)) & 1")).as("n_set"),
+        count(lit(1)).as("n_fr"))
+      .groupBy("media_id")
+      .agg(sum(when(col("n_set") * 2 > col("n_fr"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(lit(0L))).as("phash"))
+
+  /** Video NEAR-dup: `k` sampled frames per clip ([[sampleFrames]] —
+    * REAL frame chunks for AVI containers), each frame aHashed
+    * ([[aHash64]] — real pixels for decodable MJPEG frames), the
+    * per-bit majority ([[clipMajorityHash]]) is the clip fingerprint,
+    * and [[nearDupByHash]] resolves Hamming-≤`maxHamming` clusters: a
+    * re-encoded clip (same frames, different JPEG bytes) keeps its
+    * majority hash within a few bits of the original's and clusters
+    * with it, which byte-level dedup can never see. Clips with no
+    * decodable sampled frame keep themselves (NULL phash — the family
+    * contract). MultimodalSpec pins the re-encode case on real AVIs;
+    * the majority+banding kernel is oracle-gated as q160 over
+    * deterministic stand-in frame fingerprints. */
+  def videoNearDup(media: DataFrame, k: Int = 3, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val ah = udf((b: Array[Byte]) => aHash64(b))
+    val fh = sampleFrames(media, k)
+      .select(col("media_id"), ah(col("frame_bytes")).as("fh"))
+      .filter(col("fh").isNotNull)
+    val clips = media.filter(col("media_type") === "video")
+      .select("media_id")
+      .join(clipMajorityHash(fh), Seq("media_id"), "left")
+    nearDupByHash(clips, maxHamming, maxBucket)
+  }
+
   /** Build a synthetic media table from `documents` (text bytes as payload)
     * — lets the plumbing run against the driver test data without codecs. */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {

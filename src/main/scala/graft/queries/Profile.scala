@@ -244,6 +244,100 @@ object Profile {
       |FROM comps GROUP BY 1 ORDER BY keeper""".stripMargin
   }
 
+  // ── q160: VIDEO perceptual near-dup census — the frame-grain
+  // extension of q152: per-frame fingerprints reduce to a clip hash by
+  // PER-BIT MAJORITY (Multimodal.clipMajorityHash — the reduction
+  // videoNearDup applies to real aHashed AVI frames, where it absorbs
+  // single-frame re-encode noise and passes persistent shifts through),
+  // then the banded Hamming-≤3 kernel clusters clips. The codec half
+  // (sampleFrames → per-frame aHash on real MJPEG AVIs) is spec-gated
+  // in MultimodalSpec — DuckDB cannot decode pixels — so the gated
+  // frame fingerprints are q152's md5-nibble stand-in at (clip, frame)
+  // grain: groups of 4 synthetic-video clips share per-frame base
+  // hashes; member m ≥ 1 flips one PERSISTENT bit (7m, all frames —
+  // survives majority, lands the clip at Hamming 1 from the keeper)
+  // and one single-frame NOISE bit (7m+3, frame m−1 only — majority
+  // must absorb it; if it leaked, pairwise distances would exceed the
+  // band guarantee and clusters would split, so the gate proves the
+  // absorption). The oracle replays frame fan-out, bit majority,
+  // banding, bucket cap, bit_count filter, and the recursive closure —
+  // drift anywhere breaks the hash gate. ──
+  private val VidFrames = 3
+
+  private def q160(spark: SparkSession, dir: String): DataFrame = {
+    val compose = (0 until 15).map(n =>
+      s"(instr('0123456789abcdef', substring(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}L").mkString(" + ")
+    val fh = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the synthetic VIDEO rows (q36's split)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("f", explode(expr(s"sequence(0, ${VidFrames - 1})")))
+      .withColumn("__h", md5(expr(
+        "concat('q160:', CAST(media_id div 12 AS STRING), ':', CAST(f AS STRING))")))
+      .withColumn("__m", expr("(media_id div 3) % 4"))
+      .withColumn("fh", expr(
+        s"($compose) ^ (CASE WHEN __m = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), CAST(7 * __m AS INT)) + " +
+          "(CASE WHEN f = __m - 1 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(7 * __m + 3 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END) END)"))
+      .select("media_id", "fh")
+    graft.engine.Multimodal.nearDupByHash(
+        graft.engine.Multimodal.clipMajorityHash(fh), maxHamming = 3)
+      .filter(col("n_members") >= 2)
+      .groupBy("keeper")
+      .agg(count(lit(1)).as("cluster_size"), max("media_id").as("max_member"))
+      .orderBy("keeper")
+  }
+
+  private val q160Sql = {
+    val compose = (0 until 15).map(n =>
+      s"(instr('0123456789abcdef', substr(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}").mkString(" + ")
+    val m = "((media_id // 3) % 4)"
+    s"""WITH RECURSIVE fh AS (
+      |  SELECT media_id,
+      |    xor($compose,
+      |      CASE WHEN $m = 0 THEN 0
+      |           ELSE (CAST(1 AS BIGINT) << CAST(7 * $m AS INT)) +
+      |                (CASE WHEN f = $m - 1
+      |                 THEN (CAST(1 AS BIGINT) << CAST(7 * $m + 3 AS INT))
+      |                 ELSE 0 END) END) AS fh
+      |  FROM (
+      |    SELECT doc_id AS media_id, f,
+      |      md5('q160:' || CAST(doc_id // 12 AS VARCHAR) || ':'
+      |          || CAST(f AS VARCHAR)) AS __h
+      |    FROM documents, (SELECT unnest(range(0, $VidFrames)) AS f) fr
+      |    WHERE doc_id % 3 = 2)),
+      |fb AS (
+      |  SELECT media_id, j,
+      |    SUM((fh >> CAST(j AS INT)) & 1) AS n_set, COUNT(*) AS n_fr
+      |  FROM fh, (SELECT unnest(range(0, 64)) AS j) bits
+      |  GROUP BY 1, 2),
+      |clip AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN n_set * 2 > n_fr
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM fb GROUP BY 1),
+      |banded AS (
+      |  SELECT media_id, phash, band,
+      |    (phash >> (16 * (band - 1))) & 65535 AS bk
+      |  FROM clip, (SELECT unnest([1, 2, 3, 4]) AS band) bands),
+      |small AS (SELECT band, bk FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+      |kept AS (
+      |  SELECT b.media_id, b.phash, b.band, b.bk
+      |  FROM banded b JOIN small s ON b.band = s.band AND b.bk = s.bk),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+      |  FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk
+      |    AND a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+      |${TrainData.ccClosureSql("pairs", "a_id", "b_id")}
+      |SELECT comp AS keeper, COUNT(*) AS cluster_size, MAX(node) AS max_member
+      |FROM comps GROUP BY 1 ORDER BY keeper""".stripMargin
+  }
+
   // ── q37: exact percentiles — Spark `percentile` and DuckDB
   // `quantile_cont` share linear interpolation; over integer-valued
   // quantities the results are bit-identical. ──
@@ -836,5 +930,6 @@ object Profile {
     QueryDef("q42_pivot", q42, Some(q42Sql)),
     QueryDef("q43_set_ops", q43, Some(q43Sql)),
     QueryDef("q46_csv_count", q46, Some(q46Sql)),
-    QueryDef("q152_phash_neardup", q152, Some(q152Sql)))
+    QueryDef("q152_phash_neardup", q152, Some(q152Sql)),
+    QueryDef("q160_video_neardup", q160, Some(q160Sql)))
 }

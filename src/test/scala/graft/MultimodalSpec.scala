@@ -465,4 +465,65 @@ class MultimodalSpec extends SparkSpec {
     assert(near(3L)._1 == 3L && !near(3L)._2)
     assert(near(4L)._1 == 4L && !near(4L)._2)
   }
+
+  test("videoNearDup clusters a re-encoded clip; frame majority absorbs single-frame noise") {
+    // edge-split pattern frames: aHash is content-bearing (a solid fill
+    // hashes to 0 — useless as a fixture)
+    def pat(split: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if (x >= split) 0xffffff else 0x000000)
+      img
+    }
+    // a second JPEG generation at LOW quality: decode the lossy encode,
+    // hand the ringing pixels back — avi() re-encodes them at default
+    // quality, so the stored frame BYTES differ from the original
+    // clip's even though the pictures still read the same
+    def gen2(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.5f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    val (a, b, c) = (pat(8), pat(4), pat(12))
+    val clip1 = avi(Seq(a, b, a), usPerFrame = 40000L)
+    val clip2 = avi(Seq(gen2(a), gen2(b), gen2(a)), usPerFrame = 40000L) // re-encode
+    val clip3 = avi(Seq(a, c, a), usPerFrame = 40000L) // one frame swapped
+    val clip4 = avi(Seq.fill(3)(pat(2)), usPerFrame = 40000L) // unrelated clip
+    val df = media(
+      (1L, "video", clip1),
+      (2L, "video", clip2),
+      (3L, "video", clip3),
+      (4L, "video", clip4),
+      (5L, "video", "not a video at all".getBytes("UTF-8"))) // undecodable
+    assert(!java.util.Arrays.equals(clip1, clip2),
+      "fixture must be a true re-encode: container bytes differ")
+    val rows = Multimodal.videoNearDup(df, k = 3).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getAs[Long]("keeper"), r.getAs[Boolean]("is_dup"))).toMap
+    // the re-encoded clip keeps its majority hash within the band
+    // guarantee and clusters with the original (0 moved bits is a
+    // legitimate re-encode outcome — the claim is ≤ 3, not ≥ 1)
+    val hd = java.lang.Long.bitCount(rows(1L)._1.get ^ rows(2L)._1.get)
+    assert(hd <= 3, s"re-encode moved $hd bits — outside the band guarantee")
+    assert(rows(2L)._2 == 1L && rows(2L)._3, rows.toString)
+    // frame majority absorbs the single swapped frame EXACTLY: with the
+    // A-pattern appearing in 2 of 3 sampled frames, the middle frame's
+    // vote never decides a bit, so clip3's hash equals clip1's
+    assert(rows(3L)._1 == rows(1L)._1,
+      s"majority must absorb a single-frame swap: ${rows(1L)._1} vs ${rows(3L)._1}")
+    assert(rows(3L)._2 == 1L && rows(3L)._3, rows.toString)
+    // an unrelated clip keeps itself; an undecodable payload has NULL
+    // phash and keeps itself (the family contract)
+    assert(rows(4L)._2 == 4L && !rows(4L)._3, rows.toString)
+    assert(rows(5L)._1.isEmpty && rows(5L)._2 == 5L && !rows(5L)._3, rows.toString)
+  }
 }
