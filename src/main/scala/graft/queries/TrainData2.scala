@@ -1770,12 +1770,13 @@ object TrainData2 {
   // +⌊log2·100⌋ shift shared by every term, BM25+-style — and no float
   // ever enters the ranking, which is what makes the two engines agree
   // bit-for-bit.
-  // Scale: the query relation is tiny → BROADCAST onto the token stream
-  // (tf census touches only matching tokens); df derives from the tf
-  // relation (≤ |docs|·|terms| rows); corpus scalars (T, N) reach the
-  // scored rows via the non-foldable pmod(hash) 1-row broadcast
-  // (BroadcastHashJoin, never a cartesian); dl is a row-local size() —
-  // no explode. Top-k is orderBy+limit → TakeOrderedAndProject (per-
+  // Scale: ONE corpus scan — per-term tf and dl are row-local array
+  // ops over the doc's own tokens (the streaming scorer's shape; no
+  // token explode, no token-grain shuffle), and corpus scalars (T, N)
+  // plus the per-term df census come from a single 1-row rollup
+  // broadcast back via the non-foldable pmod(hash) key
+  // (BroadcastHashJoin, never a cartesian). Top-k is orderBy+limit →
+  // TakeOrderedAndProject (per-
   // partition heaps + driver merge of k), never a corpus-wide window;
   // the rank column is windowed AFTER the 20-row cut. int64 headroom:
   // idf ≤ 63 by construction, so the score numerator 63·22·tf·T·10³
@@ -1792,24 +1793,46 @@ object TrainData2 {
 
   /** Per-doc BM25 scores of `d` against `terms` — (doc_id, dl, score_fp,
     * n_terms_hit, n_hits), docs with no query-term hit omitted. Shared by
-    * q158 (adds the top-k cut) and the StreamsSpec batch-equality pin. */
+    * q158 (adds the top-k cut) and the StreamsSpec batch-equality pin.
+    *
+    * ONE corpus scan: per-doc length and every per-term tf are row-local
+    * array ops over the doc's own tokens (the streaming scorer's shape —
+    * no token explode, no token-grain shuffle), checkpointed at doc
+    * grain × (k+2) columns. The corpus totals AND the per-term df census
+    * come from a single 1-row rollup of that relation — bounded model
+    * state, k+2 longs — broadcast back onto the scored rows via the
+    * non-foldable `pmod(hash)` key (BroadcastHashJoin, never a
+    * cartesian). The round-10 driver bench put the old 4-scan
+    * token-explode plan at 11.24 s (the suite's slowest query); this is
+    * the same integer arithmetic on ~1/4 the scan work. */
   private[graft] def bm25PerDoc(d: DataFrame, terms: Seq[String]): DataFrame = {
-    import d.sparkSession.implicits._
-    val dl = d.select(col("doc_id"),
-      size(TrainData.tokens(col("text"))).cast("long").as("dl"))
+    require(terms.nonEmpty, "bm25: empty query-term set")
+    val toks = TrainData.tokens(col("text"))
+    val wide = d.select(Seq(
+        col("doc_id"), size(toks).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (w, i) =>
+          size(filter(toks, x => x === lit(w))).cast("long").as(s"tf_$i")
+        }: _*)
+      .localCheckpoint()
     def one(c: Column): Column = pmod(hash(c), lit(1))
-    val tot = dl.agg(sum("dl").cast("long").as("t"),
-        count(lit(1)).as("n"))
+    val tot = wide.agg(
+        sum("dl").cast("long").as("t"),
+        (count(lit(1)).as("n") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
       .withColumn("__k", one(col("t")))
-    val tf = d.select(col("doc_id"),
-        explode(TrainData.tokens(col("text"))).as("w"))
-      .join(broadcast(terms.toDF("w")), "w")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfx), "w")
-      .join(dl, "doc_id")
+    wide.select(col("doc_id"), col("dl"),
+        explode(array(terms.zipWithIndex.map { case (w, i) =>
+          struct(lit(w).as("w"), col(s"tf_$i").as("tf"), lit(i).as("__i"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.tf").as("tf"),
+        col("e.__i").as("__i"))
+      .filter(col("tf") > 0)
       .withColumn("__k", one(col("tf")))
       .join(broadcast(tot), "__k")
+      .withColumn("df",
+        element_at(array(terms.indices.map(i => col(s"df_$i")): _*),
+          col("__i") + 1))
       .withColumn("s", expr(Bm25ScoreExpr))
       .groupBy("doc_id", "dl")
       .agg(sum("s").as("score_fp"), count(lit(1)).as("n_terms_hit"),
