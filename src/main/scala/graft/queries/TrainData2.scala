@@ -1894,11 +1894,10 @@ object TrainData2 {
   // by the emitted offsets. ──
   private val MinCutSpan = 20 // words — a cut span must be at least this
 
-  /** The q159 removal plan over a (doc_id, text) frame — shared with
-    * the TrainData2Spec planted-duplicate pin. */
-  private[graft] def spanRemovalPlan(d: DataFrame): DataFrame = {
-    val nTok = d.select(col("doc_id"),
-      size(TrainData.tokens(col("text"))).cast("long").as("n_tok"))
+  /** The merged per-doc cut spans (doc_id, s, e) behind q159/q161:
+    * duplicated-window runs → ≥ MinCutSpan word spans → interval-merge
+    * islands. Word positions are 1-based inclusive. */
+  private[graft] def mergedCutSpans(d: DataFrame): DataFrame = {
     val spans = windowDupRunList(d)
       .filter(col("run") + lit(WinW - 1) >= MinCutSpan)
       .select(col("doc_id"), col("start"),
@@ -1907,14 +1906,22 @@ object TrainData2 {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val merged = spans
+    spans
       .withColumn("new_isl",
         when(col("start") > coalesce(max("e").over(wPrev), lit(-1L)) + 1, 1L)
           .otherwise(0L))
       .withColumn("isl", sum("new_isl").over(wRun))
       .groupBy("doc_id", "isl")
       .agg(min("start").as("s"), max("e").as("e"))
-    merged.groupBy("doc_id").agg(
+      .select("doc_id", "s", "e")
+  }
+
+  /** The q159 removal plan over a (doc_id, text) frame — shared with
+    * the TrainData2Spec planted-duplicate pin. */
+  private[graft] def spanRemovalPlan(d: DataFrame): DataFrame = {
+    val nTok = d.select(col("doc_id"),
+      size(TrainData.tokens(col("text"))).cast("long").as("n_tok"))
+    mergedCutSpans(d).groupBy("doc_id").agg(
         count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("removed_words"),
         min("s").cast("long").as("first_cut_start"))
@@ -1930,9 +1937,11 @@ object TrainData2 {
       .orderBy("doc_id")
       .limit(200)
 
-  private val q159Sql = {
+  /** The q159 CTE chain through the per-doc plan (`per`) and token
+    * counts (`nt`), shared with q161's cut-application oracle. */
+  private val spanRemovalCtes = {
     val gram = (0 until WinW).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |win AS (
       |  SELECT doc_id, i AS pos, md5($gram) AS h
       |  FROM (SELECT doc_id, t,
@@ -1971,12 +1980,82 @@ object TrainData2 {
       |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_words,
       |    CAST(MIN(s) AS BIGINT) AS first_cut_start
       |  FROM merged GROUP BY 1),
-      |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+      |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks)""".stripMargin
+  }
+
+  private val q159Sql =
+    s"""WITH $spanRemovalCtes
       |SELECT p.doc_id, n.n_tok, p.n_spans, p.removed_words,
       |  n.n_tok - p.removed_words AS kept_words, p.first_cut_start
       |FROM per p JOIN nt n ON p.doc_id = n.doc_id
       |ORDER BY p.doc_id LIMIT 200""".stripMargin
+
+  // ── q161: cut-plan APPLICATION — the final step of the Lee et al.
+  // removal pipeline: take q159's merged spans and actually rebuild
+  // each affected doc's kept text (words whose 1-based position falls
+  // outside every cut span), emitting the new token count and an md5
+  // of the reconstructed text so the gate certifies the REBUILT BYTES,
+  // not just the bookkeeping. Reconstruction is deterministic in both
+  // engines: Spark sorts the surviving (pos, word) structs per doc
+  // (array_sort — collect_list alone is order-free) and joins with a
+  // single space; DuckDB string_aggs ORDER BY pos. kept_tok doubles as
+  // a built-in cross-check against q159's arithmetic kept_words — the
+  // two columns must agree row for row, and the gate hashes both. A
+  // fully-duplicated doc (every word cut) reports kept_tok 0 with NULL
+  // md5. Scale: the anti-range probe is a doc-keyed join of the token
+  // explode against the (tiny) per-doc span list — no token-grain
+  // shuffle beyond the doc-keyed rebuild groupBy, and only docs WITH
+  // cuts reach the output. ──
+  /** The q161 rebuild over a (doc_id, text) frame — shared with the
+    * TrainData2Spec planted-duplicate pin. */
+  private[graft] def cutApplyPlan(d: DataFrame): DataFrame = {
+    val spans = mergedCutSpans(d)
+      .select(col("doc_id").as("sd"), col("s"), col("e"))
+      .localCheckpoint()
+    val toks = d.select(col("doc_id"),
+        posexplode(TrainData.tokens(col("text"))).as(Seq("p", "w")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("w"))
+    val kept = toks.join(spans,
+      col("doc_id") === col("sd") &&
+        col("pos") >= col("s") && col("pos") <= col("e"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_tok"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")))).as("kept_md5"))
+    spanRemovalPlan(d)
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_spans"),
+        col("removed_words"), col("kept_words"),
+        coalesce(col("kept_tok"), lit(0L)).as("kept_tok"),
+        col("kept_md5"))
   }
+
+  private def q161(spark: SparkSession, dir: String): DataFrame =
+    cutApplyPlan(TrainData.docsParallel(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  private val q161Sql =
+    s"""WITH $spanRemovalCtes,
+      |ex AS (
+      |  SELECT doc_id, i AS pos, t[i] AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |keptk AS (
+      |  SELECT e.doc_id, e.pos, e.w FROM ex e
+      |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+      |    WHERE m.doc_id = e.doc_id AND e.pos BETWEEN m.s AND m.e)),
+      |reb AS (
+      |  SELECT doc_id, COUNT(*) AS kept_tok,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5
+      |  FROM keptk GROUP BY 1)
+      |SELECT p.doc_id, n.n_tok, p.n_spans, p.removed_words,
+      |  n.n_tok - p.removed_words AS kept_words,
+      |  COALESCE(r.kept_tok, 0) AS kept_tok, r.kept_md5
+      |FROM per p
+      |JOIN nt n ON p.doc_id = n.doc_id
+      |LEFT JOIN reb r ON p.doc_id = r.doc_id
+      |ORDER BY p.doc_id LIMIT 200""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
@@ -1999,5 +2078,6 @@ object TrainData2 {
     QueryDef("q156_surprisal_filter", q156, Some(q156Sql)),
     QueryDef("q157_prefix_join", q157, Some(q157Sql)),
     QueryDef("q158_bm25_topk", q158, Some(q158Sql)),
-    QueryDef("q159_span_removal", q159, Some(q159Sql)))
+    QueryDef("q159_span_removal", q159, Some(q159Sql)),
+    QueryDef("q161_cut_apply", q161, Some(q161Sql)))
 }

@@ -482,6 +482,20 @@ class TrainData2Spec extends SparkSpec {
     // sub-threshold spans and unique docs emit no removal plan
     assert(!got.contains(4L) && !got.contains(5L) && !got.contains(6L),
       s"short/unique docs must stay uncut: ${got.keySet}")
+    // the APPLICATION (q161's kernel) rebuilds exactly the text a
+    // driver-side cut of the same spans would produce: T keeps its 10
+    // unique suffix words, the fully-covered sources keep nothing
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val applied = graft.queries.TrainData2.cutApplyPlan(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5),
+        Option(r.getString(6)))).toMap
+    assert(applied(1L) == ((10L, 10L,
+      Some(md5Of(t.slice(50, 60).mkString(" "))))), s"T rebuild: ${applied(1L)}")
+    assert(applied(2L) == ((0L, 0L, None)) && applied(3L) == ((0L, 0L, None)),
+      "fully-covered sources must rebuild to nothing")
+    // built-in cross-check: arithmetic kept_words == counted kept_tok
+    applied.values.foreach { case (kw, kt, _) => assert(kw == kt) }
   }
 
   test("q158: BM25 top-k equals a driver-side integer recount of the cleared formula") {
