@@ -478,11 +478,27 @@ object ScaleProbe {
           .filter(expr("score * 100 div n_tok") <= TrainData2.SurprisalHeadMax)
           .count()
       }
+      // the q159/q161 action kernels over the SAME dense corpus: nearly
+      // every replica doc carries a giant cut span, so the rebuild's
+      // anti-range join runs at its worst case (almost all tokens cut)
+      val ((nCutDocs, removedTot), tCut) = timed {
+        val r = TrainData2.spanRemovalPlan(corpus)
+          .agg(count(lit(1)), coalesce(sum("removed_words"), lit(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (keptTot, tApply) = timed {
+        TrainData2.cutApplyPlan(corpus)
+          .agg(coalesce(sum("kept_tok"), lit(0L))).collect()(0).getLong(0)
+      }
       println(s"""{"probe":"repetition","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""rep_flagged":$nFlagged,"dup_docs":$nDupDocs,"max_run":$maxRun,""" +
         s""""vocab":$vocabN,"head_docs":$nHead,""" +
+        s""""cut_docs":$nCutDocs,"removed_words":$removedTot,""" +
+        s""""kept_tok":$keptTot,""" +
         s""""rep_sec":${f"$tRep%.2f"},"window_sec":${f"$tWin%.2f"},""" +
-        s""""lm_sec":${f"$tLm%.2f"}}""")
+        s""""lm_sec":${f"$tLm%.2f"},"cut_sec":${f"$tCut%.2f"},""" +
+        s""""apply_sec":${f"$tApply%.2f"}}""")
       spark.stop()
       return
     }
