@@ -1453,7 +1453,7 @@ object TrainData2 {
   // then doc_id), and run-length recovery is a per-doc island count —
   // no pairwise expansion anywhere, so a 10^6×-repeated span costs its
   // occurrence count, not its occurrence-pair square. ──
-  private val WinW = 10
+  private[graft] val WinW = 10
 
   /** Per-doc duplicated-window run census over a (doc_id, text) frame:
     * docs with ≥1 corpus-duplicated WinW-word window, with dup-position
@@ -1892,7 +1892,7 @@ object TrainData2 {
   // doc ≪ windows per doc) — the merge never touches tokens, only run
   // endpoints; the cut itself is a downstream row-local slice_text
   // by the emitted offsets. ──
-  private val MinCutSpan = 20 // words — a cut span must be at least this
+  private[graft] val MinCutSpan = 20 // words — a cut span must be at least this
 
   /** The merged per-doc cut spans (doc_id, s, e) behind q159/q161:
     * duplicated-window runs → ≥ MinCutSpan word spans → interval-merge

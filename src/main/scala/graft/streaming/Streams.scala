@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -471,6 +471,98 @@ object Streams {
           .when(centi <= midMax, "middle")
           .otherwise("tail"))
       .select("doc_id", "ts", "n_tok", "score", "bucket")
+  }
+
+  /** Streaming duplicated-span CUT-PLAN filter — the online form of
+    * q159 (`TrainData2.spanRemovalPlan`): each arriving doc is scored
+    * against a BATCH-trained set of duplicated-window digests (the hex
+    * md5s of WinW-word windows the batch census saw ≥ 2×, handed in as
+    * a one-column `h` DataFrame), and its removal plan — span count,
+    * words removed, words kept — computes ROW-LOCALLY: window digests
+    * are per-row array ops, the digest-set membership probe rides the
+    * one-row map broadcast ([[surprisalFilter]]'s transport — the set
+    * ships as broadcast DATA via the non-foldable `pmod(hash)` key,
+    * never as a plan literal), and the batch kernel's run detection /
+    * span threshold / interval merge replay as two `aggregate` folds
+    * over the doc's own dup positions. STATELESS: no shuffle, no
+    * watermark, no state store — append mode at any rate. Every
+    * non-null-text doc emits a verdict (uncut docs report 0 spans —
+    * a filter gives per-doc verdicts; the batch PLAN omits uncut docs
+    * because it is an action list). Like every incremental-model path
+    * here (q53/q83/bloom), duplicates NOVEL to the stream are invisible
+    * until the next model refresh. Batch equality on shared docs is
+    * pinned in StreamsSpec. */
+  def cutPlanFilter(docs: DataFrame, dupDigests: DataFrame): DataFrame = {
+    import graft.queries.TrainData2.{MinCutSpan, WinW}
+    val minRun = MinCutSpan - WinW + 1
+    // the duplicated-digest set as ONE map cell in a one-row static
+    // frame — broadcast data, constant-size plan (see surprisalFilter)
+    val setRow = dupDigests
+      .agg(map_from_entries(collect_list(struct(col("h"), lit(true))))
+        .as("__set"), count(lit(1)).as("__c"))
+      .select(pmod(hash(col("__c")), lit(1)).as("__k"), col("__set"))
+    // ascending 1-based positions whose WinW-word window digest is in
+    // the trained set (empty when the doc is shorter than one window)
+    val posArr = when(size(col("toks")) < WinW, array().cast("array<int>"))
+      .otherwise(filter(
+        transform(sequence(lit(1), size(col("toks")) - (WinW - 1)),
+          i => when(element_at(col("__set"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(WinW))))).isNotNull, i)),
+        x => x.isNotNull))
+    // fold 1 — the batch kernel's RUN detection + span threshold: close
+    // a run when the position chain breaks; a closed run of length
+    // ≥ minRun becomes the word span [start, prev + WinW − 1]
+    def closed(prev: Column, start: Column) =
+      when(prev >= 0 && prev - start + 1 >= minRun,
+        array(struct(start.as("s"), (prev + (WinW - 1)).as("e"))))
+        .otherwise(array().cast("array<struct<s:int,e:int>>"))
+    val spansCol = aggregate(
+      col("__pos"),
+      struct(lit(-999).as("prev"), lit(-999).as("start"),
+        array().cast("array<struct<s:int,e:int>>").as("sp")),
+      (acc, p) => {
+        val (prev, start, sp) =
+          (acc.getField("prev"), acc.getField("start"), acc.getField("sp"))
+        when(p === prev + 1, struct(p.as("prev"), start.as("start"), sp.as("sp")))
+          .otherwise(struct(p.as("prev"), p.as("start"),
+            concat(sp, closed(prev, start)).as("sp")))
+      },
+      acc => concat(acc.getField("sp"),
+        closed(acc.getField("prev"), acc.getField("start"))))
+    // fold 2 — the batch kernel's interval MERGE over the (sorted)
+    // spans: overlapping or adjacent word ranges collapse
+    val mergedCol = aggregate(
+      col("__spans"),
+      struct(lit(-1).as("cs"), lit(-1).as("ce"),
+        array().cast("array<struct<s:int,e:int>>").as("out")),
+      (acc, sp) => {
+        val (cs, ce, out) =
+          (acc.getField("cs"), acc.getField("ce"), acc.getField("out"))
+        val (s, e) = (sp.getField("s"), sp.getField("e"))
+        when(cs < 0, struct(s.as("cs"), e.as("ce"), out.as("out")))
+          .when(s <= ce + 1,
+            struct(cs.as("cs"), greatest(ce, e).as("ce"), out.as("out")))
+          .otherwise(struct(s.as("cs"), e.as("ce"),
+            concat(out, array(struct(cs.as("s"), ce.as("e")))).as("out")))
+      },
+      acc => when(acc.getField("cs") >= 0,
+        concat(acc.getField("out"),
+          array(struct(acc.getField("cs").as("s"), acc.getField("ce").as("e")))))
+        .otherwise(acc.getField("out")))
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("__k", pmod(hash(col("doc_id")), lit(1)))
+      .join(broadcast(setRow), "__k")
+      .withColumn("__pos", posArr)
+      .withColumn("__spans", spansCol)
+      .withColumn("__merged", mergedCol)
+      .withColumn("n_spans", size(col("__merged")).cast("long"))
+      .withColumn("removed_words", coalesce(aggregate(col("__merged"), lit(0L),
+        (a, sp) => a + sp.getField("e") - sp.getField("s") + 1), lit(0L)))
+      .withColumn("kept_words", col("n_tok") - col("removed_words"))
+      .select("doc_id", "ts", "n_tok", "n_spans", "removed_words", "kept_words")
   }
 
   /** Streaming BM25 relevance filter — the online form of q158

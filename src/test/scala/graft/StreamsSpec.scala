@@ -341,6 +341,58 @@ class StreamsSpec extends SparkSpec {
       "over-cap vocab must take the broadcast join path")
   }
 
+  test("cutPlanFilter matches batch spanRemovalPlan on shared docs; uncut docs report zeros") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def words(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val t = words("t", 60)
+    val corpus = Seq(
+      // the q159 fixture: T overlaps H1 on words 1..20 and H2 on
+      // 15..50 → one MERGED 50-word cut; H1/H2 fully covered
+      (1L, t.mkString(" ")),
+      (2L, t.slice(0, 20).mkString(" ")),
+      (3L, t.slice(14, 50).mkString(" ")),
+      (4L, words("z", 40).mkString(" ")), // unique: zero-span verdict
+      (5L, words("q", 5).mkString(" ")))  // shorter than one window
+    // batch-train the model state exactly as the census defines it:
+    // hex md5s of 10-word windows occurring ≥ 2 times corpus-wide
+    def wins(text: String): Seq[String] =
+      text.split(" ", -1).sliding(10).filter(_.length == 10)
+        .map(_.mkString(" ")).toSeq
+    val dupDigests = corpus.flatMap(d => wins(d._2))
+      .groupBy(identity).filter(_._2.length >= 2).keys.map { w =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSeq
+    // batch reference: the SHIPPING kernel over the same corpus
+    val batch = graft.queries.TrainData2.spanRemovalPlan(
+        corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.cutPlanFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), dupDigests.toDF("h"))
+      .writeStream.format("memory").queryName("cutplan")
+      .outputMode("append").start()
+    try {
+      in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+        (id, ts(s"2024-01-01 10:0$i:00"), text)
+      } :+ ((9L, ts("2024-01-01 10:09:00"), null.asInstanceOf[String])): _*)
+      q.processAllAvailable()
+      val got = spark.table("cutplan").collect().map(r =>
+        r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      // cut docs carry exactly the batch plan (incl. the interval merge)
+      batch.foreach { case (id, b) =>
+        assert(got(id) == b, s"doc $id: stream ${got(id)} vs batch $b")
+      }
+      // uncut and sub-window docs emit zero-span verdicts (the batch
+      // PLAN omits them; the streaming FILTER verdicts every doc)
+      assert(got(4L) == ((0L, 0L, 40L)) && got(5L) == ((0L, 0L, 5L)),
+        s"uncut verdicts: ${got(4L)} ${got(5L)}")
+      assert(!got.contains(9L), "null-text row must be dropped")
+    } finally q.stop()
+  }
+
   test("bm25Filter matches batch bm25PerDoc on shared docs; no-hit and null docs drop") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
