@@ -65,12 +65,18 @@ object ScaleProbe {
         .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
       val cbSeeds = embBase.filter(col("vec_id") < 64).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val codebooks = (0 until pqM).map(m =>
+      val initCbs = (0 until pqM).map(m =>
         cbSeeds.toSeq.map(s => s.slice(m * pqSub, (m + 1) * pqSub).map(_.toDouble)))
       // model training is fixed work on the base corpus — it does NOT
       // scale with mult (the 100 TB story: train on a sample, apply
-      // everywhere); timed to show it stays flat
-      val (cents, tTrain) = timedA { IvfFlat.train(embBase, seeds, iters = 3) }
+      // everywhere); timed to show it stays flat. Both halves of the
+      // shipping lifecycle train: the coarse quantizer (IvfFlat.train)
+      // and the fine codebooks (PqAdc.trainCodebooks — the round-11
+      // path q151/q153 gate)
+      val ((cents, codebooks), tTrain) = timedA {
+        (IvfFlat.train(embBase, seeds, iters = 3),
+          PqAdc.trainCodebooks(embBase, initCbs, pqSub, iters = 2))
+      }
       val ((encoded, _), tEncode) = timedA {
         val e = PqAdc.encode(IvfFlat.assign(vecs, cents), codebooks, pqSub)
           .localCheckpoint(true)
