@@ -2057,6 +2057,100 @@ object TrainData2 {
       |LEFT JOIN reb r ON p.doc_id = r.doc_id
       |ORDER BY p.doc_id LIMIT 200""".stripMargin
 
+  // ── q162: incremental INDEX APPEND — the ANN-side member of the
+  // incremental family (q53 dedup, q73 LSH, q83 sketches, q99
+  // clusters): a NEW vector batch arrives after the IVFADC model was
+  // trained, and the index absorbs it WITHOUT retraining — coarse
+  // assignment + PQ encode under the FROZEN centroids/codebooks, the
+  // production train-on-a-sample-then-append lifecycle. The delta here
+  // is deterministic unseen data both engines derive identically: every
+  // base vector scaled by 1.01 under float arithmetic (cosine-preserved
+  // up to rounding, ids offset by 10⁶ — genuinely new rows the trained
+  // model never saw). Output is the inverted-index CELL census at
+  // (cluster, m, code) grain with n_base / n_delta / n_total — the
+  // merge is counter addition (n_total doubles as the built-in
+  // cross-check), which is exactly why an append never needs the old
+  // rows re-encoded. The oracle replays Lloyd training (both
+  // quantizers), the delta synthesis, assignment, and encode — a drift
+  // anywhere in the frozen-model application breaks the gate. Scale:
+  // assignment + encode are row-local over the DELTA only at append
+  // time (the base census is at rest); the gate recomputes both sides
+  // to prove they agree. ──
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = TrainData.embParallel(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val init = (0 until PqM).map(m =>
+      seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble)))
+    val codebooks = PqAdc.trainCodebooks(corpus, init, PqSub, PqIters)
+    val delta = corpus.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
+        .as("embedding"))
+    val tagged = corpus.withColumn("is_delta", lit(false))
+      .unionByName(delta.withColumn("is_delta", lit(true)))
+    PqAdc.encode(IvfFlat.assign(tagged, cents), codebooks, PqSub)
+      .select(col("cluster"), col("is_delta"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .groupBy("cluster", "m", "code")
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        count(lit(1)).as("n_total"))
+      .orderBy("cluster", "m", "code")
+  }
+
+  private val q162Sql =
+    s"""WITH ${TrainData.kmTrainCtesSql},
+      |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+      |psrc AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_transform(
+      |      list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+      |      x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM embeddings e CROSS JOIN ms),
+      |${pqTrainCtes("psrc", "pq")},
+      |delta AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    -- 1.01e0 (DOUBLE literal), not 1.01: DuckDB demotes a DECIMAL
+      |    -- literal next to FLOAT to FLOAT arithmetic, which rounds
+      |    -- differently from Spark's double math
+      |    list_transform(embedding, x -> CAST(x * 1.01e0 AS FLOAT)) AS embedding
+      |  FROM embeddings),
+      |tagged AS (
+      |  SELECT vec_id, embedding, FALSE AS is_delta FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, embedding, TRUE AS is_delta FROM delta),
+      |asg AS (
+      |  SELECT vec_id, is_delta, cid FROM (
+      |    SELECT t.vec_id, t.is_delta, c.cid,
+      |      ${TrainData.cosExprSql("t.embedding", "c.cv")} AS cos
+      |    FROM tagged t CROSS JOIN c2 c)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |tsub AS (
+      |  SELECT t.vec_id, ms.m,
+      |    list_transform(
+      |      list_slice(t.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+      |      x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM tagged t CROSS JOIN ms),
+      |td AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
+      |  FROM tsub s JOIN pqcb2 c ON s.m = c.m),
+      |tcodes AS (
+      |  SELECT vec_id, m, code FROM td
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1)
+      |SELECT a.cid AS cluster, tc.m, tc.code,
+      |  CAST(SUM(CASE WHEN NOT a.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(SUM(CASE WHEN a.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |  COUNT(*) AS n_total
+      |FROM tcodes tc JOIN asg a ON tc.vec_id = a.vec_id
+      |GROUP BY 1, 2, 3 ORDER BY cluster, m, code""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q77_split_leakage", q77, Some(q77Sql)),
     QueryDef("q78_url_dedup", q78, Some(q78Sql)),
@@ -2079,5 +2173,6 @@ object TrainData2 {
     QueryDef("q157_prefix_join", q157, Some(q157Sql)),
     QueryDef("q158_bm25_topk", q158, Some(q158Sql)),
     QueryDef("q159_span_removal", q159, Some(q159Sql)),
-    QueryDef("q161_cut_apply", q161, Some(q161Sql)))
+    QueryDef("q161_cut_apply", q161, Some(q161Sql)),
+    QueryDef("q162_index_append", q162, Some(q162Sql)))
 }

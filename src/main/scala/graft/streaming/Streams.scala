@@ -473,6 +473,28 @@ object Streams {
       .select("doc_id", "ts", "n_tok", "score", "bucket")
   }
 
+  /** Streaming ANN index INGESTION — the online form of q162's frozen-
+    * model append: each arriving (vec_id, ts, embedding) row is
+    * coarse-assigned ([[graft.operators.IvfFlat.assign]] — argmax
+    * cosine over the trained centroids, ties → lowest id) and
+    * PQ-encoded ([[graft.operators.PqAdc.encode]] — argmin-L2² per
+    * subspace) under BATCH-trained model state, emitting the
+    * (cluster, codes) cell the inverted index files the vector under.
+    * ROW-LOCAL and STATELESS: both quantizers are fixed-size model
+    * state (K×dim centroids + M×K×subDim codewords — the
+    * IvfFlat-centroid contract, bounded by the model, never the
+    * corpus, so the plan-literal transport is safe here), no shuffle,
+    * no watermark, no state store — append mode at any rate. Batch
+    * equality on shared vectors is pinned in StreamsSpec; the sink
+    * side is a partitioned append on `cluster` (the index's natural
+    * layout), which [[incrementalGoldSink]]'s dynamic-overwrite shape
+    * already demonstrates. */
+  def annEncodeFilter(vecs: DataFrame, centroids: Seq[Array[Float]],
+                      codebooks: Seq[Seq[Array[Double]]], subDim: Int): DataFrame =
+    graft.operators.PqAdc.encode(
+        graft.operators.IvfFlat.assign(vecs, centroids), codebooks, subDim)
+      .select("vec_id", "ts", "cluster", "codes")
+
   /** Streaming duplicated-span CUT-PLAN filter — the online form of
     * q159 (`TrainData2.spanRemovalPlan`): each arriving doc is scored
     * against a BATCH-trained set of duplicated-window digests (the hex

@@ -341,6 +341,49 @@ class StreamsSpec extends SparkSpec {
       "over-cap vocab must take the broadcast join path")
   }
 
+  test("annEncodeFilter matches batch assign+encode on shared vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 8; val subDim = 4
+    // a tiny trained model: 2 centroids, 2 subspaces × 2 codewords
+    val cents = Seq(
+      Array.fill(dim)(1.0f),
+      Array.tabulate(dim)(i => if (i < dim / 2) 1.0f else -1.0f))
+    val cbs = Seq(
+      Seq(Array(1.0, 1.0, 1.0, 1.0), Array(-1.0, -1.0, -1.0, -1.0)),
+      Seq(Array(1.0, 1.0, 1.0, 1.0), Array(-1.0, -1.0, -1.0, -1.0)))
+    val rows = Seq(
+      (1L, Array.fill(dim)(0.9f)),
+      (2L, Array.tabulate(dim)(i => if (i < dim / 2) 0.8f else -0.8f)),
+      (3L, Array.fill(dim)(-0.5f)))
+    // batch reference: the SHIPPING kernels over the same vectors
+    val batch = graft.operators.PqAdc.encode(
+        graft.operators.IvfFlat.assign(
+          rows.toDF("vec_id", "embedding"), cents), cbs, subDim)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getSeq[Int](r.fieldIndex("codes")))).toMap
+    val in = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = Streams.annEncodeFilter(
+        in.toDF().toDF("vec_id", "ts", "embedding"), cents, cbs, subDim)
+      .writeStream.format("memory").queryName("annenc")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.zipWithIndex.map { case ((id, v), i) =>
+        (id, ts(s"2024-01-01 10:0$i:00"), v)
+      }: _*)
+      q.processAllAvailable()
+      val got = spark.table("annenc").collect().map(r =>
+        r.getLong(0) -> (r.getInt(2), r.getSeq[Int](3))).toMap
+      assert(got.keySet == batch.keySet)
+      batch.foreach { case (id, b) =>
+        assert(got(id) == b, s"vec $id: stream ${got(id)} vs batch $b")
+      }
+      // sanity: the fixture actually splits across clusters and codes
+      assert(got.values.map(_._1).toSet.size == 2, "fixture must use both clusters")
+      assert(got.values.map(_._2).toSet.size >= 2, "fixture must use both codewords")
+    } finally q.stop()
+  }
+
   test("cutPlanFilter matches batch spanRemovalPlan on shared docs; uncut docs report zeros") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
