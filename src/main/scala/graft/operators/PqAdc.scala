@@ -85,12 +85,16 @@ object PqAdc {
       "pq_adc: need >= 1 subspace with >= 2 seed codewords each")
     require(iters >= 0, s"pq_adc: iters=$iters must be >= 0")
     val mCnt = init.size
+    // one materialization: every Lloyd round re-reads this relation
+    // (assign + rollup), so paying the N×M-row checkpoint once beats
+    // re-scanning and re-slicing the source per iteration
     val sub = vecs.select(explode(array((0 until mCnt).map { mi =>
         struct(lit(mi).as("m"),
           transform(slice(col(vecCol), mi * subDim + 1, subDim),
             x => x.cast("double")).as("sv"))
       }: _*)).as("e"))
       .select(col("e.m").as("m"), col("e.sv").as("sv"))
+      .localCheckpoint()
     var cbs: IndexedSeq[IndexedSeq[Array[Double]]] =
       init.map(_.toIndexedSeq).toIndexedSeq
     for (_ <- 0 until iters) {

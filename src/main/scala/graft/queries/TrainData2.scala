@@ -1225,15 +1225,16 @@ object TrainData2 {
     }.toSeq
     val init = (0 until PqM).map(m =>
       seedResid.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+    // one assignment pass feeds BOTH residual training and the encode
+    val assigned = IvfFlat.assign(corpus, cents).localCheckpoint()
     // Lloyd-trained residual codebooks: same PqIters refinement as
     // q151's, but over (vector − assigned centroid) — train and encode
     // see identical residual doubles by construction
     val codebooks = PqAdc.trainCodebooksResidual(
-      IvfFlat.assign(corpus, cents), cents, init, PqSub, PqIters)
+      assigned, cents, init, PqSub, PqIters)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val encoded = PqAdc.encodeResidual(IvfFlat.assign(corpus, cents), cents,
-      codebooks, PqSub)
+    val encoded = PqAdc.encodeResidual(assigned, cents, codebooks, PqSub)
     val ivfadc = PqAdc.searchResidual(encoded, probes, cents, codebooks, PqSub,
         nprobe = TrainData.IvfNprobe, shortlist = AdcShortlist,
         k = TrainData.IvfTopK)
