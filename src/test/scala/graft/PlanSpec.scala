@@ -194,14 +194,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q158: query terms and corpus scalars broadcast; top-k is TakeOrderedAndProject") {
-    // the query-term and df joins and the 1-row (T, N) scalar join must
-    // all broadcast (shuffling the token stream for a 3-term query would
-    // move the corpus), and the top-20 must plan as per-partition heaps,
-    // never a corpus-wide sort or window
+  test("q158: corpus scalars broadcast; top-k is TakeOrderedAndProject") {
+    // per-term tf and dl are row-local array ops fused into one corpus
+    // scan (no token explode, no token-grain shuffle); the only join is
+    // the 1-row (T, N, per-term df) model rollup coming back as a
+    // BroadcastHashJoin, and the top-20 must plan as per-partition
+    // heaps, never a corpus-wide sort or window
     val s = planString(q("q158_bm25_topk"))
     assert(s.contains("BroadcastHashJoin"), s.take(800))
     assert(s.contains("TakeOrderedAndProject"), s.take(800))
+    assert(!s.contains("SortMergeJoin"), s.take(800))
+  }
+
+  test("q157/q161: census and plan joins broadcast the one-row side") {
+    // q157's self-describing n_candidates/n_pairs census and q161's
+    // per-doc span probe must never widen beyond their natural keys:
+    // the 1-row censuses broadcast, and nothing plans a cartesian
+    // (the global sweep below re-checks the latter for every query)
+    val s157 = planString(q("q157_prefix_join"))
+    assert(s157.contains("BroadcastHashJoin"), s157.take(800))
+    val s161 = planString(q("q161_cut_apply"))
+    assert(s161.contains("Join"), s161.take(800))
   }
 
   test("GLOBAL SWEEP: no registered query plans a cartesian or nested-loop join") {
