@@ -220,15 +220,13 @@ object ScaleProbe {
           .groupBy("bin").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
       }
       val histRows = hist.count()
-      val syms0 = weights.select(col("w"),
-          posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-        .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
+      val syms0 = graft.queries.TrainData2.bpeCharSyms(weights)
       // bpeRound already eagerly localCheckpoints its merged output — a
       // second checkpoint here would double-materialize the vocab inside
       // the timed block and inflate the published round numbers
       val bpe = (1 to 3).scanLeft((syms0, 0.0)) { case ((s, _), k) =>
         val ((s2, rec), t) = timed {
-          val r = graft.queries.TrainData2.bpeRound(s, weights, k)
+          val r = graft.queries.TrainData2.bpeRound(s, k)
           r._2.collect() // force the round (top pair + merge)
           r
         }
@@ -239,7 +237,7 @@ object ScaleProbe {
       // the reported merges/round
       val bpeBatch = (1 to 2).scanLeft((syms0, 0.0, 0)) { case ((s, _, _), k) =>
         val ((s2, nm), t) = timed {
-          val (s2, rec) = graft.queries.TrainData2.bpeBatchRound(s, weights, k)
+          val (s2, rec) = graft.queries.TrainData2.bpeBatchRound(s, k)
           (s2, rec.collect().length)
         }
         (s2, t, nm)

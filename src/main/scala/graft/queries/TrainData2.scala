@@ -397,79 +397,114 @@ object TrainData2 {
   // algebra: the corpus collapses ONCE to (word, frequency) — after that
   // every round touches only the vocabulary, never the corpus (the
   // map-reduce BPE formulation; at 100 TB the vocab is MBs while the
-  // corpus is TBs, so rounds are effectively free). The greedy
-  // left-to-right merge of overlapping matches — BPE's one inherently
-  // sequential step — becomes closed-form gaps-and-islands: consecutive
-  // match positions group into runs (pos − row_number), and every
-  // odd-indexed position within a run merges ("aaaa" + (a,a) → merges
-  // at 1 and 3 → "aa","aa"). No recursion, no per-word UDF loop, and
-  // the oracle replays all three rounds exactly. ──
+  // corpus is TBs, so rounds are effectively free). Words carry their
+  // symbolization as an ARRAY column, so the greedy left-to-right merge
+  // of overlapping matches — BPE's one inherently sequential step — is
+  // a row-local array fold over each word's own symbols ("aaaa" + (a,a)
+  // → merges at 1 and 3 → "aa","aa"), and a round's ONLY shuffle is the
+  // pair-count groupBy. No recursion, no per-word UDF (the fold is a
+  // codegen'd higher-order `aggregate`), and the oracle replays all
+  // three rounds exactly via the equivalent gaps-and-islands parity
+  // formulation over an exploded (w, pos, sym) relation. ──
   private val BpeRounds = 3
 
-  /** Greedy-apply the match set of `pairs(L, R)` onto `syms` via
-    * gaps-and-islands (the shared apply step of [[bpeRound]] and
-    * [[bpeBatchRound]]). For more than one pair the CALLER guarantees
-    * the pairs are pairwise symbol-disjoint — then match intervals of
-    * different pairs can never overlap (an overlap at a shared position
-    * forces a shared symbol), every consecutive-position run is
-    * single-pair, and the odd-parity rule within runs is exactly the
-    * per-pair greedy left-to-right merge. */
-  private def bpeApply(syms: DataFrame, nxt: DataFrame, adj: DataFrame,
-                       pairs: DataFrame): DataFrame = {
-    val matches = adj.join(broadcast(pairs.select("L", "R")),
-        col("sym") === col("L") && col("nsym") === col("R"))
-      .select(col("w"), col("pos"))
-    val kept = matches
-      .withColumn("grp",
-        col("pos") - row_number().over(Window.partitionBy("w").orderBy("pos")))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("w", "grp").orderBy("pos")))
-      .filter(col("rn") % 2 === 1)
-      .select(col("w"), col("pos"))
-    syms
-      .join(kept.withColumn("is_m", lit(true)), Seq("w", "pos"), "left")
-      .join(kept.select(col("w"), (col("pos") + 1).as("pos"),
-        lit(true).as("was_r")), Seq("w", "pos"), "left")
-      .filter(col("was_r").isNull) // right halves of merged pairs vanish
-      .join(nxt, Seq("w", "pos"), "left")
-      .select(col("w"),
-        row_number().over(Window.partitionBy("w").orderBy("pos")).as("pos"),
-        when(col("is_m"), concat(col("sym"), col("nsym"))).otherwise(col("sym"))
-          .as("sym"))
-      .localCheckpoint() // vocab-sized; next round consumes it twice
+  /** Character symbolization of weighted vocabulary `weights(w, f)`:
+    * ONE row per word, `(w, f, arr)` with `arr` the word's current
+    * symbol sequence. The corpus collapses to this relation once; every
+    * merge round after that is vocab-sized and — in this array form —
+    * costs exactly ONE shuffle (the pair-count groupBy). */
+  private[graft] def bpeCharSyms(weights: DataFrame): DataFrame =
+    weights.select(col("w"), col("f"), expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("arr"))
+
+  /** Adjacent-pair occurrences of symbolization `syms(w, f, arr)` — one
+    * row per in-word adjacency, weighted by the word's corpus frequency.
+    * Row-local explode; the round's single shuffle is the groupBy its
+    * callers run on this relation. */
+  private def bpePairs(syms: DataFrame): DataFrame =
+    syms.select(col("w"), col("f"), explode(expr(
+        """CASE WHEN size(arr) >= 2
+          |  THEN transform(sequence(1, size(arr) - 1),
+          |    i -> named_struct('L', element_at(arr, i), 'R', element_at(arr, i + 1)))
+          |  ELSE cast(array() as array<struct<L: string, R: string>>) END"""
+          .stripMargin)).as("p"))
+      .select(col("w"), col("f"), col("p.L").as("L"), col("p.R").as("R"))
+
+  /** Greedy-apply the match set of `sel(L, R)` onto `syms(w, f, arr)` as
+    * one ROW-LOCAL array fold: scan each word's round-input symbols left
+    * to right; where (s[i], s[i+1]) is a selected pair, emit the merged
+    * symbol and skip i+1. For more than one pair the CALLER guarantees
+    * the pairs are pairwise symbol-disjoint — then matches of different
+    * pairs can never sit at adjacent positions (adjacency would force a
+    * shared symbol), every consecutive-match run is single-pair, and the
+    * fold's skip step is exactly the odd-parity-within-runs rule of the
+    * gaps-and-islands formulation the oracle replays. Matching indexes
+    * the ROUND-INPUT array throughout, so a symbol created by this
+    * round's merge never matches again within the round — also exactly
+    * the islands semantics. Scale: the ≤M-row pair set rides a 1-row
+    * collect_list broadcast (non-foldable pmod(hash) key →
+    * BroadcastHashJoin), and the merge itself shuffles nothing. */
+  private def bpeApply(syms: DataFrame, sel: DataFrame): DataFrame = {
+    val prs = sel.agg(collect_list(struct(col("L"), col("R"))).as("prs"))
+      .withColumn("__k", pmod(hash(col("prs")), lit(1)))
+    syms.withColumn("__k", pmod(hash(col("w")), lit(1)))
+      .join(broadcast(prs), "__k")
+      .withColumn("arr", expr(
+        """CASE WHEN size(arr) <= 1 THEN arr ELSE aggregate(
+          |  sequence(1, size(arr)),
+          |  named_struct('out', cast(array() as array<string>), 'skip', false),
+          |  (acc, i) -> CASE
+          |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+          |    WHEN i < size(arr) AND exists(prs,
+          |        p -> p.L = element_at(arr, i) AND p.R = element_at(arr, i + 1))
+          |      THEN named_struct(
+          |        'out', array_append(acc.out,
+          |          concat(element_at(arr, i), element_at(arr, i + 1))),
+          |        'skip', true)
+          |    ELSE named_struct(
+          |      'out', array_append(acc.out, element_at(arr, i)), 'skip', false)
+          |  END,
+          |  acc -> acc.out) END""".stripMargin))
+      .select(col("w"), col("f"), col("arr"))
+      .localCheckpoint() // vocab-sized; the next round consumes it twice
   }
 
-  /** One BPE round over symbolization `syms(w, pos, sym)` with word
-    * weights `weights(w, f)`: top adjacent pair by (Σf DESC, pair ASC),
-    * greedy-merged via islands. Returns (next syms, 1-row merge record).
-    * Exposed to the spec for the overlapping-run semantics pin. */
-  private[graft] def bpeRound(syms: DataFrame, weights: DataFrame,
-                              round: Int): (DataFrame, DataFrame) = {
-    val nxt = syms.select(col("w"), (col("pos") - 1).as("pos"), col("sym").as("nsym"))
-    val adj = syms.join(nxt, Seq("w", "pos")).join(weights, "w")
-    val top = adj.groupBy(col("sym").as("L"), col("nsym").as("R"))
+  /** Top adjacent pair of symbolization `syms(w, f, arr)` by
+    * (Σf DESC, pair ASC) — the selection half of [[bpeRound]]. The FINAL
+    * training round of q82/q88 reads only this (its merged symbolization
+    * is dead output), so those callers skip the apply there. */
+  private def bpeTop(syms: DataFrame): DataFrame =
+    bpePairs(syms).groupBy("L", "R")
       .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
       .orderBy(col("weight").desc, col("L"), col("R")).limit(1)
-      .localCheckpoint() // 1 row; consumed by the match join AND the output
-    val merged = bpeApply(syms, nxt, adj, top)
-    (merged, top.select(lit(round).as("round"), col("L").as("left_sym"),
-      col("R").as("right_sym"), col("weight"), col("n_words")))
+      .localCheckpoint() // 1 row; the match broadcast AND the output
+
+  private def bpeRecord(top: DataFrame, round: Int): DataFrame =
+    top.select(lit(round).as("round"), col("L").as("left_sym"),
+      col("R").as("right_sym"), col("weight"), col("n_words"))
+
+  /** One BPE round over symbolization `syms(w, f, arr)`: top adjacent
+    * pair by (Σf DESC, pair ASC), greedy-merged row-locally. Returns
+    * (next syms, 1-row merge record). Exposed to the spec for the
+    * overlapping-run semantics pin. */
+  private[graft] def bpeRound(syms: DataFrame, round: Int)
+      : (DataFrame, DataFrame) = {
+    val top = bpeTop(syms)
+    (bpeApply(syms, top), bpeRecord(top, round))
   }
 
   private def q82(spark: SparkSession, dir: String): DataFrame = {
-    val weights = TrainData.docsParallel(spark, dir)
-      .select(explode(TrainData.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .localCheckpoint() // vocab-sized; joined every round
-    val syms0 = weights.select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    val (_, merges) = (1 to BpeRounds)
+    val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
+        .select(explode(TrainData.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+      .localCheckpoint() // vocab-sized; round 1 consumes it twice
+    val (sLast, merges) = (1 to BpeRounds - 1)
       .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
-        val (s2, t) = bpeRound(s, weights, k)
+        val (s2, t) = bpeRound(s, k)
         (s2, acc :+ t)
       }
-    merges.reduce(_.unionByName(_)).orderBy("round")
+    (merges :+ bpeRecord(bpeTop(sLast), BpeRounds))
+      .reduce(_.unionByName(_)).orderBy("round")
   }
 
   /** Adjacency CTE `a$k` over symbolization `s$k` — shared front of the
@@ -533,29 +568,27 @@ object TrainData2 {
   // raw character length, each merge round shrinks the total by exactly
   // the weight of the pair it merged, and the trajectory is the
   // fertility curve (symbols per word) vocabulary sizing reads. Scale:
-  // the tallies are vocab-sized aggregations over the per-round
+  // the tallies are row-local f·|arr| products over the per-round
   // symbolizations q82 already materializes (localCheckpoint per
   // round) — the corpus is still touched exactly once, and each tally
-  // is one partial-aggregated shuffle producing ONE row. The 4-row
+  // partial-aggregates down to ONE row. The 4-row
   // saved_vs_raw window is the bounded single-partition-window class
   // (≤ BpeRounds+1 rows). ──
   private def q89(spark: SparkSession, dir: String): DataFrame = {
-    val weights = TrainData.docsParallel(spark, dir)
-      .select(explode(TrainData.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .localCheckpoint() // vocab-sized; joined every round AND every tally
-    val syms0 = weights.select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    // total corpus symbols under symbolization `s`: each (w, pos) row is
-    // one symbol occurrence in the vocab, weighted by the word's corpus
-    // frequency — Σ f is exact integer arithmetic, order-independent
+    val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
+        .select(explode(TrainData.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+      .localCheckpoint() // vocab-sized; every round AND tally reads it
+    // total corpus symbols under symbolization `s`: each word carries
+    // size(arr) symbols, weighted by its corpus frequency — Σ f·|arr|
+    // is exact integer arithmetic, order-independent, and row-local up
+    // to the final 1-row fold
     def tally(s: DataFrame, round: Int): DataFrame =
-      s.join(weights, "w").agg(sum("f").as("total_syms"))
+      s.agg(sum(col("f") * size(col("arr"))).as("total_syms"))
         .select(lit(round).as("round"), col("total_syms"))
     val (tallies, _) = (1 to BpeRounds)
       .foldLeft((Seq(tally(syms0, 0)), syms0)) { case ((acc, s), k) =>
-        val (s2, _) = bpeRound(s, weights, k)
+        val (s2, _) = bpeRound(s, k)
         (acc :+ tally(s2, k), s2)
       }
     val w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
@@ -683,54 +716,59 @@ object TrainData2 {
   private val BpeBatchWindow = 64
   private val BpeBatchRounds = 2
 
-  /** One batched BPE round: top-M symbol-disjoint pairs by rank
-    * dominance, all applied in a single [[bpeApply]] pass. Returns
-    * (next syms, ≤M-row merge record with within-round merge_rank).
-    * Exposed to the spec for the disjointness / conflict-skip pins. */
-  private[graft] def bpeBatchRound(syms: DataFrame, weights: DataFrame,
-                                   round: Int, m: Int = BpeBatchM)
-      : (DataFrame, DataFrame) = {
-    val nxt = syms.select(col("w"), (col("pos") - 1).as("pos"), col("sym").as("nsym"))
-    val adj = syms.join(nxt, Seq("w", "pos")).join(weights, "w")
+  /** Top-M symbol-disjoint pairs of a batched round by rank dominance —
+    * the selection half of [[bpeBatchRound]] (final-round callers skip
+    * the apply exactly as [[bpeTop]]'s callers do). */
+  private def bpeBatchSel(syms: DataFrame, m: Int): DataFrame = {
     // distributed top-C (TakeOrderedAndProject) FIRST, then rank inside
     // the ≤C-row relation — the bounded single-partition-window class
     // (≤256 rows) this codebase documents; never a global rank window.
     // Lossless for the dominance test: any dominator of a rank ≤ C
     // candidate has rank < C, so it is inside the window too.
-    val cand = adj.groupBy(col("sym").as("L"), col("nsym").as("R"))
+    val cand = bpePairs(syms).groupBy("L", "R")
       .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
       .orderBy(col("weight").desc, col("L"), col("R")).limit(BpeBatchWindow)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("weight").desc, col("L"), col("R"))))
       .localCheckpoint() // ≤C rows; both sides of the dominance anti-join
-    val sel = cand.as("p").join(cand.as("q"),
+    cand.as("p").join(cand.as("q"),
         col("q.rnk") < col("p.rnk") &&
           (col("q.L") === col("p.L") || col("q.L") === col("p.R") ||
             col("q.R") === col("p.L") || col("q.R") === col("p.R")),
         "left_anti")
       .orderBy("rnk").limit(m)
-      .localCheckpoint() // ≤M rows; match join AND merge record
-    val merged = bpeApply(syms, nxt, adj, sel)
-    (merged, sel.select(lit(round).as("round"),
+      .localCheckpoint() // ≤M rows; match broadcast AND merge record
+  }
+
+  private def bpeBatchRecord(sel: DataFrame, round: Int): DataFrame =
+    sel.select(lit(round).as("round"),
       row_number().over(Window.orderBy("rnk")).as("merge_rank"),
       col("L").as("left_sym"), col("R").as("right_sym"),
-      col("weight"), col("n_words")))
+      col("weight"), col("n_words"))
+
+  /** One batched BPE round: top-M symbol-disjoint pairs by rank
+    * dominance, all applied in a single [[bpeApply]] pass. Returns
+    * (next syms, ≤M-row merge record with within-round merge_rank).
+    * Exposed to the spec for the disjointness / conflict-skip pins. */
+  private[graft] def bpeBatchRound(syms: DataFrame, round: Int,
+                                   m: Int = BpeBatchM)
+      : (DataFrame, DataFrame) = {
+    val sel = bpeBatchSel(syms, m)
+    (bpeApply(syms, sel), bpeBatchRecord(sel, round))
   }
 
   private def q88(spark: SparkSession, dir: String): DataFrame = {
-    val weights = TrainData.docsParallel(spark, dir)
-      .select(explode(TrainData.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .localCheckpoint() // vocab-sized; joined every round
-    val syms0 = weights.select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    val (_, merges) = (1 to BpeBatchRounds)
+    val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
+        .select(explode(TrainData.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+      .localCheckpoint() // vocab-sized; round 1 consumes it twice
+    val (sLast, merges) = (1 to BpeBatchRounds - 1)
       .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
-        val (s2, t) = bpeBatchRound(s, weights, k)
+        val (s2, t) = bpeBatchRound(s, k)
         (s2, acc :+ t)
       }
-    merges.reduce(_.unionByName(_)).orderBy("round", "merge_rank")
+    (merges :+ bpeBatchRecord(bpeBatchSel(sLast, BpeBatchM), BpeBatchRounds))
+      .reduce(_.unionByName(_)).orderBy("round", "merge_rank")
   }
 
   /** One batched oracle round: candidate window → dominance NOT EXISTS

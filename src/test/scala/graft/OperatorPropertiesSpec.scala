@@ -237,11 +237,8 @@ class OperatorPropertiesSpec extends SparkSpec {
   test("bpeRound equals a sequential reference BPE step on random vocabularies") {
     samples(bpeGen, 8).foreach { vocab =>
       whenever(vocab.exists(_._1.length >= 2)) {
-        val syms = vocab.flatMap { case (w, _) =>
-          w.zipWithIndex.map { case (c, i) => (w, i + 1, c.toString) }
-        }.toDF("w", "pos", "sym")
-        val weights = vocab.toDF("w", "f")
-        val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
+        val syms = graft.queries.TrainData2.bpeCharSyms(vocab.toDF("w", "f"))
+        val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, 1)
 
         // reference: pair weights with overlap counting, total tie-break
         val pairW = scala.collection.mutable.Map[(String, String), Long]()
@@ -272,9 +269,8 @@ class OperatorPropertiesSpec extends SparkSpec {
           }
           w -> out.toList
         }.toMap
-        val got = merged.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
-          .groupBy(_._1).map { case (w, cs) =>
-            w -> cs.sortBy(_._2).map(_._3).toList }
+        val got = merged.collect()
+          .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
         assert(got == want)
       }
     }

@@ -73,12 +73,11 @@ class TrainData2Spec extends SparkSpec {
     // takes 1 and 3 → exactly "aa","aa" — the case a naive
     // all-matches-merge (or right-to-left scan) gets wrong.
     import spark.implicits._
-    val syms = Seq(("aaaa", 1, "a"), ("aaaa", 2, "a"), ("aaaa", 3, "a"), ("aaaa", 4, "a"))
-      .toDF("w", "pos", "sym")
-    val weights = Seq(("aaaa", 1L)).toDF("w", "f")
-    val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
-    val m = merged.orderBy("pos").collect().map(r => (r.getInt(1), r.getString(2))).toSeq
-    assert(m == Seq((1, "aa"), (2, "aa")), m)
+    val syms = graft.queries.TrainData2.bpeCharSyms(
+      Seq(("aaaa", 1L)).toDF("w", "f"))
+    val (merged, rec) = graft.queries.TrainData2.bpeRound(syms, 1)
+    val m = merged.head.getSeq[String](2)
+    assert(m == Seq("aa", "aa"), m)
     val t = rec.head
     assert((t.getString(1), t.getString(2), t.getLong(3), t.getLong(4)) == ("a", "a", 3L, 1L))
   }
@@ -151,15 +150,14 @@ class TrainData2Spec extends SparkSpec {
   test("bpeBatchRound: m=1 degenerates to bpeRound (same merge, same symbolization)") {
     import spark.implicits._
     val words = Seq(("abab", 3L), ("abc", 2L), ("dd", 1L))
-    val syms = words.toDF("w", "f").select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    val weights = words.toDF("w", "f")
-    val (m1, r1) = graft.queries.TrainData2.bpeRound(syms, weights, 1)
-    val (m2, r2) = graft.queries.TrainData2.bpeBatchRound(syms, weights, 1, m = 1)
+    val syms = graft.queries.TrainData2.bpeCharSyms(words.toDF("w", "f"))
+    val (m1, r1) = graft.queries.TrainData2.bpeRound(syms, 1)
+    val (m2, r2) = graft.queries.TrainData2.bpeBatchRound(syms, 1, m = 1)
     assert(r2.select("left_sym", "right_sym", "weight", "n_words").collect().toSeq ==
       r1.select("left_sym", "right_sym", "weight", "n_words").collect().toSeq)
-    assert(m2.orderBy("w", "pos").collect().toSeq == m1.orderBy("w", "pos").collect().toSeq)
+    def arrs(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("w").collect().map(r => (r.getString(0), r.getSeq[String](2))).toSeq
+    assert(arrs(m2) == arrs(m1))
   }
 
   test("bpeBatchRound: dominance skips a conflicting pair but keeps disjoint lower ranks") {
@@ -170,16 +168,13 @@ class TrainData2Spec extends SparkSpec {
     // merge ab and de but leave "bc" unmerged.
     import spark.implicits._
     val words = Seq(("ab", 5L), ("bc", 4L), ("de", 3L))
-    val syms = words.toDF("w", "f").select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(
-      syms, words.toDF("w", "f"), 1)
+    val syms = graft.queries.TrainData2.bpeCharSyms(words.toDF("w", "f"))
+    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(syms, 1)
     val sel = rec.orderBy("merge_rank").collect()
       .map(r => (r.getString(2), r.getString(3))).toSeq
     assert(sel == Seq(("a", "b"), ("d", "e")), sel)
-    val out = merged.orderBy("w", "pos").collect()
-      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    val out = merged.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
     assert(out == Map("ab" -> Seq("ab"), "bc" -> Seq("b", "c"), "de" -> Seq("de")))
   }
 
@@ -188,14 +183,11 @@ class TrainData2Spec extends SparkSpec {
     // the island parity must still take positions 1 and 3 only.
     import spark.implicits._
     val words = Seq(("aaaa", 5L), ("de", 1L))
-    val syms = words.toDF("w", "f").select(col("w"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      .select(col("w"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sym"))
-    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(
-      syms, words.toDF("w", "f"), 1)
+    val syms = graft.queries.TrainData2.bpeCharSyms(words.toDF("w", "f"))
+    val (merged, rec) = graft.queries.TrainData2.bpeBatchRound(syms, 1)
     assert(rec.count() == 2)
-    val out = merged.orderBy("w", "pos").collect()
-      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    val out = merged.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
     assert(out == Map("aaaa" -> Seq("aa", "aa"), "de" -> Seq("de")))
   }
 
