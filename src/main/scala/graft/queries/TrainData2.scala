@@ -615,6 +615,64 @@ object TrainData2 {
       |  FIRST_VALUE(total_syms) OVER (ORDER BY round) - total_syms AS saved_vs_raw
       |FROM tallies ORDER BY round""".stripMargin
 
+  // ── q163: per-doc BPE TOKENIZE — the APPLY-AT-DOC-GRAIN member of
+  // the BPE family, and the tokenizer operation a pipeline actually
+  // runs the most: count every document's tokens under the TRAINED
+  // merges (q82's three rounds), the number packing (q58), budgeting
+  // (q61) and billing read — whitespace token counts (q28) are the
+  // wrong denominator once a real vocabulary exists. Because BPE merges
+  // never cross word boundaries, a doc's token count is the sum over
+  // its words of the word's trained symbol count, so the corpus is
+  // touched exactly TWICE total (once to collapse to the weighted
+  // vocab, once to tokenize) and the trained per-word lengths ride a
+  // vocab-sized BROADCAST onto the tokenize scan — MBs against TBs at
+  // 100 TB, the q57 decontam transport. Output: top-20 docs by trained
+  // token count with the whitespace count and fertility (BPE tokens
+  // per 1000 whitespace tokens, integer per-mille) alongside — the
+  // budget view a vocab-sizing pass reads next to q89's corpus-mass
+  // trajectory. Top-k is orderBy+limit → TakeOrderedAndProject. ──
+  /** Per-doc token counts of `docs(doc_id, text)` under the trained
+    * merges: (doc_id, ws_tok, bpe_tok). Shared by q163 (adds fertility
+    * + the top-k cut) and the TrainData2Spec mass-equality pin. */
+  private[graft] def bpeDocTokens(docs: DataFrame): DataFrame = {
+    val weights = docs
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val symsN = (1 to BpeRounds).foldLeft(
+      bpeCharSyms(weights).localCheckpoint())((s, k) => bpeRound(s, k)._1)
+    val vlen = symsN.select(col("w"), size(col("arr")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+      .join(broadcast(vlen), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tok"), sum("n_sym").as("bpe_tok"))
+  }
+
+  private def q163(spark: SparkSession, dir: String): DataFrame =
+    bpeDocTokens(TrainData.docsParallel(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
+      .orderBy(col("bpe_tok").desc, col("doc_id")).limit(20)
+
+  private val q163Sql =
+    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |s1 AS (SELECT w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+      |    unnest(list_transform(range(1, len(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1))) AS sym
+      |  FROM w0),
+      |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+      |vlen AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+      |  FROM s${BpeRounds + 1} GROUP BY 1),
+      |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |per AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tok,
+      |    CAST(SUM(v.n_sym) AS BIGINT) AS bpe_tok
+      |  FROM dtok d JOIN vlen v ON d.w = v.w GROUP BY 1)
+      |SELECT doc_id, ws_tok, bpe_tok, bpe_tok * 1000 // ws_tok AS fertility_pm
+      |FROM per ORDER BY bpe_tok DESC, doc_id LIMIT 20""".stripMargin
+
   // ── q92: PageRank over the corpus link graph — crawl-frontier /
   // canonical-copy authority scoring (when a near-dup cluster picks its
   // canonical copy, the most-linked one usually is the original). The
@@ -2213,5 +2271,6 @@ object TrainData2 {
     QueryDef("q158_bm25_topk", q158, Some(q158Sql)),
     QueryDef("q159_span_removal", q159, Some(q159Sql)),
     QueryDef("q161_cut_apply", q161, Some(q161Sql)),
-    QueryDef("q162_index_append", q162, Some(q162Sql)))
+    QueryDef("q162_index_append", q162, Some(q162Sql)),
+    QueryDef("q163_bpe_tokenize", q163, Some(q163Sql)))
 }

@@ -119,6 +119,28 @@ class TrainData2Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) == totals.head - r.getLong(1)))
   }
 
+  test("q163: per-doc trained-token mass sums to q89's final corpus mass") {
+    // the doc-grain tokenize and the corpus-mass trajectory are two
+    // readouts of the SAME trained symbolization: Σ over all docs of
+    // bpe_tok must equal q89's round-3 total_syms exactly
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val perDoc = graft.queries.TrainData2.bpeDocTokens(docs)
+    val mass = perDoc.agg(sum("bpe_tok")).head.getLong(0)
+    val q89Final = q("q89_bpe_encode").orderBy("round").collect().last.getLong(1)
+    assert(mass == q89Final, s"doc-grain mass $mass != trajectory $q89Final")
+    // every doc tokenizes, and merges only ever shrink a word ONTO
+    // itself: word count <= trained tokens <= raw char mass per doc
+    assert(perDoc.count() == docs.count())
+    assert(perDoc.filter(col("bpe_tok") < col("ws_tok")).isEmpty)
+    val gated = q("q163_bpe_tokenize").collect()
+    assert(gated.length == 20)
+    gated.foreach(r => assert(r.getLong(3) >= 1000L, r)) // fertility_pm
+    // top-20 is ordered by trained tokens desc with the doc_id tie-break
+    val keys = gated.map(r => (-r.getLong(2), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, keys)
+  }
+
   test("q92: distributed fixed-point PageRank equals a sequential in-memory replay") {
     val rows = q("q92_pagerank").collect()
     assert(rows.length == 20)
