@@ -645,6 +645,64 @@ object Streams {
       .select("doc_id", "ts", "dl", "score_fp", "n_terms_hit", "n_hits")
   }
 
+  /** Streaming BPE tokenize filter — the online form of q163
+    * (`TrainData2.bpeDocTokens`): count each arriving doc's tokens
+    * under BATCH-trained merges (q82's merge records, handed in as one
+    * (L, R) pair list per round). The model state here is the MERGE
+    * LIST itself — bytes, not the vocabulary: each word's characters
+    * fold through the trained rounds row-locally (the batch
+    * `bpeApply` shape — scan the round-input array left to right,
+    * emit the merged symbol where (s[i], s[i+1]) is a selected pair,
+    * skip i+1), so a word the training corpus NEVER SAW tokenizes
+    * exactly as the frozen model prescribes — no OOV fallback, no
+    * vocab lookup to go stale. In-vocab words reproduce the batch
+    * counts by construction (the batch vocab path is the same fold
+    * memoized at word grain; pinned in StreamsSpec, including an
+    * unseen word's replay). ROW-LOCAL and STATELESS: no shuffle, no
+    * watermark, no state store — append mode at any rate. Empty
+    * tokens (impossible under the single-space corpus contract) count
+    * 0 symbols. */
+  def bpeTokenizeFilter(docs: DataFrame,
+                        merges: Seq[Seq[(String, String)]]): DataFrame = {
+    require(merges.nonEmpty && merges.forall(_.nonEmpty),
+      "bpe_tokenize_filter: empty merge list — train q82's rounds first")
+    def matchPair(round: Seq[(String, String)], a: Column, b: Column): Column =
+      round.map { case (l, r) => a === lit(l) && b === lit(r) }.reduce(_ || _)
+    // one trained round over a symbol array — the literal-pair twin of
+    // the batch fold (pairs within a round are pairwise symbol-disjoint
+    // by bpeRound/bpeBatchRound construction, so the greedy skip step
+    // equals the islands parity rule; matching indexes the ROUND-INPUT
+    // array, so in-round products never re-merge)
+    def applyRound(arr: Column, round: Seq[(String, String)]): Column =
+      when(size(arr) <= 1, arr).otherwise(aggregate(
+        sequence(lit(1), size(arr)),
+        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+        (acc, i) => {
+          val (out, skip) = (acc.getField("out"), acc.getField("skip"))
+          val (cur, nxt) = (element_at(arr, i), element_at(arr, i + 1))
+          when(skip, struct(out.as("out"), lit(false).as("skip")))
+            .when(i < size(arr) && matchPair(round, cur, nxt),
+              struct(concat(out, array(concat(cur, nxt))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(struct(concat(out, array(cur)).as("out"),
+              lit(false).as("skip")))
+        },
+        acc => acc.getField("out")))
+    def chars(w: Column): Column =
+      when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))))
+    def tokLen(w: Column): Column =
+      size(merges.foldLeft(chars(w))(applyRound)).cast("long")
+    docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ws_tok", size(col("toks")).cast("long"))
+      .withColumn("bpe_tok", aggregate(
+        transform(col("toks"), w => tokLen(w)), lit(0L), (a, x) => a + x))
+      .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
+      .select("doc_id", "ts", "ws_tok", "bpe_tok", "fertility_pm")
+  }
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

@@ -477,6 +477,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeTokenizeFilter matches batch bpeDocTokens on shared docs; unseen words replay the frozen merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "abab abab c"), (2L, "abab ab"))
+    // batch-train the model state with the SHIPPING rounds: (a,b) then
+    // (ab,ab); the third round finds no adjacent pair and emits nothing
+    val syms0 = graft.queries.TrainData2.bpeCharSyms(
+      corpus.toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+    val (merges, _) = (1 to 3).foldLeft(
+        (Seq.empty[Seq[(String, String)]], syms0)) { case ((acc, s), k) =>
+      val (s2, rec) = graft.queries.TrainData2.bpeRound(s, k)
+      val pairs = rec.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      (if (pairs.nonEmpty) acc :+ pairs else acc, s2)
+    }
+    assert(merges == Seq(Seq(("a", "b")), Seq(("ab", "ab"))), merges)
+    // batch reference: the SHIPPING doc-grain kernel over the same corpus
+    val batch = graft.queries.TrainData2.bpeDocTokens(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.bpeTokenizeFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), merges)
+      .writeStream.format("memory").queryName("bpetok")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), corpus(0)._2),
+        (2L, ts("2024-01-01 10:01:00"), corpus(1)._2),
+        // OOV: neither word was in the training corpus — "ababab" must
+        // replay the frozen merges on its own chars (round 1 takes the
+        // odd-parity (a,b) matches -> [ab,ab,ab]; round 2's (ab,ab)
+        // run merges greedily -> [abab, ab] = 2 tokens), "zz" stays 2
+        (7L, ts("2024-01-01 10:02:00"), "ababab zz"),
+        (9L, ts("2024-01-01 10:03:00"), null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("bpetok").collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      batch.foreach { case (id, (ws, bpe)) =>
+        assert(got(id) == ((ws, bpe, bpe * 1000 / ws)),
+          s"doc $id: stream ${got(id)} vs batch ($ws, $bpe)")
+      }
+      assert(got(7L) == ((2L, 4L, 2000L)), s"OOV replay: ${got(7L)}")
+      assert(!got.contains(9L), "null-text row must be dropped")
+    } finally q.stop()
+  }
+
   test("nearDupFilter flags docs sharing a band bucket against the keeper") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
