@@ -242,13 +242,22 @@ object ScaleProbe {
         }
         (s2, t, nm)
       }.drop(1)
+      // doc-grain tokenize (q163's kernel, train INCLUDED): re-collapses
+      // the corpus to the vocab, re-runs the flat rounds, then one
+      // broadcast-vocab tokenize scan — total wall should track the two
+      // corpus scans (word count + tokenize) since the rounds are flat
+      val (bpeMass, tTokenize) = timed {
+        graft.queries.TrainData2.bpeDocTokens(corpus)
+          .agg(sum("bpe_tok")).collect()(0).getLong(0)
+      }
       println(s"""{"probe":"sketch","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""tokens":$nTok,"vocab":$vocab,"cms_rows":$cmsRows,"hist_rows":$histRows,""" +
         s""""words_sec":${f"$tWords%.2f"},"vocab_sec":${f"$tVocab%.2f"},""" +
         s""""cms_sec":${f"$tCms%.2f"},"hist_sec":${f"$tHist%.2f"},""" +
         s""""bpe_round_sec":[${bpe.map(t => f"$t%.2f").mkString(",")}],""" +
         s""""bpe_batch_round_sec":[${bpeBatch.map(t => f"${t._2}%.2f").mkString(",")}],""" +
-        s""""bpe_batch_merges":[${bpeBatch.map(_._3).mkString(",")}]}""")
+        s""""bpe_batch_merges":[${bpeBatch.map(_._3).mkString(",")}],""" +
+        s""""tokenize_mass":$bpeMass,"tokenize_sec":${f"$tTokenize%.2f"}}""")
       spark.stop()
       return
     }
