@@ -85,16 +85,31 @@ object PqAdc {
       "pq_adc: need >= 1 subspace with >= 2 seed codewords each")
     require(iters >= 0, s"pq_adc: iters=$iters must be >= 0")
     val mCnt = init.size
+    val dim = mCnt * subDim
     // one materialization: every Lloyd round re-reads this relation
     // (assign + rollup), so paying the N×M-row checkpoint once beats
-    // re-scanning and re-slicing the source per iteration
-    val sub = vecs.select(explode(array((0 until mCnt).map { mi =>
+    // re-scanning and re-slicing the source per iteration. The source
+    // vector's size rides along (one int per row) so the dim guard
+    // below reads the ALREADY-materialized checkpoint — a per-row
+    // when/raise_error wrap on the vector column would re-evaluate and
+    // copy the array per explode entry (measured +1.3 s per consumer),
+    // and a separate pre-scan would recompute the residual transform
+    // on the residual path.
+    val sub = vecs.select(size(col(vecCol)).as("vsz"),
+        explode(array((0 until mCnt).map { mi =>
         struct(lit(mi).as("m"),
           transform(slice(col(vecCol), mi * subDim + 1, subDim),
             x => x.cast("double")).as("sv"))
       }: _*)).as("e"))
-      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+      .select(col("vsz"), col("e.m").as("m"), col("e.sv").as("sv"))
       .localCheckpoint()
+    // the same loud-failure policy as encode/guardProbes: a short
+    // vector would otherwise null every distance and NPE at the rollup
+    // collect; a long one would silently train on a prefix
+    val bad = sub.filter(col("vsz") =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"pq_adc: every training vector must have $dim dims (M*subDim), " +
+        s"got ${if (bad.isEmpty) "" else bad(0).get(0)}")
     var cbs: IndexedSeq[IndexedSeq[Array[Double]]] =
       init.map(_.toIndexedSeq).toIndexedSeq
     for (_ <- 0 until iters) {

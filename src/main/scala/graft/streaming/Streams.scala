@@ -457,6 +457,9 @@ object Streams {
           .agg(map_from_entries(collect_list(struct(col("w"), col("r"))))
             .as("__lm"), count(lit(1)).as("__c"))
           .select(pmod(hash(col("__c")), lit(1)).as("__k"), col("__lm"))
+          .localCheckpoint() // materialize the model rollup ONCE — the
+          // stream-static join would otherwise re-aggregate the whole
+          // vocab into the map on every micro-batch
         base.withColumn("__k", pmod(hash(col("doc_id")), lit(1)))
           .join(broadcast(lmRow), "__k")
       }
@@ -523,6 +526,9 @@ object Streams {
       .agg(map_from_entries(collect_list(struct(col("h"), lit(true))))
         .as("__set"), count(lit(1)).as("__c"))
       .select(pmod(hash(col("__c")), lit(1)).as("__k"), col("__set"))
+      .localCheckpoint() // materialize ONCE: re-running this per
+      // micro-batch would replay whatever batch query produced the
+      // digest set, plus the map rollup, at every trigger
     // ascending 1-based positions whose WinW-word window digest is in
     // the trained set (empty when the doc is shorter than one window)
     val posArr = when(size(col("toks")) < WinW, array().cast("array<int>"))
@@ -614,8 +620,11 @@ object Streams {
     require(dfm.values.forall(df => df > 0 && df <= n),
       s"bm25_filter: every term df must be in [1, n=$n], got $dfm")
     // int64 headroom (same bound as the batch kernel's comment): the
-    // score numerator is ≤ 63·22·tf·t·1000, safe while tf·t < 6.6e12 —
-    // guarded here for tf < 2048; promote to decimal(38,0) beyond that
+    // score numerator is ≤ 63·22·tf·t·1000, safe while tf·t < 6.6e12.
+    // The static half (t) is checked here; the data half (per-term
+    // tf < 2048 — nothing stops a spam doc from repeating a query term
+    // thousands of times) gets a PER-ROW raise_error below, so an
+    // overflow fails loud mid-stream instead of silently wrapping.
     require(t < Long.MaxValue / (64L * 22L * 1000L * 2048L),
       s"bm25_filter: t=$t exceeds the int64 score headroom assumed for " +
         "per-term tf < 2048 — promote the score expression to decimal(38,0)")
@@ -637,8 +646,13 @@ object Streams {
     val nTerms = terms.indices.map(i =>
       s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
     val nHits = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    val tfOverflow = terms.indices.map(i => s"tf_$i >= 2048").mkString(" OR ")
+    val guarded = s"CASE WHEN $tfOverflow THEN CAST(raise_error(" +
+      "'bm25_filter: per-term tf >= 2048 exceeds the int64 score headroom" +
+      s" - promote the score expression to decimal(38,0)') AS BIGINT) " +
+      s"ELSE $score END"
     withTf
-      .withColumn("score_fp", expr(score).cast("long"))
+      .withColumn("score_fp", expr(guarded).cast("long"))
       .withColumn("n_terms_hit", expr(nTerms).cast("long"))
       .withColumn("n_hits", expr(nHits).cast("long"))
       .filter(col("n_hits") > 0)
