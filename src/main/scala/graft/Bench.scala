@@ -44,6 +44,16 @@ object Bench {
       Some((l(0) + l(1), l(2), l(3), if (l.length > 7) l(7) else 0L))
     } catch { case _: Throwable => None }
 
+  /** Steal ticks alone (cheap enough to bracket EVERY rep). Three
+    * consecutive rounds needed prose steal-adjudication because the
+    * artifact carried only one whole-run steal number — a clean total
+    * could hide one contended rep, and a dirty total could smear one
+    * contended query over the whole suite. Per-rep steal makes the
+    * artifact self-adjudicating: the min rep of each query carries the
+    * hypervisor conditions it was measured under. −1 = unreadable. */
+  private def stealTicks(): Long =
+    hostCpuTicks().map(_._4).getOrElse(-1L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,12 +115,17 @@ object Bench {
     // Failed names land in an "errors" key inside the tail window and the
     // process exits nonzero.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Per rep: (wall seconds, steal ticks during the rep) — the steal
+    // bracket costs one /proc/stat line read per side, ~50 µs.
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        val st0 = stealTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val st1 = stealTicks()
+        (sec, if (st0 < 0 || st1 < 0) -1L else st1 - st0)
       }
       // Isolation: no query may ride on (or pay for) another query's
       // cached state. Queries themselves use GC-scoped localCheckpoint,
@@ -129,16 +144,39 @@ object Bench {
     // (round ≤4) couldn't distinguish the two — that ambiguity is what
     // this block removes.
     val repsJson = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(t => fmt(t._1, 2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Steal ticks per rep, parallel to reps_sec (sacrificial zone — the
+    // committed bench_local file keeps it; the tail window keeps the
+    // minrep_steal summary below).
+    val repStealJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // 2 dp: the artifact is captured as the LAST 2000 chars of stdout
     // (sbt's [success] epilogue included). At 87+ queries the full map
     // (~2.2 KB) no longer fits whole — it sits BEFORE the diag/contract
     // keys so its HEAD is what truncates; whatever survives is still
     // per-query data, and the committed bench_local file has all of it.
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min, 2) }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val total = results.map(_._2.map(_._1).min).sum
+    // The adjudication summary that SURVIVES the tail window: total steal
+    // ticks observed during exactly the reps the "queries" map reports
+    // (each query's fastest), plus that total normalized per wall second
+    // (USER_HZ=100: 100 ticks/s ≈ one continuously stolen core). A prior
+    // round's whole-run steal of 14,585 could not say whether the MIN
+    // reps were the contended ones — this can.
+    val minReps = results.map { case (k, ts) => (k, ts.minBy(_._1)) }
+    val minStealTotal =
+      if (minReps.exists(_._2._2 < 0)) -1L else minReps.map(_._2._2).sum
+    val minStealRate =
+      if (minStealTotal < 0 || total <= 0) -1.0 else minStealTotal / total
+    // the five dirtiest min-reps by steal rate (ticks/s), for pinpointing
+    val dirtyJson = minReps
+      .filter { case (_, (sec, st)) => st > 0 && sec > 0.2 }
+      .sortBy { case (_, (sec, st)) => -(st / sec) }.take(5)
+      .map { case (k, (sec, st)) => "\"" + k + "\":" + fmt(st / sec, 0) }
+      .mkString("{", ",", "}")
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
     // null, not zeros, when either /proc/stat read failed: a fabricated
@@ -169,9 +207,10 @@ object Bench {
     // full reps_sec up front can never fit (the 87-entry queries map
     // alone is ~2 KB).
     val outJson = results
-      .filter { case (_, ts) => ts.min > 0.3 && ts.max > 2 * ts.min }
-      .sortBy { case (_, ts) => -ts.min }.take(5) // bound the window cost
-      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
+      .map { case (k, ts) => (k, ts.map(_._1)) }
+      .filter { case (_, ss) => ss.min > 0.3 && ss.max > 2 * ss.min }
+      .sortBy { case (_, ss) => -ss.min }.take(5) // bound the window cost
+      .map { case (k, ss) => "\"" + k + "\":[" + ss.map(fmt(_, 2)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Top-20 slowest (by min), ~500 chars: at 150 queries the
@@ -182,8 +221,8 @@ object Bench {
     // rep_outliers (which carries its own rep arrays) every number a
     // drift adjudication needs is in the captured artifact, no local
     // file required.
-    val topJson = results.sortBy { case (_, ts) => -ts.min }.take(20)
-      .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min, 2) }
+    val topJson = results.sortBy { case (_, ts) => -ts.map(_._1).min }.take(20)
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
       .mkString("{", ",", "}")
     // Key order is survival priority under a `tail` capture (the HEAD of
     // an over-long line is what gets cut): sacrificial per-rep detail
@@ -196,7 +235,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)

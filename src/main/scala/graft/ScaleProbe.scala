@@ -145,8 +145,12 @@ object ScaleProbe {
     // query ships (runs BEFORE the default salted replication below: it
     // builds its own similarity-controlled corpus and must not pay that
     // checkpoint). Replica 1 appends one token to each original (a
-    // planted TRUE near-dup pair per base doc — Jaccard ≈ s/(s+5) ≫ τ
-    // for 5-gram shingles); replicas k ≥ 2 salt EVERY word (disjoint
+    // planted near-dup pair per base doc — Jaccard ≈ s/(s+5), which
+    // clears τ = 0.6 only for docs with s ≥ 8 distinct 5-gram shingles
+    // (~12+ words); shorter docs plant a candidate that verify rejects,
+    // so the planted-pair linearity is exact on the qualifying subset
+    // and approximate on corpora with very short docs); replicas
+    // k ≥ 2 salt EVERY word (disjoint
     // shingle space, zero cross-family candidates), so ground truth
     // grows by exactly the planted pairs and all remaining candidate
     // mass is the base corpus's own internal structure repeated once

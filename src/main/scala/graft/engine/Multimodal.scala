@@ -704,10 +704,12 @@ object Multimodal {
     * set iff set in MORE THAN HALF of the clip's frame hashes (integer
     * cross-multiplied, ties → 0). Majority distributes over a
     * persistent per-frame XOR (a re-encode that nudges the same bit in
-    * every frame moves the clip hash by exactly that bit) and ABSORBS
-    * single-frame noise (a bit flipped in one of k ≥ 3 frames never
-    * reaches the clip hash) — which is what makes the clip fingerprint
-    * stable enough for [[nearDupByHash]]'s Hamming-≤3 bands. Input:
+    * every frame moves the clip hash by exactly that bit) and absorbs
+    * single-frame noise EXCEPT when a bit's base count sits exactly at
+    * the majority boundary (k = 3 with a 2-vs-1 or 1-vs-2 split flips on
+    * one noisy frame) — so two noisy clips of the same source can land
+    * at Hamming 4 and cluster only via [[nearDupByHash]]'s closure
+    * through the clean keeper, not by pairwise distance. Input:
     * (media_id, fh) one row per sampled frame; output: (media_id,
     * phash). Scale: the 64-way bit explode is row-local fan-out into a
     * partial-aggregated (media_id, bit) rollup — two shuffles at clip

@@ -1517,14 +1517,18 @@ object TrainData {
 
   /** The shared training recipe of q69 and q76: K seed rows collected as
     * model state (same as q54 — not data movement), then KmIters Lloyd
-    * refinements over the spread corpus. */
-  private[queries] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
-      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
-    IvfFlat.train(embParallel(spark, dir).select(col("vec_id"), col("embedding")),
-      init, iters = KmIters)
-  }
+    * refinements over the spread corpus. Memoized per data directory
+    * ([[FrozenModels]]): training is a pure function of the table and
+    * the pinned seeds, so every consumer (q54/q64/q69/q76/q80/q151/
+    * q153/q162) shares ONE training pass per process. */
+  private[queries] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
+    FrozenModels.memo(s"ivf-centroids|$dir") {
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
+        .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
+      IvfFlat.train(embParallel(spark, dir).select(col("vec_id"), col("embedding")),
+        init, iters = KmIters)
+    }
 
   private def q69(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embParallel(spark, dir).select(col("vec_id"), col("embedding"))
