@@ -1044,8 +1044,8 @@ object TrainData2 {
   // ── q112: PRODUCT QUANTIZATION encode — the third member of the
   // vector-compression family (q70 = scalar int8, q54/q69/q76 = IVF
   // coarse quantizer, this = PQ fine quantizer, the FAISS IVFADC
-  // design's second stage): the 64-dim embedding splits into M=4
-  // 16-dim subvectors, each encoded as the argmin-L2² codeword of its
+  // design's second stage): the 64-dim embedding splits into M=8
+  // 8-dim subvectors, each encoded as the argmin-L2² codeword of its
   // subspace codebook — 64×4 B of floats become M small codes at rest.
   // Codebooks here are the PqK seed vectors' subvector slices (driver-
   // side model state, exactly q54's seeded-centroid rationale — Lloyd
@@ -1053,15 +1053,23 @@ object TrainData2 {
   // lengthen the oracle unroll). Output is the (subspace, code) census
   // an index build persists: cell occupancy (balance audit) + total
   // distortion, fixed-point so cross-row sums are order-independent.
-  // Determinism: per-row distance is a left-to-right 16-term double
+  // Determinism: per-row distance is a left-to-right PqSub-term double
   // fold (bit-identical in both engines); argmin ties break to the
   // lowest code via array_position-of-min. Scale: codebooks are
-  // M×K×16 floats broadcast in the plan; encode is row-local (zero
+  // M×K×PqSub floats broadcast in the plan; encode is row-local (zero
   // shuffle, fused into the scan); the only exchange is the final
   // M×K-cell partial-aggregated rollup. ──
-  private val PqM = 4
+  private val PqM = 8
   private val PqK = 4
-  private val PqSub = 16
+  private val PqSub = 8
+  // Codeword count for the Lloyd-TRAINED codebooks (q151/q153/q162).
+  // Separate from q112's seed-codebook PqK: at M=4/K=4 the ADC ranking
+  // was so coarse (256 distinct code words over ~thousands of
+  // candidates) that shortlist cuts happened inside heavy adc_e9 tie
+  // runs and gated recall@10 plateaued at 35/50 vs the 38/50 IVF-prune
+  // ceiling. M=8/K=8 gives 8^8 distinct words — ties effectively gone;
+  // the full sweep and the adopted Pareto point live at AdcShortlist.
+  private val PqKT = 8
 
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
@@ -1126,18 +1134,26 @@ object TrainData2 {
   // train→encode→scan→re-rank breaks the gate. Scale: the corpus-side
   // scan touches codes only (M bytes/row, dim-independent); full
   // vectors are read solely for the ≤shortlist survivors per probe. ──
-  // 16× k, not 2×: at M=4/K=4 the ADC ranking is COARSE (256 distinct
-  // code words across thousands of candidates → heavy adc_e9 ties), so
-  // a tight shortlist cuts on near-random tie-break order and recall
-  // lands far below the IVF prune ceiling (measured 8/50 vs 38/50 at
-  // sf0.01 with 2×). 16× keeps the exact re-rank trivially cheap and
-  // lets trained codebooks reach the ceiling's neighborhood.
-  private val AdcShortlist = 16 * TrainData.IvfTopK
-  private val PqIters = 2 // Lloyd rounds for the fine codebooks (= KmIters)
+  // Shortlist and model size are the two recall knobs; both were swept
+  // at sf0.01 (gated recall@10 over 5 probes, direct/residual, vs the
+  // 38/50 nprobe=2 IVF-prune ceiling):
+  //   M=4 K=4  it=2 SL=16k → 35/35   (round-11 point: ADC ties bind)
+  //   M=4 K=8  it=2 SL=16k → 36/35
+  //   M=8 K=8  it=2 SL=16k → 35/37
+  //   M=4 K=16 it=2 SL=16k → 35/35   (2 Lloyd rounds can't place 16 words)
+  //   M=8 K=8  it=3 SL=16k → 36/38
+  //   M=8 K=8  it=3 SL=32k → 38/38   ← adopted: BOTH variants at ceiling
+  // 32×k re-ranks 320 rows/probe — O(k), corpus-independent (the 32%
+  // candidate coverage here is an artifact of the 4-cluster test corpus;
+  // at production cell sizes the same 320 rows are a rounding error),
+  // and the ADC scan stays M integer lookups per candidate.
+  private val AdcShortlist = 32 * TrainData.IvfTopK
+  private val PqIters = 3 // Lloyd rounds for the fine codebooks
 
   /** The PQ-codebook Lloyd-training unroll over a subvector CTE
     * `src(vec_id, m, sv)` (sv a DOUBLE list): seeds = the sub-slices of
-    * the first PqK vectors (q112's seeding rationale), then PqIters
+    * the first PqKT vectors (q112's seeding rationale at the trained
+    * family's codeword count), then PqIters
     * argmin-L2² assign / fixed-point-mean update rounds — the q76
     * kmTrainCtesSql recipe transposed to (m, code) grain, mirroring
     * [[graft.operators.PqAdc.trainCodebooks]] step for step. Emits
@@ -1162,17 +1178,16 @@ object TrainData2 {
         |            FROM $asg)
         |      GROUP BY 1, 2, 3)
         |    GROUP BY 1, 2) u ON p.m = u.m AND p.code = u.code""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      s"""${p}a$r AS (
+        |  ${assign(s"${p}cb${r - 1}")}),
+        |${p}cb$r AS (
+        |  ${update(s"${p}a$r", s"${p}cb${r - 1}")})""".stripMargin
+    }.mkString(",\n")
     s"""${p}cb0 AS (
       |  SELECT m, CAST(vec_id + 1 AS INT) AS code, sv AS cv
-      |  FROM $src WHERE vec_id < $PqK),
-      |${p}a1 AS (
-      |  ${assign(s"${p}cb0")}),
-      |${p}cb1 AS (
-      |  ${update(s"${p}a1", s"${p}cb0")}),
-      |${p}a2 AS (
-      |  ${assign(s"${p}cb1")}),
-      |${p}cb2 AS (
-      |  ${update(s"${p}a2", s"${p}cb1")})""".stripMargin
+      |  FROM $src WHERE vec_id < $PqKT),
+      |$rounds""".stripMargin
   }
 
   /** Frozen DIRECT PQ codebooks: Lloyd-trained (PqIters rounds from the
@@ -1186,7 +1201,7 @@ object TrainData2 {
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < PqK).orderBy("vec_id")
+        .filter(col("vec_id") < PqKT).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       val init = (0 until PqM).map(m =>
         seeds.toSeq.map(s => s.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble)))
@@ -1202,9 +1217,9 @@ object TrainData2 {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
-      // residual seeds: the PqK seed vectors' residuals vs their own
+      // residual seeds: the PqKT seed vectors' residuals vs their own
       // assigned trained centroid (bounded model state, PqK rows)
-      val seedRows = IvfFlat.assign(e.filter(col("vec_id") < PqK), cents)
+      val seedRows = IvfFlat.assign(e.filter(col("vec_id") < PqKT), cents)
         .orderBy("vec_id").select("embedding", "cluster").collect()
       val seedResid: Seq[Array[Double]] = seedRows.map { r =>
         val emb = r.getSeq[Float](0).toArray
@@ -1269,7 +1284,7 @@ object TrainData2 {
       |  SELECT s.vec_id, s.m, c.code,
       |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
-      |  FROM psrc s JOIN pqcb2 c ON s.m = c.m),
+      |  FROM psrc s JOIN pqcb$PqIters c ON s.m = c.m),
       |codes AS (
       |  SELECT vec_id, m, code FROM d
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
@@ -1283,7 +1298,7 @@ object TrainData2 {
       |      i -> (CAST(s.sv[i] AS DOUBLE) - c.cv[i])
       |         * (CAST(s.sv[i] AS DOUBLE) - c.cv[i])), 'sum')
       |      * 1e9) AS BIGINT) AS d2e9
-      |  FROM psub s JOIN pqcb2 c ON s.m = c.m),
+      |  FROM psub s JOIN pqcb$PqIters c ON s.m = c.m),
       |pc AS (
       |  SELECT p.probe_id, c.cid,
       |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
@@ -1409,7 +1424,7 @@ object TrainData2 {
       |  SELECT s.vec_id, s.m, cb.code,
       |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum') AS d2
-      |  FROM rsub s JOIN rqcb2 cb ON s.m = cb.m),
+      |  FROM rsub s JOIN rqcb$PqIters cb ON s.m = cb.m),
       |rcodes AS (
       |  SELECT vec_id, m, code FROM rd
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
@@ -1433,7 +1448,7 @@ object TrainData2 {
       |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 'sum')
       |      * 1e9) AS BIGINT) AS d2e9
-      |  FROM prsub s JOIN rqcb2 cb ON s.m = cb.m),
+      |  FROM prsub s JOIN rqcb$PqIters cb ON s.m = cb.m),
       |cand AS (
       |  SELECT pr.probe_id, pr.cid, a.vec_id AS cand_id
       |  FROM probed pr JOIN assigned a ON a.cluster = pr.cid
@@ -2287,7 +2302,7 @@ object TrainData2 {
       |  SELECT s.vec_id, s.m, c.code,
       |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
       |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
-      |  FROM tsub s JOIN pqcb2 c ON s.m = c.m),
+      |  FROM tsub s JOIN pqcb$PqIters c ON s.m = c.m),
       |tcodes AS (
       |  SELECT vec_id, m, code FROM td
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1)

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 frontier queries: the UNIGRAM-LM tokenizer family —
+  * the SentencePiece-style counterpart of the BPE family (q82/q88/q89/
+  * q163), completing the two tokenizer designs real pipelines train.
+  *
+  * Reference context: the reference pipeline counts whitespace tokens
+  * (`transform_hashtag_data.py`'s text statistics); a training-data
+  * engine needs trained-subword counts, and unigram-LM is the second of
+  * the two dominant trainers (Kudo 2018). BPE grows a vocabulary bottom-
+  * up by merging; unigram starts from a LARGE candidate set and keeps
+  * the pieces that best explain the corpus under a unigram language
+  * model, segmenting each word by Viterbi.
+  *
+  * Determinism contract (what makes this hash-gatable against DuckDB):
+  *   - The LM objective is replaced by an exact integer surrogate:
+  *     cost(piece) = lg2e10(total + 1) − lg2e10(cnt + 1), a fixed-point
+  *     piecewise-linear −log2 p(piece) in 1/1024 units, built ONLY from
+  *     the floor-log2 bin-length idiom (`length(bin(x)) − 1`, exact in
+  *     both engines — the q156/q158 primitive) plus integer shifts.
+  *   - Viterbi is a DP over word positions maximizing the packed key
+  *     −(Σcost·2^29 + npieces·2^24 + boundaryMask) — cost first, then
+  *     fewer pieces, then the earliest-boundary mask as a total
+  *     tie-break, all in one int64 (bounds: Σcost < 2^20 at 12 pieces ×
+  *     2^16 max cost, npieces·2^24 < 2^29, mask < 2^24 at UniMaxW=12,
+  *     so the fields never bleed). The optimal path is UNIQUE: equal
+  *     masks force equal boundaries force equal pieces.
+  *   - Hard-EM (Viterbi-EM): segment under the seed costs, recount,
+  *     rescore, segment again — each recount is a pure integer census,
+  *     so the trained vocabulary is a value both engines derive
+  *     identically (the kmTrainCtes / pqTrainCtes unroll discipline;
+  *     the oracle replays seed census → DP → recount → DP in full).
+  *
+  * Scale design: the corpus collapses ONCE to the weighted word
+  * vocabulary (w, f) — after that every EM step is vocab-sized (the
+  * map-reduce BPE argument: at 100 TB the vocab is MBs, the corpus TBs).
+  * The Viterbi DP is a ROW-LOCAL codegen'd `aggregate` fold per word
+  * (the q82 array-fold pattern), never a per-position shuffle; the
+  * trained per-word piece counts ride a vocab-sized broadcast onto the
+  * one tokenize scan (q163's transport). Driver-side state is bounded:
+  * the alphabet census, the UniMultiCap multi-char candidates, and the
+  * ≤vocab-sized recount — model state, never data.
+  */
+object TrainData3 {
+  import graft.engine.Tables
+
+  // ── unigram-LM parameters ──
+  /** Longest candidate piece, in characters. */
+  private val UniMaxPiece = 4
+  /** DP unroll bound: words longer than this segment as single chars
+    * (both engines apply the identical fallback; the oracle's DP is a
+    * fixed UniMaxW-step CTE chain and cannot recurse). */
+  private val UniMaxW = 12
+  /** Multi-character candidate budget of the seed vocabulary (single
+    * chars are always kept for coverage). */
+  private val UniMultiCap = 24
+  /** Field multipliers of the packed DP key (see the scaladoc bounds). */
+  private val KeyCost = 536870912L // 2^29
+  private val KeyPiece = 16777216L // 2^24
+
+  /** Fixed-point piecewise-linear log2 in 1/1024 units: e·1024 +
+    * (x·1024 >> e) − 1024 with e = floor(log2 x) — the driver-side
+    * mirror of the SQL `length(bin(x)) − 1` idiom (x ≥ 1). */
+  private def lg2e10(x: Long): Long = {
+    require(x >= 1, s"lg2e10: x=$x must be >= 1")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e * 1024L + ((x * 1024L) >> e) - 1024L
+  }
+
+  /** The same quantity as a DuckDB expression over BIGINT expr `x`. */
+  private def lg2e10Sql(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + (($x * 1024) >> (length(bin($x)) - 1)) - 1024)"
+
+  /** Weighted word vocabulary of the corpus — the ONE corpus collapse
+    * every training/encode step reuses ((w, f), empty words included so
+    * doc-grain joins never drop tokens). */
+  private def uniWords(spark: SparkSession, dir: String): DataFrame =
+    TrainData.docsParallel(spark, dir)
+      .select(explode(TrainData.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** All substring candidates of length 1..UniMaxPiece, one element per
+    * OCCURRENCE (the seed census weights by position count × word
+    * frequency — Kudo's suffix-array seeding restricted to short
+    * pieces). Row-local; empty words contribute nothing. */
+  private def uniAllPieces(w: Column): Column =
+    when(length(w) === 0, typedLit(Seq.empty[String])).otherwise(
+      flatten(transform(sequence(lit(1), length(w)), s =>
+        transform(sequence(lit(1), least(lit(UniMaxPiece), length(w) - s + 1)),
+          l => w.substr(s, l)))))
+
+  /** Viterbi segmentation of one word under piece-cost map `vocab`
+    * (piece → integer cost) as a row-local `aggregate` fold: the
+    * accumulator is the array of best DP states for positions 0..i,
+    * each a struct(key, seg). Single chars are ALWAYS usable — an
+    * out-of-vocabulary char costs `oovCost` (= lg2e10(total+1), i.e.
+    * count 0 under +1 smoothing) — so the DP is total for any word.
+    * Words longer than UniMaxW fall back to single-char pieces, and the
+    * empty word segments to [] (both rules mirrored by the oracle). */
+  private[graft] def uniSegCol(w: Column, vocab: Map[String, Long],
+                               oovCost: Long): Column = {
+    require(vocab.nonEmpty, "unigram: empty vocabulary")
+    val vlit = typedLit(vocab)
+    val pow2 = typedLit((0 to UniMaxW).map(p => 1L << p))
+    val zero = array(struct(lit(0L).as("key"),
+      typedLit(Seq.empty[String]).as("seg")))
+    val dp = aggregate(
+      sequence(lit(1), length(w)), zero,
+      (acc, i) => {
+        val cands = (1 to UniMaxPiece).map { j =>
+          val start = i - lit(j) // piece = w[start+1 .. start+j], 1-based
+          val piece = w.substr(start + 1, lit(j))
+          val sc0 = try_element_at(vlit, piece)
+          val sc = if (j == 1) coalesce(sc0, lit(oovCost)) else sc0
+          val prev = element_at(acc, start + 1)
+          val mask = when(start > 0, element_at(pow2, start + 1))
+            .otherwise(lit(0L))
+          // outer guard FIRST: for i < j the piece/prev expressions
+          // index out of range (ANSI errors) — CaseWhen's lazy branch
+          // evaluation is the safety here, so the index guard must be
+          // its own when, not one conjunct among others
+          when(i >= lit(j),
+            when(sc.isNotNull,
+              struct(
+                (prev.getField("key") + sc * lit(KeyCost) + lit(KeyPiece)
+                  + mask).as("key"),
+                concat(prev.getField("seg"), array(piece)).as("seg"))))
+        }
+        // minimize the packed key; ties (impossible — the mask field is
+        // injective on boundary sets) would break to the smaller seg,
+        // matching the oracle's ORDER BY key, seg
+        concat(acc, array(array_min(filter(array(cands: _*),
+          c => c.isNotNull))))
+      })
+    when(length(w) === 0, typedLit(Seq.empty[String]))
+      .when(length(w) > UniMaxW,
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      .otherwise(element_at(dp, length(w) + 1).getField("seg"))
+  }
+
+  /** The trained unigram model: hard-EM round 1 — seed census (all
+    * single chars + top-UniMultiCap multi-char substrings by count),
+    * Viterbi-segment the word vocabulary under the seed costs, recount,
+    * rescore. Returns (piece → cost, oovCost) — bounded model state,
+    * memoized per data directory like the PQ/IVF models ([[FrozenModels]]:
+    * the model is a pure function of the corpus and the pinned caps). */
+  private[graft] def uniModel(spark: SparkSession, dir: String): (Map[String, Long], Long) =
+    FrozenModels.memo(s"unigram-model|$dir") {
+      uniModelFromWords(uniWords(spark, dir).localCheckpoint())
+    }
+
+  /** The training body over an explicit word relation `words(w, f)` —
+    * split out so specs can train on planted corpora. */
+  private[graft] def uniModelFromWords(words: DataFrame): (Map[String, Long], Long) = {
+      val cnt0 = words
+        .select(col("f"), explode(uniAllPieces(col("w"))).as("piece"))
+        .groupBy("piece").agg(sum("f").as("cnt"))
+        .localCheckpoint() // consumed twice (singles + top-multi cut)
+      val singles = cnt0.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = cnt0.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(UniMultiCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val tot0 = (singles ++ multi).map(_._2).sum
+      val oov0 = lg2e10(tot0 + 1)
+      val v0 = (singles ++ multi)
+        .map { case (p, c) => p -> (oov0 - lg2e10(c + 1)) }.toMap
+      // hard-EM recount: pieces actually used, weighted by word freq
+      val c1 = words.withColumn("seg", uniSegCol(col("w"), v0, oov0))
+        .select(col("f"), explode(col("seg")).as("piece"))
+        .groupBy("piece").agg(sum("f").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val tot1 = c1.map(_._2).sum
+      val oov1 = lg2e10(tot1 + 1)
+      (c1.map { case (p, c) => p -> (oov1 - lg2e10(c + 1)) }.toMap, oov1)
+  }
+
+  // ── q164: unigram-LM tokenizer TRAINING census — the final vocab's
+  // use counts after the hard-EM round (the readout a vocab build
+  // persists: which pieces survived and how much corpus mass each
+  // carries). The oracle replays the ENTIRE lifecycle — seed substring
+  // census, candidate cut, Viterbi DP (a UniMaxW-step CTE unroll
+  // carrying the packed integer key and the piece list), recount,
+  // rescore, second Viterbi pass, final census — so a drift anywhere in
+  // the integer cost model or the DP tie-breaks fails the gate. ──
+  private def q164(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, oov) = uniModel(spark, dir)
+    uniWords(spark, dir)
+      .withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .select(col("f"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("n_uses"))
+      .orderBy(col("n_uses").desc, col("piece")).limit(25)
+  }
+
+  /** The Viterbi DP as a DuckDB CTE chain: `${p}b$i` = best state at
+    * position i for every word with len ≥ i (packed key + piece list),
+    * each step a ≤UniMaxPiece-way UNION of joins against vocab CTE
+    * `$vocab(piece, cost)`; `${p}seg` = the final segmentation per word
+    * incl. the >UniMaxW / empty fallbacks. `$oov` must be a 1-row CTE
+    * (cost) giving the OOV single-char cost. */
+  private def uniDpCtes(vocab: String, oov: String, src: String, p: String): String = {
+    val steps = (1 to UniMaxW).map { i =>
+      val branches = (1 to math.min(UniMaxPiece, i)).map { j =>
+        val start = i - j
+        val maskLit = if (start > 0) (1L << start).toString else "0"
+        val joinKind = if (j == 1) "LEFT JOIN" else "JOIN"
+        val costRef =
+          if (j == 1) s"COALESCE(v.cost, (SELECT cost FROM $oov))" else "v.cost"
+        s"""SELECT b.w, b.f,
+          |        b.key + $costRef * $KeyCost + $KeyPiece + $maskLit AS key,
+          |        list_append(b.seg, substr(b.w, ${start + 1}, $j)) AS seg
+          |      FROM ${p}b$start b $joinKind $vocab v
+          |        ON v.piece = substr(b.w, ${start + 1}, $j)
+          |      WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""${p}b$i AS MATERIALIZED (
+        |  SELECT w, f, key, seg FROM (
+        |    SELECT w, f, key, seg,
+        |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY key, seg) AS rn
+        |    FROM (
+        |      $branches))
+        |  WHERE rn = 1)""".stripMargin
+    }
+    val finals = (1 to UniMaxW)
+      .map(i => s"  SELECT w, f, seg FROM ${p}b$i WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    s"""${p}b0 AS MATERIALIZED (
+      |  SELECT w, f, CAST(0 AS BIGINT) AS key, CAST([] AS VARCHAR[]) AS seg
+      |  FROM $src WHERE len(w) >= 1 AND len(w) <= $UniMaxW),
+      |${steps.mkString(",\n")},
+      |${p}seg AS MATERIALIZED (
+      |$finals
+      |  UNION ALL
+      |  SELECT w, f, list_transform(range(1, len(w) + 1),
+      |    i -> substr(w, CAST(i AS INT), 1)) AS seg
+      |  FROM $src WHERE len(w) > $UniMaxW OR len(w) = 0)""".stripMargin
+  }
+
+  /** Shared training unroll: corpus → words → seed census → seed vocab
+    * (costs) → DP round 1 → recount → final vocab → DP round 2. Leaves
+    * `ur2seg` (w, f, seg) and `uc2` (final census) for the consumers. */
+  private def uniTrainCtes: String =
+    s"""uw0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |ucand AS (SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1),
+      |    s -> list_transform(range(1, least($UniMaxPiece, len(w) - s + 1) + 1),
+      |      l -> substr(w, CAST(s AS INT), CAST(l AS INT)))))) AS piece
+      |  FROM uw0),
+      |ucnt0 AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM ucand GROUP BY 1),
+      |uv0pre AS (
+      |  SELECT piece, cnt FROM ucnt0 WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM ucnt0 WHERE len(piece) >= 2)
+      |  WHERE rn <= $UniMultiCap),
+      |uoov0 AS MATERIALIZED (SELECT ${lg2e10Sql("(t + 1)")} AS cost
+      |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv0pre)),
+      |uv0 AS MATERIALIZED (SELECT piece,
+      |    (SELECT cost FROM uoov0) - ${lg2e10Sql("(cnt + 1)")} AS cost
+      |  FROM uv0pre),
+      |${uniDpCtes("uv0", "uoov0", "uw0", "ur1")},
+      |uc1 AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT f, unnest(seg) AS piece FROM ur1seg) GROUP BY 1),
+      |uoov1 AS MATERIALIZED (SELECT ${lg2e10Sql("(t + 1)")} AS cost
+      |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uc1)),
+      |uv1 AS MATERIALIZED (SELECT piece,
+      |    (SELECT cost FROM uoov1) - ${lg2e10Sql("(cnt + 1)")} AS cost
+      |  FROM uc1),
+      |${uniDpCtes("uv1", "uoov1", "uw0", "ur2")},
+      |uc2 AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS n_uses
+      |  FROM (SELECT f, unnest(seg) AS piece FROM ur2seg) GROUP BY 1)""".stripMargin
+
+  private val q164Sql =
+    s"""WITH $uniTrainCtes
+      |SELECT piece, n_uses FROM uc2
+      |ORDER BY n_uses DESC, piece LIMIT 25""".stripMargin
+
+  // ── q165: per-doc unigram TOKENIZE — the doc-grain apply of the
+  // trained model (q163's shape for the second tokenizer family): a
+  // doc's piece count is the sum over its words of the word's Viterbi
+  // piece count, because segmentation never crosses word boundaries.
+  // The corpus is touched twice total (collapse + tokenize); the
+  // per-word lengths ride a vocab-sized broadcast. Output: top-20 docs
+  // by trained piece count with whitespace tokens and fertility
+  // (pieces per 1000 whitespace tokens, integer per-mille). ──
+  private def q165(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, oov) = uniModel(spark, dir)
+    val docs = TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val vlen = uniWords(spark, dir)
+      .withColumn("n_p", size(uniSegCol(col("w"), vocab, oov)).cast("long"))
+      .select(col("w"), col("n_p"))
+    docs.select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+      .join(broadcast(vlen), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tok"), sum("n_p").as("uni_tok"))
+      .withColumn("fertility_pm", expr("uni_tok * 1000 div ws_tok"))
+      .orderBy(col("uni_tok").desc, col("doc_id")).limit(20)
+  }
+
+  private val q165Sql =
+    s"""WITH $uniTrainCtes,
+      |uvlen AS (SELECT w, CAST(len(seg) AS BIGINT) AS n_p FROM ur2seg),
+      |udtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |uper AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tok,
+      |    CAST(SUM(v.n_p) AS BIGINT) AS uni_tok
+      |  FROM udtok d JOIN uvlen v ON d.w = v.w GROUP BY 1)
+      |SELECT doc_id, ws_tok, uni_tok,
+      |  uni_tok * 1000 // ws_tok AS fertility_pm
+      |FROM uper ORDER BY uni_tok DESC, doc_id LIMIT 20""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_unigram_train", q164, Some(q164Sql)),
+    QueryDef("q165_unigram_encode", q165, Some(q165Sql)))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the unigram-LM tokenizer family (q164/q165) — the
+  * invariants the DuckDB hash gate can't state directly, plus one fully
+  * hand-computed planted corpus. */
+class TrainData3Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  import graft.queries.TrainData3.{uniModelFromWords, uniSegCol}
+
+  private def words(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("w", "f")
+  }
+
+  test("unigram: planted corpus trains the hand-computed model exactly") {
+    // corpus = "aaaa"×10, "b"×1. Seed census: a:40 aa:30 aaa:20 aaaa:10
+    // b:1, tot0=101, oov0=lg2e10(102)=6752; round-1 Viterbi keeps
+    // ["aaaa"] (Σcost 3296 beats [aa,aa] 3392 and [a,a,a,a] 5376), so
+    // the recount is {aaaa:10, b:1}, tot1=11, oov1=lg2e10(12)=3584 and
+    // final costs aaaa=3584−3456=128, b=3584−1024=2560 — every number
+    // below is derived by hand in these units, not from the engine.
+    val (vocab, oov) = uniModelFromWords(words("aaaa" -> 10L, "b" -> 1L))
+    assert(oov == 3584L, s"oov=$oov")
+    assert(vocab == Map("aaaa" -> 128L, "b" -> 2560L), s"vocab=$vocab")
+    // final segmentation census under the trained model
+    val seg = words("aaaa" -> 10L, "b" -> 1L)
+      .withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .select(col("f"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg == Map("aaaa" -> 10L, "b" -> 1L), s"census=$seg")
+  }
+
+  test("unigram: OOV chars segment as single pieces at the smoothed cost") {
+    val (vocab, oov) = uniModelFromWords(words("aaaa" -> 10L, "b" -> 1L))
+    val got = words("zzb" -> 1L)
+      .withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .select("seg").head.getSeq[String](0)
+    assert(got == Seq("z", "z", "b"), s"seg=$got")
+  }
+
+  test("unigram: segmentation is a partition — pieces concatenate back to the word") {
+    val (vocab, oov) = graft.queries.TrainData3.uniModel(spark, dir)
+    val corpus = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val bad = corpus
+      .withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .filter(concat_ws("", col("seg")) =!= col("w"))
+    assert(bad.isEmpty, s"non-partition segmentations: ${bad.count()}")
+  }
+
+  test("unigram: q164 census mass equals q165 doc mass (pre-limit)") {
+    val (vocab, oov) = graft.queries.TrainData3.uniModel(spark, dir)
+    val corpus = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("n_p", size(uniSegCol(col("w"), vocab, oov)).cast("long"))
+    val wordMass = corpus.agg(sum(col("f") * col("n_p"))).head.getLong(0)
+    val docMass = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(corpus.select("w", "n_p"), "w")
+      .agg(sum("n_p")).head.getLong(0)
+    assert(wordMass == docMass && wordMass > 0,
+      s"word-grain mass $wordMass != doc-grain mass $docMass")
+    // and the gated top-25 census is consistent: descending, positive
+    val census = q("q164_unigram_train").collect().map(_.getLong(1))
+    assert(census.nonEmpty && census.forall(_ >= 1))
+    assert(census.sameElements(census.sortBy(-_)), "census not descending")
+  }
+
+  test("unigram: fertility never below 1000 per-mille (a word is >= 1 piece)") {
+    val rows = q("q165_unigram_encode").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1000L,
+        s"doc ${r.getLong(0)}: fertility ${r.getLong(3)} < 1000")
+    }
+  }
+}
