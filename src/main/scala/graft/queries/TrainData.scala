@@ -31,7 +31,7 @@ object TrainData {
   private[queries] def docsParallel(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
-  private[queries] def embParallel(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embParallel(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
   private[queries] def tokens(c: Column): Column = split(c, " ")
@@ -758,8 +758,8 @@ object TrainData {
   // bit-identical left-to-right accumulation shared with q24/q25. Scale
   // rationale in operators/IvfFlat.scala. ──
   private val IvfK = 16
-  private[queries] val IvfNprobe = 2
-  private[queries] val IvfTopK = 10
+  private[graft] val IvfNprobe = 2
+  private[graft] val IvfTopK = 10
 
   private def q54(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -1521,7 +1521,7 @@ object TrainData {
     * ([[FrozenModels]]): training is a pure function of the table and
     * the pinned seeds, so every consumer (q54/q64/q69/q76/q80/q151/
     * q153/q162) shares ONE training pass per process. */
-  private[queries] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
     FrozenModels.memo(s"ivf-centroids|$dir") {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)

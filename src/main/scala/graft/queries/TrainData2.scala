@@ -1059,9 +1059,9 @@ object TrainData2 {
   // M×K×PqSub floats broadcast in the plan; encode is row-local (zero
   // shuffle, fused into the scan); the only exchange is the final
   // M×K-cell partial-aggregated rollup. ──
-  private val PqM = 8
+  private[graft] val PqM = 8
   private val PqK = 4
-  private val PqSub = 8
+  private[graft] val PqSub = 8
   // Codeword count for the Lloyd-TRAINED codebooks (q151/q153/q162).
   // Separate from q112's seed-codebook PqK: at M=4/K=4 the ADC ranking
   // was so coarse (256 distinct code words over ~thousands of
@@ -1147,7 +1147,7 @@ object TrainData2 {
   // candidate coverage here is an artifact of the 4-cluster test corpus;
   // at production cell sizes the same 320 rows are a rounding error),
   // and the ADC scan stays M integer lookups per candidate.
-  private val AdcShortlist = 32 * TrainData.IvfTopK
+  private[graft] val AdcShortlist = 32 * TrainData.IvfTopK
   private val PqIters = 3 // Lloyd rounds for the fine codebooks
 
   /** The PQ-codebook Lloyd-training unroll over a subvector CTE
@@ -1196,7 +1196,7 @@ object TrainData2 {
     * function of the table and the pinned seeds. q151 and q162 consume
     * the IDENTICAL model (the oracle side already shares `pqTrainCtes`);
     * training runs once per process, not once per query per bench rep. */
-  private def frozenCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+  private[graft] def frozenCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
     FrozenModels.memo(s"pq-codebooks|$dir") {
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -1266,8 +1266,14 @@ object TrainData2 {
       .orderBy("probe_id")
   }
 
-  private val q151Sql =
-    s"""WITH ${TrainData.kmTrainCtesSql},
+  /** The shared oracle front of the IVFADC search — Lloyd training
+    * (coarse + fine), encode, probe LUT, ADC scan, shortlist, exact
+    * re-rank — ending at `rescored(probe_id, cand_id, cosine)`. q151
+    * appends the recall gate; q168 (TrainData3) appends the top-k rank
+    * readout of the PERSISTED index, which must reproduce exactly this
+    * logical result after its parquet round-trip. */
+  private[queries] val ivfadcSearchCtes =
+    s"""${TrainData.kmTrainCtesSql},
       |assigned AS (SELECT vec_id, cid AS cluster FROM a3),
       |probes AS (
       |  SELECT vec_id AS probe_id, embedding
@@ -1330,7 +1336,10 @@ object TrainData2 {
       |ivfadc AS (
       |  SELECT probe_id, cand_id FROM rescored
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
-      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK}),
+      |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK})""".stripMargin
+
+  private val q151Sql =
+    s"""WITH $ivfadcSearchCtes,
       |bscored AS (
       |  SELECT p.probe_id, e.vec_id AS cand_id,
       |    ${TrainData.cosExprSql("p.embedding", "e.embedding")} AS cosine

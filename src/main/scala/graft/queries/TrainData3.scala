@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{IvfFlat, PqAdc}
+
 /** Round-12 frontier queries: the UNIGRAM-LM tokenizer family —
   * the SentencePiece-style counterpart of the BPE family (q82/q88/q89/
   * q163), completing the two tokenizer designs real pipelines train.
@@ -73,6 +75,12 @@ object TrainData3 {
   /** The same quantity as a DuckDB expression over BIGINT expr `x`. */
   private def lg2e10Sql(x: String): String =
     s"((length(bin($x)) - 1) * 1024 + (($x * 1024) >> (length(bin($x)) - 1)) - 1024)"
+
+  /** And as a Spark SQL expression (shiftright with a column amount is
+    * only reachable through the SQL form, not the Column API). */
+  private def lg2e10Expr(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + " +
+      s"shiftright(($x) * 1024, length(bin($x)) - 1) - 1024)"
 
   /** Weighted word vocabulary of the corpus — the ONE corpus collapse
     * every training/encode step reuses ((w, f), empty words included so
@@ -316,7 +324,265 @@ object TrainData3 {
       |  uni_tok * 1000 // ws_tok AS fertility_pm
       |FROM uper ORDER BY uni_tok DESC, doc_id LIMIT 20""".stripMargin
 
+  // ── q166/q167: TRAINED quality classifier — hashed-bigram BERNOULLI
+  // Naive Bayes (the fastText-shaped model every production curation
+  // stack trains next to its heuristic filters; q27/q55 are the
+  // heuristics, this LEARNS from their labels). Naive Bayes is chosen
+  // deliberately: its training is CLOSED-FORM counting — no SGD, no
+  // order-dependence — so the trained weights are a pure integer
+  // function of the corpus and both engines derive them identically
+  // (the same argument that makes the fixed-point Lloyd trainers
+  // gateable). The BERNOULLI variant (per-bucket document frequency,
+  // absent features carry weight too) is essential on this corpus: the
+  // label boundary is q27's n_tok ≥ 30 tier cut, and a multinomial
+  // occurrence model was measured to collapse to the majority class
+  // (105/106 drop docs misclassified — every occurrence pushes toward
+  // the bigger class when bigram CONTENT carries no class signal),
+  // while presence/absence encodes exactly the density signal the
+  // labels follow. Features: word bigrams hashed to NbBuckets buckets
+  // via md5 nibbles (the q22/q152 hex→int primitive — Spark hash() and
+  // DuckDB hash() differ, md5 is the shared hash); weights and priors
+  // in lg2e10 units (+1 smoothing).
+  //
+  // Scoring algebra (what makes absent features O(present) to score):
+  // margin = Σ_present A(b) + Σ_absent B(b) + prior, where
+  //   A(b) = L(df_k+1) − L(df_d+1)            (presence log-odds delta)
+  //   B(b) = L(n_k−df_k+1) − L(n_d−df_d+1)    (absence log-odds delta)
+  // (the per-bucket −L(n_c+2) normalizers appear for every bucket in
+  // both classes and fold into the bias). Rewriting
+  // margin = Σ_present (A−B) + [Σ_all B + priorΔ], the bracket is a
+  // MODEL CONSTANT — so a doc is scored by joining only its PRESENT
+  // buckets (≤64 rows) against the broadcast weight table, plus one
+  // literal bias. Scale: train = one corpus scan into a 64-cell
+  // partial-agg census; score = one scan + a broadcast join; driver
+  // state = the 2-row class census and the 64-row model (bounded). ──
+  private val NbBuckets = 64
+
+  /** md5-nibble bucket of bigram string column (8 nibbles = 32 bits,
+    * mod NbBuckets) — deterministic across engines. */
+  private def nbBucket(g: Column): Column = {
+    val compose = (0 until 8).map(n =>
+      s"(instr('0123456789abcdef', substring(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}L").mkString(" + ")
+    expr(s"($compose) % $NbBuckets")
+  }
+
+  /** (doc_id, keep, b) one row per DISTINCT bucket present in the doc —
+    * the Bernoulli feature relation shared by train and score. */
+  private def nbFeatures(docs: DataFrame): DataFrame = {
+    val t = TrainData.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        (size(t) >= 30).as("keep"),
+        explode(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .otherwise(typedLit(Seq.empty[String]))).as("g"))
+      .withColumn("__h", md5(concat(lit("nb:"), col("g"))))
+      .select(col("doc_id"), col("keep"), nbBucket(col("g")).as("b"))
+      .distinct()
+  }
+
+  /** Per-class document counts (the 2-scalar class census — bounded
+    * driver model state, like q162's offset). */
+  private def nbClassCounts(docs: DataFrame): (Long, Long) = {
+    val m = docs
+      .select((size(TrainData.tokens(col("text"))) >= 30).as("keep"))
+      .groupBy("keep").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    (m.getOrElse(true, 0L), m.getOrElse(false, 0L))
+  }
+
+  /** The trained 64-row model: per bucket, class-conditional document
+    * frequencies and the A/B log-odds deltas (see the scoring algebra
+    * above). Every bucket appears — unseen buckets get df 0 via the
+    * literal bucket spine, because ABSENCE carries weight in a
+    * Bernoulli model. */
+  private[graft] def nbWeights(docs: DataFrame): DataFrame = {
+    val (nk, nd) = nbClassCounts(docs)
+    val df = nbFeatures(docs)
+      .groupBy("b").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("dfk"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dfd"))
+    val spine = docs.sparkSession.range(NbBuckets).select(col("id").as("b"))
+    spine.join(df, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("dfk"), lit(0L)).as("df_keep"),
+        coalesce(col("dfd"), lit(0L)).as("df_drop"))
+      .withColumn("w_present",
+        expr(lg2e10Expr("df_keep + 1")) - expr(lg2e10Expr("df_drop + 1")))
+      .withColumn("w_absent",
+        expr(lg2e10Expr(s"${nk}L - df_keep + 1")) -
+          expr(lg2e10Expr(s"${nd}L - df_drop + 1")))
+  }
+
+  private def q166(spark: SparkSession, dir: String): DataFrame =
+    nbWeights(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .orderBy("b")
+
+  /** Shared oracle CTEs: `nbf` (distinct present buckets per doc),
+    * `nbc` (df census on the full bucket spine), `nbw` (the model). */
+  private def nbTrainCtesSql: String = {
+    val compose = (0 until 8).map(n =>
+      s"(instr('0123456789abcdef', substr(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}").mkString(" + ")
+    s"""nblab AS MATERIALIZED (
+      |  SELECT doc_id, len(string_split(text, ' ')) >= 30 AS keep
+      |  FROM documents),
+      |nbf AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, keep, ($compose) % $NbBuckets AS b FROM (
+      |    SELECT doc_id, keep, md5('nb:' || g) AS __h FROM (
+      |      SELECT doc_id, len(t) >= 30 AS keep,
+      |        unnest(list_transform(range(1, len(t)),
+      |          i -> t[i] || ' ' || t[i + 1])) AS g
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents)))),
+      |nbc AS MATERIALIZED (
+      |  SELECT s.b,
+      |    COALESCE(d.dfk, 0) AS df_keep, COALESCE(d.dfd, 0) AS df_drop
+      |  FROM (SELECT unnest(range(0, $NbBuckets)) AS b) s
+      |  LEFT JOIN (
+      |    SELECT b,
+      |      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dfk,
+      |      CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dfd
+      |    FROM nbf GROUP BY 1) d ON s.b = d.b),
+      |nbn AS MATERIALIZED (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nblab WHERE keep) AS nk,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nblab WHERE NOT keep) AS nd),
+      |nbw AS MATERIALIZED (
+      |  SELECT b, df_keep, df_drop,
+      |    ${lg2e10Sql("(df_keep + 1)")} - ${lg2e10Sql("(df_drop + 1)")}
+      |      AS w_present,
+      |    ${lg2e10Sql("((SELECT nk FROM nbn) - df_keep + 1)")} -
+      |      ${lg2e10Sql("((SELECT nd FROM nbn) - df_drop + 1)")} AS w_absent
+      |  FROM nbc)""".stripMargin
+  }
+
+  private val q166Sql =
+    s"""WITH $nbTrainCtesSql
+      |SELECT b, df_keep, df_drop, w_present, w_absent FROM nbw
+      |ORDER BY b""".stripMargin
+
+  /** Score every doc against the trained model and compare to its own
+    * heuristic label (train-set fit): margin = Σ_present (w_present −
+    * w_absent) + bias, bias = Σ_all w_absent + priorΔ (see the scoring
+    * algebra at the section header); pred = margin ≥ 0 (tie → keep). */
+  private[graft] def nbConfusion(docs: DataFrame): DataFrame = {
+    val (nk, nd) = nbClassCounts(docs)
+    val weights = nbWeights(docs).localCheckpoint() // model-sized, 2 consumers
+    val sumAbsent = weights.agg(sum("w_absent")).head.getLong(0)
+    // bias = ΣB + priorΔ + C, where C = NbBuckets·(L(n_d+2) − L(n_k+2))
+    // is the per-bucket Bernoulli normalizer −L(n_c+2) that every bucket
+    // contributes in BOTH classes regardless of presence — dropping it
+    // was measured to collapse the classifier to all-keep (the keep
+    // class's bigger n made every per-bucket likelihood look larger)
+    val bias = sumAbsent + lg2e10(nk + 1) - lg2e10(nd + 1) +
+      NbBuckets * (lg2e10(nd + 2) - lg2e10(nk + 2))
+    val labeled = docs.select(col("doc_id"),
+      (size(TrainData.tokens(col("text"))) >= 30).as("keep"))
+    val margins = nbFeatures(docs)
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("w_present") - col("w_absent")).as("mp"))
+    labeled.join(margins, Seq("doc_id"), "left")
+      .select(col("keep").as("label_keep"),
+        (coalesce(col("mp"), lit(0L)) + lit(bias)).as("m"))
+      .withColumn("pred_keep", col("m") >= 0)
+      .groupBy("label_keep", "pred_keep")
+      .agg(count(lit(1)).as("n_docs"), sum("m").as("margin_sum"))
+      .orderBy("label_keep", "pred_keep")
+  }
+
+  private def q167(spark: SparkSession, dir: String): DataFrame =
+    nbConfusion(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private val q167Sql =
+    s"""WITH $nbTrainCtesSql,
+      |bias AS (SELECT
+      |    (SELECT CAST(SUM(w_absent) AS BIGINT) FROM nbw) +
+      |    ${lg2e10Sql("((SELECT nk FROM nbn) + 1)")} -
+      |    ${lg2e10Sql("((SELECT nd FROM nbn) + 1)")} +
+      |    $NbBuckets * (${lg2e10Sql("((SELECT nd FROM nbn) + 2)")} -
+      |      ${lg2e10Sql("((SELECT nk FROM nbn) + 2)")}) AS v),
+      |marg AS (
+      |  SELECT f.doc_id,
+      |    CAST(SUM(w.w_present - w.w_absent) AS BIGINT) AS mp
+      |  FROM nbf f JOIN nbw w ON f.b = w.b GROUP BY 1)
+      |SELECT l.keep AS label_keep,
+      |  COALESCE(m.mp, 0) + (SELECT v FROM bias) >= 0 AS pred_keep,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(COALESCE(m.mp, 0) + (SELECT v FROM bias)) AS BIGINT)
+      |    AS margin_sum
+      |FROM nblab l LEFT JOIN marg m ON l.doc_id = m.doc_id
+      |GROUP BY 1, 2 ORDER BY label_keep, pred_keep""".stripMargin
+
+  // ── q168: ANN index PERSISTENCE round-trip — the Writers discipline
+  // (q146–q150) applied to the IVFADC index: WRITE the trained index as
+  // tables (PQ codes + re-rank vectors, the M×K codebooks, the coarse
+  // centroids — exactly the artifacts a FAISS-style build persists),
+  // RELOAD them from parquet, and SERVE the q151 probe set from the
+  // reloaded artifacts alone. The gated output is the top-k rank list,
+  // which the oracle derives from the immutable inputs by replaying
+  // train→encode→search (the shared ivfadcSearchCtes front) WITHOUT the
+  // filesystem — so any corruption anywhere in the write/read path
+  // (float round-trip, code arrays, model table reconstruction) breaks
+  // the hash gate, and WritersSpec pins reload ≡ rebuild table-by-table.
+  // Scale: the persisted layout is the real one (codes+vectors at rest,
+  // model tables tiny); the reload collects ONLY the model tables
+  // (M×K×subDim + K×dim — bounded model state), never the codes. ──
+  private def q168(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q168_") { lake =>
+      val sp = spark
+      import sp.implicits._
+      val corpus = TrainData.embParallel(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val cents = TrainData.trainedCentroids(spark, dir)
+      val codebooks = TrainData2.frozenCodebooks(spark, dir)
+      // WRITE: the data-sized leg (codes + vectors) and the model tables
+      PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, TrainData2.PqSub)
+        .select("vec_id", "embedding", "cluster", "codes")
+        .write.parquet(s"$lake/codes")
+      codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
+      }.toDF("m", "code", "cv").coalesce(1).write.parquet(s"$lake/codebooks")
+      cents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }
+        .toDF("cid", "cv").coalesce(1).write.parquet(s"$lake/centroids")
+      // RELOAD: codes stay distributed; model tables come back as
+      // driver-side state (the same shape the in-memory build uses)
+      val rCodes = spark.read.parquet(s"$lake/codes")
+      val rCbs: Seq[Seq[Array[Double]]] = spark.read
+        .parquet(s"$lake/codebooks").orderBy("m", "code").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq)
+      val rCents: Seq[Array[Float]] = spark.read
+        .parquet(s"$lake/centroids").orderBy("cid").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+      val probes = graft.engine.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      PqAdc.search(rCodes, probes, rCents, rCbs, TrainData2.PqSub,
+          nprobe = TrainData.IvfNprobe, shortlist = TrainData2.AdcShortlist,
+          k = TrainData.IvfTopK)
+        .select(col("probe_id"), col("cand_id"), col("rk"))
+        .orderBy("probe_id", "rk").localCheckpoint()
+    }
+
+  private val q168Sql =
+    s"""WITH ${TrainData2.ivfadcSearchCtes},
+      |ranked AS (
+      |  SELECT probe_id, cand_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, cand_id) AS INT) AS rk
+      |  FROM rescored)
+      |SELECT probe_id, cand_id, rk FROM ranked
+      |WHERE rk <= ${TrainData.IvfTopK}
+      |ORDER BY probe_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q164_unigram_train", q164, Some(q164Sql)),
-    QueryDef("q165_unigram_encode", q165, Some(q165Sql)))
+    QueryDef("q165_unigram_encode", q165, Some(q165Sql)),
+    QueryDef("q166_nb_train", q166, Some(q166Sql)),
+    QueryDef("q167_nb_score", q167, Some(q167Sql)),
+    QueryDef("q168_index_persist", q168, Some(q168Sql)))
 }

@@ -30,7 +30,7 @@ object Writers {
 
   /** Fresh scratch dir per invocation; deleted after `body` materializes
     * everything it returns (callers localCheckpoint before returning). */
-  private def withTempDir(prefix: String)(body: String => DataFrame): DataFrame = {
+  private[queries] def withTempDir(prefix: String)(body: String => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     try body(dir.toString)
     finally {

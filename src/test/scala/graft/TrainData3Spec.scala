@@ -82,4 +82,79 @@ class TrainData3Spec extends SparkSpec {
         s"doc ${r.getLong(0)}: fertility ${r.getLong(3)} < 1000")
     }
   }
+
+  import graft.queries.TrainData3.{nbConfusion, nbWeights}
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("nb: planted high/low-quality docs classify correctly (both grains)") {
+    // 10 long docs (40 tokens, keep label) over the a-vocabulary and 10
+    // short docs (10 tokens, drop label) over the disjoint b-vocabulary:
+    // every class-pure bucket gives A−B = ±2·L(11) and the Bernoulli
+    // absence terms push the sparse docs negative — the margin signs
+    // separate perfectly, which is exactly the planted-signal case the
+    // heuristic-label training must recover.
+    val keepText = (0 until 40).map(i => s"a$i").mkString(" ")
+    val dropText = (0 until 10).map(i => s"b$i").mkString(" ")
+    val docs = docsDf(
+      (0L until 10L).map(i => i -> keepText) ++
+        (10L until 20L).map(i => i -> dropText): _*)
+    val cm = nbConfusion(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(cm == Map((true, true) -> 10L, (false, false) -> 10L),
+      s"confusion=$cm")
+  }
+
+  test("nb: weight table covers every bucket and df counts are bounded by class sizes") {
+    val w = nbWeights(graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).collect()
+    assert(w.length == 64)
+    assert(w.map(_.getLong(0)).sorted.sameElements(0L until 64L))
+    val n = graft.engine.Tables.documents(spark, dir).count()
+    w.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0 &&
+        r.getLong(1) + r.getLong(2) <= 64 * n)
+    }
+  }
+
+  test("nb: real-corpus train-set fit beats the majority class; margins carry the pred sign") {
+    val rows = q("q167_nb_score").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._3).sum
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum
+    val majority = math.max(
+      rows.filter(_._1).map(_._3).sum, rows.filter(!_._1).map(_._3).sum)
+    assert(correct > majority,
+      s"accuracy $correct/$n no better than majority $majority")
+    rows.foreach { case (_, pred, nd, ms) =>
+      assert(if (pred) ms >= 0 else ms < 0,
+        s"pred=$pred but margin_sum=$ms over $nd docs")
+    }
+  }
+
+  test("q168: the reloaded index serves exactly what an in-memory rebuild serves") {
+    import graft.queries.{TrainData, TrainData2}
+    import graft.operators.{IvfFlat, PqAdc}
+    val corpus = TrainData.embParallel(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val codebooks = TrainData2.frozenCodebooks(spark, dir)
+    val probes = graft.engine.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val rebuilt = PqAdc.search(
+        PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, TrainData2.PqSub),
+        probes, cents, codebooks, TrainData2.PqSub,
+        nprobe = TrainData.IvfNprobe, shortlist = TrainData2.AdcShortlist,
+        k = TrainData.IvfTopK)
+      .select("probe_id", "cand_id", "rk")
+    val reloaded = q("q168_index_persist")
+    assert(reloaded.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(reloaded).isEmpty,
+      "persisted index diverges from the in-memory build")
+    assert(reloaded.count() == 5L * TrainData.IvfTopK)
+  }
 }
