@@ -254,6 +254,21 @@ object ScaleProbe {
         graft.queries.TrainData2.bpeDocTokens(corpus)
           .agg(sum("bpe_tok")).collect()(0).getLong(0)
       }
+      // unigram-LM train + encode (q164/q165's kernel): the candidate
+      // census and both Viterbi passes are VOCAB-grain (row-local folds
+      // over the word relation), the encode is one broadcast-vocab
+      // corpus scan — so total wall should sit in the same
+      // two-corpus-scan class as BPE tokenize and stay corpus-linear.
+      val ((uniVocab, uniMass), tUnigram) = timed {
+        val (uv, uo) = graft.queries.TrainData3.uniModelFromWords(weights)
+        val vlen = weights.withColumn("n_p",
+          size(graft.queries.TrainData3.uniSegCol(col("w"), uv, uo)).cast("long"))
+        val mass = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vlen.select("w", "n_p")), "w")
+          .agg(sum("n_p")).collect()(0).getLong(0)
+        (uv.size, mass)
+      }
       println(s"""{"probe":"sketch","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""tokens":$nTok,"vocab":$vocab,"cms_rows":$cmsRows,"hist_rows":$histRows,""" +
         s""""words_sec":${f"$tWords%.2f"},"vocab_sec":${f"$tVocab%.2f"},""" +
@@ -261,7 +276,9 @@ object ScaleProbe {
         s""""bpe_round_sec":[${bpe.map(t => f"$t%.2f").mkString(",")}],""" +
         s""""bpe_batch_round_sec":[${bpeBatch.map(t => f"${t._2}%.2f").mkString(",")}],""" +
         s""""bpe_batch_merges":[${bpeBatch.map(_._3).mkString(",")}],""" +
-        s""""tokenize_mass":$bpeMass,"tokenize_sec":${f"$tTokenize%.2f"}}""")
+        s""""tokenize_mass":$bpeMass,"tokenize_sec":${f"$tTokenize%.2f"},""" +
+        s""""unigram_vocab":$uniVocab,"unigram_mass":$uniMass,""" +
+        s""""unigram_sec":${f"$tUnigram%.2f"}}""")
       spark.stop()
       return
     }

@@ -717,6 +717,33 @@ object Streams {
       .select("doc_id", "ts", "ws_tok", "bpe_tok", "fertility_pm")
   }
 
+  /** Streaming unigram-LM tokenize filter — the online form of q165
+    * (`TrainData3.uniSegCol` at doc grain): count each arriving doc's
+    * pieces under the BATCH-trained unigram model. The model state is
+    * the trained (piece → cost) map plus the OOV single-char cost —
+    * vocab-sized by the training caps (alphabet + UniMultiCap entries),
+    * so a plan literal is the right transport (the bounded-by-model
+    * rule; contrast surprisalFilter's census-selected broadcast for
+    * vocab-SIZED state). Each word runs the SAME row-local Viterbi fold
+    * the batch side ships — an unseen word (even with unseen CHARS)
+    * segments exactly as the frozen model prescribes, because the OOV
+    * cost is part of the model, not a fallback heuristic. ROW-LOCAL and
+    * STATELESS: no shuffle, no watermark, no state store — append mode
+    * at any rate. Batch equality and the OOV replay are pinned in
+    * StreamsSpec. */
+  def uniTokenizeFilter(docs: DataFrame, vocab: Map[String, Long],
+                        oovCost: Long): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ws_tok", size(col("toks")).cast("long"))
+      .withColumn("uni_tok", aggregate(
+        transform(col("toks"), w =>
+          size(graft.queries.TrainData3.uniSegCol(w, vocab, oovCost))
+            .cast("long")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("fertility_pm", expr("uni_tok * 1000 div ws_tok"))
+      .select("doc_id", "ts", "ws_tok", "uni_tok", "fertility_pm")
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

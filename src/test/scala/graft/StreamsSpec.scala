@@ -524,6 +524,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("uniTokenizeFilter matches the batch unigram segmentation; unseen chars pay the model's OOV cost") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train the frozen model on the planted corpus of TrainData3Spec
+    // ("aaaa"×10, "b"×1 → vocab {aaaa:128, b:2560}, oov 3584 — all
+    // hand-derived there); the stream must reproduce the batch
+    // segmentation and handle a never-seen char via the OOV cost
+    val (vocab, oov) = graft.queries.TrainData3.uniModelFromWords(
+      Seq(("aaaa", 10L), ("b", 1L)).toDF("w", "f"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.uniTokenizeFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), vocab, oov)
+      .writeStream.format("memory").queryName("unitok")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "aaaa b aaaa"), // 3 ws → 3 pieces
+        // "aaaab": [aaaa, b] (128+2560 beats any char split); "zz" is
+        // all-OOV → 2 single-char pieces at cost 3584 each
+        (2L, ts("2024-01-01 10:01:00"), "aaaab zz"),
+        (9L, ts("2024-01-01 10:02:00"), null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("unitok").collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got(1L) == ((3L, 3L, 1000L)), s"doc 1: ${got(1L)}")
+      assert(got(2L) == ((2L, 4L, 2000L)), s"doc 2: ${got(2L)}")
+      assert(!got.contains(9L), "null-text row must be dropped")
+    } finally q.stop()
+  }
+
   test("nearDupFilter flags docs sharing a band bucket against the keeper") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
