@@ -170,18 +170,18 @@ object PqAdc {
     require(codebooks.nonEmpty && codebooks.forall(_.size >= 2),
       "pq_adc: need >= 1 subspace with >= 2 codewords each")
     val dim = codebooks.size * subDim
-    val codes = codebooks.zipWithIndex.map { case (cb, m) =>
-      val sub = slice(col(vecCol), m * subDim + 1, subDim)
-      val dists = array(cb.map(cw => d2(sub, cw)): _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }
+    // one native codegen'd M·K·subDim loop per row ([[graft.functions
+    // .PqEncode]]) — arithmetic and tie-break are bit-identical to the
+    // previous per-codeword `aggregate(zip_with(...))` folds, which were
+    // interpreted per element and dominated the encode scan at M=8/K=8
+    val codes = graft.functions.PqEncode(col(vecCol), codebooks, subDim)
     // loud failure on a dim-mismatched vector (same policy as
     // IvfFlat.assign): a short vector would otherwise fold over
     // null-padded slices and silently take code NULL — which the ADC
     // lookup then ranks FIRST (nulls sort ahead ascending), poisoning
     // the shortlist with exactly the rows that should have failed
     vecs.withColumn("codes",
-      when(size(col(vecCol)) === dim, array(codes: _*))
+      when(size(col(vecCol)) === dim, codes)
         .otherwise(raise_error(concat(
           lit(s"pq_adc: vector must have $dim dims (M*subDim), got "),
           coalesce(size(col(vecCol)).cast("string"), lit("NULL"))))))

@@ -2257,10 +2257,19 @@ object TrainData2 {
     // drop rows); single-row scalar read, bounded model state
     val offset = Tables.embeddings(spark, dir)
       .agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    // MATERIALIZE the synthesized delta batch once (a real append's
+    // delta arrives materialized): without the checkpoint the delta
+    // branch's `transform(embedding, ×1.01)` is a COMPUTED column, and
+    // projection pushthrough + collapse inline it into every embedding
+    // reference of the fused assign+encode projection — 8 cosines + 64
+    // subspace folds re-ran the ×1.01 transform per row (measured 3.7 s
+    // vs 1.0 s for the same census at sf0.1). Attribute refs after the
+    // checkpoint are free to duplicate.
     val delta = corpus.select(
       (col("vec_id") + lit(offset)).as("vec_id"),
       transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
         .as("embedding"))
+      .localCheckpoint()
     val tagged = corpus.withColumn("is_delta", lit(false))
       .unionByName(delta.withColumn("is_delta", lit(true)))
     PqAdc.encode(IvfFlat.assign(tagged, cents), codebooks, PqSub)

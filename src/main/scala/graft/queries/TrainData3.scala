@@ -368,20 +368,19 @@ object TrainData3 {
   }
 
   /** (doc_id, keep, b) one row per DISTINCT bucket present in the doc —
-    * the Bernoulli feature relation shared by train and score. */
-  private def nbFeatures(docs: DataFrame): DataFrame = {
-    val t = TrainData.tokens(col("text"))
+    * the Bernoulli feature relation shared by train and score. Bigrams
+    * come from the codegen'd [[graft.functions.WordBigrams]] kernel: the
+    * HOF formulation (`element_at(split(text), i)` inside a transform
+    * lambda) re-runs `split` PER ELEMENT — quadratic per doc, measured
+    * 10.5 s vs ~1 s at sf0.1 for this relation alone. */
+  private def nbFeatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        (size(t) >= 30).as("keep"),
-        explode(when(size(t) >= 2,
-            transform(sequence(lit(1), size(t) - 1),
-              i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-          .otherwise(typedLit(Seq.empty[String]))).as("g"))
+        (size(TrainData.tokens(col("text"))) >= 30).as("keep"),
+        explode(graft.functions.WordBigrams(col("text"))).as("g"))
       .withColumn("__h", md5(concat(lit("nb:"), col("g"))))
       .select(col("doc_id"), col("keep"), nbBucket(col("g")).as("b"))
       .distinct()
-  }
 
   /** Per-class document counts (the 2-scalar class census — bounded
     * driver model state, like q162's offset). */
@@ -400,11 +399,19 @@ object TrainData3 {
     * Bernoulli model. */
   private[graft] def nbWeights(docs: DataFrame): DataFrame = {
     val (nk, nd) = nbClassCounts(docs)
-    val df = nbFeatures(docs)
+    nbWeightsFrom(nbFeatures(docs), nk, nd)
+  }
+
+  /** [[nbWeights]] over an ALREADY-built feature relation — split out so
+    * [[nbConfusion]] can pay the (heavy) explode+md5+distinct feature
+    * pass once and feed BOTH the train census and the scoring join from
+    * the same checkpoint. */
+  private def nbWeightsFrom(feats: DataFrame, nk: Long, nd: Long): DataFrame = {
+    val df = feats
       .groupBy("b").agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("dfk"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("dfd"))
-    val spine = docs.sparkSession.range(NbBuckets).select(col("id").as("b"))
+    val spine = feats.sparkSession.range(NbBuckets).select(col("id").as("b"))
     spine.join(df, Seq("b"), "left")
       .select(col("b"),
         coalesce(col("dfk"), lit(0L)).as("df_keep"),
@@ -469,8 +476,21 @@ object TrainData3 {
     * w_absent) + bias, bias = Σ_all w_absent + priorΔ (see the scoring
     * algebra at the section header); pred = margin ≥ 0 (tie → keep). */
   private[graft] def nbConfusion(docs: DataFrame): DataFrame = {
-    val (nk, nd) = nbClassCounts(docs)
-    val weights = nbWeights(docs).localCheckpoint() // model-sized, 2 consumers
+    // ONE labeled pass (light: split + size per doc) serves the class
+    // census AND the final left join; ONE feature pass (heavy: bigram
+    // explode + md5 + distinct) serves BOTH the train census and the
+    // scoring join — the q161 shared-checkpoint idiom. feats is
+    // data-sized but narrow and bounded (≤ NbBuckets rows per doc of
+    // (long, bool, int)), labeled is 2 columns per doc.
+    val labeled = docs.select(col("doc_id"),
+      (size(TrainData.tokens(col("text"))) >= 30).as("keep"))
+      .localCheckpoint()
+    val cc = labeled.groupBy("keep").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (nk, nd) = (cc.getOrElse(true, 0L), cc.getOrElse(false, 0L))
+    val feats = nbFeatures(docs).localCheckpoint()
+    val weights = nbWeightsFrom(feats, nk, nd)
+      .localCheckpoint() // model-sized, 2 consumers
     val sumAbsent = weights.agg(sum("w_absent")).head.getLong(0)
     // bias = ΣB + priorΔ + C, where C = NbBuckets·(L(n_d+2) − L(n_k+2))
     // is the per-bucket Bernoulli normalizer −L(n_c+2) that every bucket
@@ -479,9 +499,7 @@ object TrainData3 {
     // class's bigger n made every per-bucket likelihood look larger)
     val bias = sumAbsent + lg2e10(nk + 1) - lg2e10(nd + 1) +
       NbBuckets * (lg2e10(nd + 2) - lg2e10(nk + 2))
-    val labeled = docs.select(col("doc_id"),
-      (size(TrainData.tokens(col("text"))) >= 30).as("keep"))
-    val margins = nbFeatures(docs)
+    val margins = feats
       .join(broadcast(weights), "b")
       .groupBy("doc_id")
       .agg(sum(col("w_present") - col("w_absent")).as("mp"))
