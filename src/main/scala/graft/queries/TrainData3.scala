@@ -471,11 +471,26 @@ object TrainData3 {
       |SELECT b, df_keep, df_drop, w_present, w_absent FROM nbw
       |ORDER BY b""".stripMargin
 
-  /** Score every doc against the trained model and compare to its own
-    * heuristic label (train-set fit): margin = Σ_present (w_present −
-    * w_absent) + bias, bias = Σ_all w_absent + priorΔ (see the scoring
-    * algebra at the section header); pred = margin ≥ 0 (tie → keep). */
-  private[graft] def nbConfusion(docs: DataFrame): DataFrame = {
+  /** The frozen 64-cell scoring model as driver-side state for the
+    * streaming twin ([[graft.streaming.Streams.nbScoreFilter]]) and
+    * specs: `weights(b) = w_present(b) − w_absent(b)` (the per-PRESENT-
+    * bucket margin delta) plus the model-constant bias (see the scoring
+    * algebra at the section header). Bounded: NbBuckets longs + one
+    * scalar — the IvfFlat-centroid transport contract. */
+  private[graft] def nbModel(docs: DataFrame): (IndexedSeq[Long], Long) = {
+    val (nk, nd) = nbClassCounts(docs)
+    val w = nbWeights(docs).orderBy("b").collect()
+    val wArr = w.map(r => r.getLong(3) - r.getLong(4)).toIndexedSeq
+    val sumAbsent = w.map(_.getLong(4)).sum
+    val bias = sumAbsent + lg2e10(nk + 1) - lg2e10(nd + 1) +
+      NbBuckets * (lg2e10(nd + 2) - lg2e10(nk + 2))
+    (wArr, bias)
+  }
+
+  /** Per-doc (doc_id, keep, margin) scoring relation — split out of
+    * [[nbConfusion]] so the streaming twin's spec can pin per-doc batch
+    * equality, not just the census. */
+  private[graft] def nbDocMargins(docs: DataFrame): DataFrame = {
     // ONE labeled pass (light: split + size per doc) serves the class
     // census AND the final left join; ONE feature pass (heavy: bigram
     // explode + md5 + distinct) serves BOTH the train census and the
@@ -504,13 +519,20 @@ object TrainData3 {
       .groupBy("doc_id")
       .agg(sum(col("w_present") - col("w_absent")).as("mp"))
     labeled.join(margins, Seq("doc_id"), "left")
-      .select(col("keep").as("label_keep"),
+      .select(col("doc_id"), col("keep"),
         (coalesce(col("mp"), lit(0L)) + lit(bias)).as("m"))
+  }
+
+  /** Score every doc against the trained model and compare to its own
+    * heuristic label (train-set fit) — the confusion census over
+    * [[nbDocMargins]]; pred = margin ≥ 0 (tie → keep). */
+  private[graft] def nbConfusion(docs: DataFrame): DataFrame =
+    nbDocMargins(docs)
+      .select(col("keep").as("label_keep"), col("m"))
       .withColumn("pred_keep", col("m") >= 0)
       .groupBy("label_keep", "pred_keep")
       .agg(count(lit(1)).as("n_docs"), sum("m").as("margin_sum"))
       .orderBy("label_keep", "pred_keep")
-  }
 
   private def q167(spark: SparkSession, dir: String): DataFrame =
     nbConfusion(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -597,10 +619,148 @@ object TrainData3 {
       |WHERE rk <= ${TrainData.IvfTopK}
       |ORDER BY probe_id, rk""".stripMargin
 
+  // ── q169: DSIR-style hashed n-gram importance RESAMPLING (Xie et
+  // al. 2023, "Data Selection for Language Models via Importance
+  // Resampling") — the distribution-MATCHING selector next to the NB
+  // classifier's keep/drop decision (q166/q167): score every raw doc by
+  // how much more likely its hashed-bigram counts are under a TARGET
+  // distribution (here: the lang='en' slice — DSIR's canonical "match
+  // formal English" use) than under the raw-corpus distribution, then
+  // keep the top-quarter by that importance logit. The two differ
+  // exactly as the papers do: NB is Bernoulli over bucket PRESENCE with
+  // a decision boundary; DSIR is multinomial over bucket COUNTS with a
+  // ranked resample — both engines share only the md5-bucket primitive
+  // (feature spaces stay independent via the "ds:"/"nb:" hash prefixes).
+  //
+  // Determinism: per-bucket importance weights are fixed-point log2
+  // deltas (lg2e10, +1 smoothing over the full bucket spine); a doc's
+  // logit is the exact integer Σ_b n_db·(L(t_b+1) − L(s_b+1)) +
+  // n_d·(L(S+B) − L(T+B)) — the second term is the Laplace-normalizer
+  // difference every bigram token contributes regardless of bucket.
+  // Selection is the temperature→0 limit of DSIR's Gumbel resample:
+  // rank by (logit DESC, doc_id), keep ⌈n/4⌉.
+  //
+  // Scale: the heavy pass is ONE bigram explode + count rollup shared
+  // (checkpointed) by the census and the scoring join; the model is the
+  // DsBuckets-row weight table (broadcast) plus two census scalars. The
+  // global row_number is doc-census grain; at 100 TB the rank would be
+  // replaced by a logit threshold read off the q79 histogram sketch —
+  // the census output (lang grain) is unchanged by that swap. ──
+  private val DsBuckets = NbBuckets // 64; spaces differ by hash prefix
+
+  /** (doc_id, lang, b, n) hashed word-bigram COUNT features — the
+    * multinomial relation (vs [[nbFeatures]]'s distinct-presence). */
+  private def dsFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.WordBigrams(col("text"))).as("g"))
+      .withColumn("__h", md5(concat(lit("ds:"), col("g"))))
+      .select(col("doc_id"), col("lang"), nbBucket(col("g")).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+
+  /** Per-doc importance logits + the ⌈n/4⌉ selection flag — split out
+    * so the spec can pin WHICH docs a planted vocab-separated corpus
+    * selects, not just the census. */
+  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // one heavy pass, two consumers (census + scoring join)
+    val feats = dsFeatures(docs).localCheckpoint()
+    val cens = feats.groupBy("b").agg(
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tb"),
+      sum(col("n")).as("sb"))
+    val spine = spark.range(DsBuckets).select(col("id").as("b"))
+    // DsBuckets-row model: per-bucket fixed-point log-likelihood delta
+    val bw = spine.join(cens, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("tb"), lit(0L)).as("tb"),
+        coalesce(col("sb"), lit(0L)).as("sb"))
+      .withColumn("w",
+        expr(lg2e10Expr("tb + 1")) - expr(lg2e10Expr("sb + 1")))
+      .localCheckpoint()
+    val tot = bw.agg(sum("tb").as("tt"), sum("sb").as("st")).head
+    val (tt, st) = (tot.getLong(0), tot.getLong(1))
+    // Laplace-normalizer delta per bigram token (driver scalar)
+    val shift = lg2e10(st + DsBuckets) - lg2e10(tt + DsBuckets)
+    val selN = (docs.count() + 3) / 4
+    val logits = feats.join(broadcast(bw.select("b", "w")), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("w")).as("wsum"), sum("n").as("nd"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(logits, Seq("doc_id"), "left") // docs w/o bigrams: logit 0
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("wsum"), lit(0L)) +
+          coalesce(col("nd"), lit(0L)) * lit(shift)).as("logit"))
+    scored.withColumn("sel",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("logit").desc, col("doc_id"))) <= selN)
+  }
+
+  private def q169(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("sel"), col("logit")).otherwise(0L)).as("sel_logit_sum"))
+      .orderBy("lang")
+
+  private val q169Sql = {
+    val compose = (0 until 8).map(n =>
+      s"(instr('0123456789abcdef', substr(__h, ${n + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * n)}").mkString(" + ")
+    s"""WITH dsbg AS MATERIALIZED (
+      |  SELECT doc_id, lang, ($compose) % $DsBuckets AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT doc_id, lang, md5('ds:' || g) AS __h FROM (
+      |      SELECT doc_id, lang,
+      |        unnest(list_transform(range(1, len(t)),
+      |          i -> t[i] || ' ' || t[i + 1])) AS g
+      |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |            FROM documents)))
+      |  GROUP BY 1, 2, 3),
+      |dscen AS MATERIALIZED (
+      |  SELECT s.b, COALESCE(c.tb, 0) AS tb, COALESCE(c.sb, 0) AS sb
+      |  FROM (SELECT unnest(range(0, $DsBuckets)) AS b) s
+      |  LEFT JOIN (
+      |    SELECT b,
+      |      CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tb,
+      |      CAST(SUM(n) AS BIGINT) AS sb
+      |    FROM dsbg GROUP BY 1) c ON s.b = c.b),
+      |dstot AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt,
+      |    CAST(SUM(sb) AS BIGINT) AS st FROM dscen),
+      |dsw AS MATERIALIZED (
+      |  SELECT b, ${lg2e10Sql("(tb + 1)")} - ${lg2e10Sql("(sb + 1)")} AS w
+      |  FROM dscen),
+      |dsshift AS (SELECT
+      |    ${lg2e10Sql("((SELECT st FROM dstot) + " + DsBuckets + ")")} -
+      |    ${lg2e10Sql("((SELECT tt FROM dstot) + " + DsBuckets + ")")} AS v),
+      |dslogit AS MATERIALIZED (
+      |  SELECT d.doc_id, d.lang,
+      |    COALESCE(g.wsum, 0) +
+      |      COALESCE(g.nd, 0) * (SELECT v FROM dsshift) AS logit
+      |  FROM documents d LEFT JOIN (
+      |    SELECT f.doc_id,
+      |      CAST(SUM(f.n * w.w) AS BIGINT) AS wsum,
+      |      CAST(SUM(f.n) AS BIGINT) AS nd
+      |    FROM dsbg f JOIN dsw w ON f.b = w.b GROUP BY 1) g
+      |  ON d.doc_id = g.doc_id),
+      |dssel AS (
+      |  SELECT lang, logit,
+      |    ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) <=
+      |      ((SELECT COUNT(*) FROM documents) + 3) // 4 AS sel
+      |  FROM dslogit)
+      |SELECT lang, COUNT(*) AS n_raw,
+      |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+      |  CAST(SUM(CASE WHEN sel THEN logit ELSE 0 END) AS BIGINT)
+      |    AS sel_logit_sum
+      |FROM dssel GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q164_unigram_train", q164, Some(q164Sql)),
     QueryDef("q165_unigram_encode", q165, Some(q165Sql)),
     QueryDef("q166_nb_train", q166, Some(q166Sql)),
     QueryDef("q167_nb_score", q167, Some(q167Sql)),
-    QueryDef("q168_index_persist", q168, Some(q168Sql)))
+    QueryDef("q168_index_persist", q168, Some(q168Sql)),
+    QueryDef("q169_dsir_resample", q169, Some(q169Sql)))
 }

@@ -477,6 +477,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nbScoreFilter matches batch nbDocMargins per doc under the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the TrainData3Spec planted corpus: 10 long a-vocab docs (keep
+    // label) + 10 short b-vocab docs (drop) — margins separate by sign
+    val keepText = (0 until 40).map(i => s"a$i").mkString(" ")
+    val dropText = (0 until 10).map(i => s"b$i").mkString(" ")
+    val corpus = (0L until 10L).map(i => i -> keepText) ++
+      (10L until 20L).map(i => i -> dropText)
+    val docsDf = corpus.toDF("doc_id", "text")
+    // batch-train with the SHIPPING kernel; batch-score with the
+    // SHIPPING per-doc relation
+    val (weights, bias) = graft.queries.TrainData3.nbModel(docsDf)
+    val batch = graft.queries.TrainData3.nbDocMargins(docsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nbScoreFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), weights, bias)
+      .writeStream.format("memory").queryName("nbscore")
+      .outputMode("append").start()
+    try {
+      in.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+        (id, ts(f"2024-01-01 10:${i % 60}%02d:00"), text)
+      }: _*)
+      // plus: a no-bigram doc (margin = bias exactly, batch's
+      // coalesce(mp, 0) shape) and a null-text row (dropped)
+      in.addData((90L, ts("2024-01-01 11:00:00"), "solo"),
+        (91L, ts("2024-01-01 11:01:00"), null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("nbscore").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+      batch.foreach { case (id, m) =>
+        assert(got(id) == ((m, m >= 0)),
+          s"doc $id: stream ${got(id)} vs batch margin $m")
+      }
+      assert(got(90L) == ((bias, bias >= 0)), s"no-bigram doc: ${got(90L)}")
+      assert(!got.contains(91L), "null-text row must be dropped")
+      // the planted signal survives the stream: keep docs positive,
+      // drop docs negative
+      (0L until 10L).foreach(id => assert(got(id)._2, s"doc $id not kept"))
+      (10L until 20L).foreach(id => assert(!got(id)._2, s"doc $id not dropped"))
+    } finally q.stop()
+  }
+
   test("bpeTokenizeFilter matches batch bpeDocTokens on shared docs; unseen words replay the frozen merges") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -135,6 +135,39 @@ class TrainData3Spec extends SparkSpec {
     }
   }
 
+  test("q169: DSIR selects exactly the target-vocabulary docs on a planted corpus") {
+    import spark.implicits._
+    // target (en) docs speak the t-vocabulary; the raw pool adds 4
+    // non-en docs that ALSO speak it (the docs DSIR should surface) and
+    // 8 docs over a disjoint u-vocabulary (the docs it should pass
+    // over). selN = ⌈16/4⌉ = 4; the t-buckets carry w ≈ L(t+1)−L(s+1)
+    // far above the u-buckets' L(1)−L(s+1), so the 4 non-en t-docs
+    // outrank every u-doc... and the en docs themselves compete — so
+    // assert the SELECTED set is t-pure, not a specific id list.
+    val tText = (0 until 30).map(i => s"t${i % 7}").mkString(" ")
+    val uText = (0 until 30).map(i => s"u${i % 7}").mkString(" ")
+    val docs = (
+      (0L until 4L).map(i => (i, "en", tText)) ++
+        (4L until 8L).map(i => (i, "de", tText)) ++
+        (8L until 16L).map(i => (i, "fr", uText))
+      ).toDF("doc_id", "lang", "text")
+    val sel = graft.queries.TrainData3.dsirSelect(docs)
+      .filter(col("sel")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.size == 4, s"selN should be 4, got $sel")
+    assert(sel.forall(_ < 8L), s"selected a u-vocabulary doc: $sel")
+  }
+
+  test("q169: census conserves docs and selects exactly the quarter budget") {
+    val rows = q("q169_dsir_resample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val sel = rows.map(_._3).sum
+    assert(sel == (total + 3) / 4, s"selected $sel of $total")
+    rows.foreach { case (lang, raw, s, _) =>
+      assert(s >= 0 && s <= raw, s"$lang: n_sel=$s outside [0, $raw]")
+    }
+  }
+
   test("q168: the reloaded index serves exactly what an in-memory rebuild serves") {
     import graft.queries.{TrainData, TrainData2}
     import graft.operators.{IvfFlat, PqAdc}
