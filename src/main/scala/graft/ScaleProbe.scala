@@ -140,6 +140,48 @@ object ScaleProbe {
     // otherwise collide across replicas and silently merge documents
     val n0 = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
 
+    // SPARK_GRAFT_PROBE=classifier: the round-12 curation scorers — NB
+    // train+score (q166/q167: one heavy bigram feature pass shared by
+    // the 64-cell train census and the broadcast-model scoring join)
+    // and DSIR select (q169: one bigram count pass, broadcast weights,
+    // doc-census rank). Model state is DsBuckets cells in both — wall
+    // should track the corpus (the feature passes), never the model;
+    // replication leaves the per-doc margins of replica 0 docs almost
+    // unchanged (each replica adds one salt bigram per doc and scales
+    // every bucket census ~mult×, which the fixed-point log deltas
+    // absorb), so accuracy should hold flat while docs multiply.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "classifier") {
+      def timedC[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val lbase = graft.engine.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val ccorpus = (0 until mult).map { k =>
+        lbase.select((col("doc_id") + lit(k * n0)).as("doc_id"), col("lang"),
+          (if (k == 0) col("text")
+           else concat(col("text"), lit(s" replica$k"))).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nc = ccorpus.count()
+      val (cm, tNb) = timedC {
+        graft.queries.TrainData3.nbConfusion(
+          ccorpus.select(col("doc_id"), col("text"))).collect()
+      }
+      val nbTotal = cm.map(_.getLong(2)).sum
+      val nbCorrect = cm.filter(r => r.getBoolean(0) == r.getBoolean(1))
+        .map(_.getLong(2)).sum
+      val (nSel, tDsir) = timedC {
+        graft.queries.TrainData3.dsirSelect(ccorpus)
+          .filter(col("sel")).count()
+      }
+      println(s"""{"probe":"classifier","sf":"$sfDir","mult":$mult,"docs":$nc,""" +
+        s""""nb_sec":${f"$tNb%.2f"},"nb_correct":$nbCorrect,"nb_total":$nbTotal,""" +
+        s""""dsir_sec":${f"$tDsir%.2f"},"dsir_selected":$nSel}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=prefixjoin: q157's exact-Jaccard AllPairs/PPJoin
     // kernel — through the SAME private[graft] prefixJoinPairs the gated
     // query ships (runs BEFORE the default salted replication below: it
