@@ -374,13 +374,19 @@ object TrainData3 {
     * lambda) re-runs `split` PER ELEMENT — quadratic per doc, measured
     * 10.5 s vs ~1 s at sf0.1 for this relation alone. */
   private def nbFeatures(docs: DataFrame): DataFrame =
+    // the DISTINCT is ROW-LOCAL, inside the codegen'd [[graft.functions
+    // .HashBucketSet]] kernel — a relational `.distinct()` here shuffles
+    // one row per bigram OCCURRENCE, and the HOF formulation pays an
+    // interpreted lambda per bigram (8 conv+substring each); both
+    // measured ~1 s of q167's wall at sf0.1. The kernel dedups the
+    // per-doc bucket set in place, so only ≤ NbBuckets rows per doc
+    // ever leave the scan. Same result set: DISTINCT at (doc_id, keep,
+    // b) grain either way, and the oracle's nbf CTE is unchanged.
     docs
       .select(col("doc_id"),
         (size(TrainData.tokens(col("text"))) >= 30).as("keep"),
-        explode(graft.functions.WordBigrams(col("text"))).as("g"))
-      .withColumn("__h", md5(concat(lit("nb:"), col("g"))))
-      .select(col("doc_id"), col("keep"), nbBucket(col("g")).as("b"))
-      .distinct()
+        explode(graft.functions.HashBucketSet(
+          col("text"), "nb:", NbBuckets)).as("b"))
 
   /** Per-class document counts (the 2-scalar class census — bounded
     * driver model state, like q162's offset). */
@@ -482,31 +488,6 @@ object TrainData3 {
     val w = nbWeights(docs).orderBy("b").collect()
     val wArr = w.map(r => r.getLong(3) - r.getLong(4)).toIndexedSeq
     val sumAbsent = w.map(_.getLong(4)).sum
-    val bias = sumAbsent + lg2e10(nk + 1) - lg2e10(nd + 1) +
-      NbBuckets * (lg2e10(nd + 2) - lg2e10(nk + 2))
-    (wArr, bias)
-  }
-
-  /** Per-doc (doc_id, keep, margin) scoring relation — split out of
-    * [[nbConfusion]] so the streaming twin's spec can pin per-doc batch
-    * equality, not just the census. */
-  private[graft] def nbDocMargins(docs: DataFrame): DataFrame = {
-    // ONE labeled pass (light: split + size per doc) serves the class
-    // census AND the final left join; ONE feature pass (heavy: bigram
-    // explode + md5 + distinct) serves BOTH the train census and the
-    // scoring join — the q161 shared-checkpoint idiom. feats is
-    // data-sized but narrow and bounded (≤ NbBuckets rows per doc of
-    // (long, bool, int)), labeled is 2 columns per doc.
-    val labeled = docs.select(col("doc_id"),
-      (size(TrainData.tokens(col("text"))) >= 30).as("keep"))
-      .localCheckpoint()
-    val cc = labeled.groupBy("keep").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val (nk, nd) = (cc.getOrElse(true, 0L), cc.getOrElse(false, 0L))
-    val feats = nbFeatures(docs).localCheckpoint()
-    val weights = nbWeightsFrom(feats, nk, nd)
-      .localCheckpoint() // model-sized, 2 consumers
-    val sumAbsent = weights.agg(sum("w_absent")).head.getLong(0)
     // bias = ΣB + priorΔ + C, where C = NbBuckets·(L(n_d+2) − L(n_k+2))
     // is the per-bucket Bernoulli normalizer −L(n_c+2) that every bucket
     // contributes in BOTH classes regardless of presence — dropping it
@@ -514,13 +495,41 @@ object TrainData3 {
     // class's bigger n made every per-bucket likelihood look larger)
     val bias = sumAbsent + lg2e10(nk + 1) - lg2e10(nd + 1) +
       NbBuckets * (lg2e10(nd + 2) - lg2e10(nk + 2))
-    val margins = feats
-      .join(broadcast(weights), "b")
-      .groupBy("doc_id")
-      .agg(sum(col("w_present") - col("w_absent")).as("mp"))
-    labeled.join(margins, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("keep"),
-        (coalesce(col("mp"), lit(0L)) + lit(bias)).as("m"))
+    (wArr, bias)
+  }
+
+  /** The scoring column under a FROZEN model: margin = bias +
+    * Σ_{b ∈ present buckets} weights(b), as one row-local fold over the
+    * [[graft.functions.HashBucketSet]] kernel's ≤NbBuckets-element
+    * per-doc bucket set. Shared VERBATIM by the batch scorer
+    * ([[nbDocMargins]]) and the streaming gate
+    * ([[graft.streaming.Streams.nbScoreFilter]]) — one kernel, two
+    * deployment shapes. */
+  private[graft] def nbMarginCol(text: Column, weights: IndexedSeq[Long],
+                                 bias: Long): Column = {
+    require(weights.size == NbBuckets,
+      s"nb_margin: expected $NbBuckets weights, got ${weights.size}")
+    aggregate(
+      graft.functions.HashBucketSet(text, "nb:", NbBuckets),
+      lit(bias),
+      (acc, b) => acc + element_at(typedLit(weights), (b + lit(1L)).cast("int")))
+  }
+
+  /** Per-doc (doc_id, keep, margin) scoring relation — split out of
+    * [[nbConfusion]] so the streaming twin's spec can pin per-doc batch
+    * equality, not just the census. Two-phase by design: TRAIN collects
+    * the bounded model ([[nbModel]] — 64 cells + bias, one feature pass
+    * + one labeled pass), then SCORE is a single row-local scan under
+    * the literal model ([[nbMarginCol]]) — no feature checkpoint, no
+    * margin shuffle, no join; the previous feats-join formulation
+    * measured 2.1 s vs 1.2 s at sf0.1. A doc with no bigrams folds to
+    * margin = bias (the empty bucket set), exactly the old
+    * `coalesce(mp, 0) + bias`. */
+  private[graft] def nbDocMargins(docs: DataFrame): DataFrame = {
+    val (weights, bias) = nbModel(docs)
+    docs.select(col("doc_id"),
+      (size(TrainData.tokens(col("text"))) >= 30).as("keep"),
+      nbMarginCol(col("text"), weights, bias).as("m"))
   }
 
   /** Score every doc against the trained model and compare to its own

@@ -750,38 +750,25 @@ object Streams {
     * model (`TrainData3.nbModel` — the per-bucket margin deltas
     * `w_present − w_absent` plus the model-constant bias), emitting the
     * integer margin and the keep/drop verdict the curation gate routes
-    * on. ROW-LOCAL and STATELESS: bigrams ([[graft.functions
-    * .WordBigrams]]), md5 bucket, DISTINCT present buckets (the
-    * Bernoulli grain — array_distinct mirrors the batch relation's
-    * DISTINCT), then one fold adding the present buckets' deltas to the
-    * bias. Model transport is a plan literal: exactly NbBuckets longs +
-    * one scalar — bounded by the model like [[annEncodeFilter]]'s
+    * on. ROW-LOCAL and STATELESS: the scoring column IS the batch
+    * scorer's (`TrainData3.nbMarginCol` — the codegen'd
+    * [[graft.functions.HashBucketSet]] bucket-set kernel + one fold
+    * adding the present buckets' deltas to the bias); one kernel, two
+    * deployment shapes, so stream and batch cannot drift. Model
+    * transport is a plan literal: exactly NbBuckets longs + one
+    * scalar — bounded by the model like [[annEncodeFilter]]'s
     * centroids, far under the [[SurprisalLiteralMaxVocab]] line, so no
-    * join node is ever needed. The in-lambda bucket compose uses
-    * `conv(hexdigit, 16, 10)` — value-identical to the batch side's
-    * `instr('0123456789abcdef', ·) − 1` over md5's lowercase hex.
-    * Null-text rows are dropped (the batch explode drops them too);
-    * a no-bigram doc scores margin = bias, exactly as batch's
-    * `coalesce(mp, 0)`. Batch equality pinned per-doc in StreamsSpec. */
+    * join node is ever needed. Null-text rows are dropped (the batch
+    * relation scores them to a NULL keep label; a stream gate routes,
+    * so it drops); a no-bigram doc scores margin = bias (the empty
+    * bucket set). Batch equality pinned per-doc in StreamsSpec. */
   def nbScoreFilter(docs: DataFrame, weights: IndexedSeq[Long],
-                    bias: Long): DataFrame = {
-    require(weights.nonEmpty, "nb_score: empty weight table")
-    val wLit = typedLit(weights)
-    def bucket(g: Column): Column = {
-      val h = md5(concat(lit("nb:"), g))
-      (0 until 8).map(n =>
-          conv(substring(h, n + 1, 1), 16, 10).cast("long") *
-            lit(1L << (4 * n)))
-        .reduce(_ + _) % lit(weights.size.toLong)
-    }
+                    bias: Long): DataFrame =
     docs.filter(col("text").isNotNull)
-      .withColumn("__bs", array_distinct(transform(
-        graft.functions.WordBigrams(col("text")), g => bucket(g))))
-      .withColumn("margin", aggregate(col("__bs"), lit(bias),
-        (acc, b) => acc + element_at(wLit, (b + lit(1L)).cast("int"))))
+      .withColumn("margin",
+        graft.queries.TrainData3.nbMarginCol(col("text"), weights, bias))
       .withColumn("pred_keep", col("margin") >= 0)
       .select("doc_id", "ts", "margin", "pred_keep")
-  }
 
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
