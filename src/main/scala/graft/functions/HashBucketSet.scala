@@ -7,9 +7,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DISTINCT md5-nibble feature buckets of a document's word bigrams, as
-  * one native codegen'd kernel — the feature relation of the trained
-  * quality classifier (q166/q167) and its streaming twin.
+/** md5-nibble feature buckets of a document's word bigrams, as one
+  * native codegen'd kernel — DISTINCT (Bernoulli grain: the trained
+  * quality classifier q166/q167 and its streaming twin) or one element
+  * per occurrence (multinomial grain: DSIR q169 and its streaming
+  * twin).
   *
   * Semantics are value-identical to the composed batch formulation the
   * oracle replays: `split(text, " ")` (trailing empties kept) →
@@ -30,13 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * never index). 0- or 1-token docs yield an empty array.
   */
 object HashBucketSet {
-  /** Static kernel shared by interpreted eval and generated code. */
-  def compute(s: UTF8String, prefix: UTF8String, buckets: Int): ArrayData = {
+  /** Static kernel shared by interpreted eval and generated code.
+    * `dedup = false` keeps one element per bigram OCCURRENCE in order —
+    * the multinomial grain (DSIR's count features); `dedup = true`
+    * keeps the first occurrence of each bucket — the Bernoulli grain
+    * (the NB classifier's presence features). */
+  def compute(s: UTF8String, prefix: UTF8String, buckets: Int,
+              dedup: Boolean): ArrayData = {
     val toks = s.toString.split(" ", -1)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val p = prefix.toString
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = if (dedup) new java.util.LinkedHashSet[java.lang.Long]() else null
+    val all = if (dedup) null else new Array[Any](toks.length - 1)
     var i = 0
     while (i < toks.length - 1) {
       val g = p + toks(i) + " " + toks(i + 1)
@@ -49,9 +57,10 @@ object HashBucketSet {
         v += nib.toLong << (4 * n)
         n += 1
       }
-      seen.add(v % buckets)
+      if (dedup) seen.add(v % buckets) else all(i) = v % buckets
       i += 1
     }
+    if (!dedup) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -59,15 +68,23 @@ object HashBucketSet {
     new GenericArrayData(out)
   }
 
+  /** DISTINCT buckets (Bernoulli grain). */
   def apply(c: Column, prefix: String, buckets: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(HashBucketSetExpr(ColumnBridge.expression(c),
-      prefix, buckets))
+      prefix, buckets, dedup = true))
+  }
+
+  /** One bucket per bigram occurrence (multinomial grain). */
+  def list(c: Column, prefix: String, buckets: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HashBucketSetExpr(ColumnBridge.expression(c),
+      prefix, buckets, dedup = false))
   }
 }
 
-case class HashBucketSetExpr(child: Expression, prefix: String, buckets: Int)
-    extends UnaryExpression {
+case class HashBucketSetExpr(child: Expression, prefix: String, buckets: Int,
+                             dedup: Boolean) extends UnaryExpression {
   require(buckets >= 1, s"hash_bucket_set: buckets=$buckets must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -84,13 +101,13 @@ case class HashBucketSetExpr(child: Expression, prefix: String, buckets: Int)
   @transient private lazy val prefixUtf8 = UTF8String.fromString(prefix)
 
   override def nullSafeEval(v: Any): Any =
-    HashBucketSet.compute(v.asInstanceOf[UTF8String], prefixUtf8, buckets)
+    HashBucketSet.compute(v.asInstanceOf[UTF8String], prefixUtf8, buckets, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val pRef = ctx.addReferenceObj("hbsPrefix", prefixUtf8,
         "org.apache.spark.unsafe.types.UTF8String")
-      s"${ev.value} = graft.functions.HashBucketSet.compute($c, $pRef, $buckets);"
+      s"${ev.value} = graft.functions.HashBucketSet.compute($c, $pRef, $buckets, $dedup);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): HashBucketSetExpr =

@@ -351,21 +351,13 @@ object TrainData3 {
   // (the per-bucket −L(n_c+2) normalizers appear for every bucket in
   // both classes and fold into the bias). Rewriting
   // margin = Σ_present (A−B) + [Σ_all B + priorΔ], the bracket is a
-  // MODEL CONSTANT — so a doc is scored by joining only its PRESENT
-  // buckets (≤64 rows) against the broadcast weight table, plus one
-  // literal bias. Scale: train = one corpus scan into a 64-cell
-  // partial-agg census; score = one scan + a broadcast join; driver
-  // state = the 2-row class census and the 64-row model (bounded). ──
+  // MODEL CONSTANT — so a doc is scored by folding only its PRESENT
+  // buckets (≤NbBuckets) over the literal weight array, plus one
+  // literal bias ([[nbMarginCol]]). Scale: train = one corpus scan
+  // into a 64-cell partial-agg census; score = one row-local scan
+  // under the literal model; driver state = the 2-row class census
+  // and the 64-cell model (bounded). ──
   private val NbBuckets = 64
-
-  /** md5-nibble bucket of bigram string column (8 nibbles = 32 bits,
-    * mod NbBuckets) — deterministic across engines. */
-  private def nbBucket(g: Column): Column = {
-    val compose = (0 until 8).map(n =>
-      s"(instr('0123456789abcdef', substring(__h, ${n + 1}, 1)) - 1)" +
-        s" * ${1L << (4 * n)}L").mkString(" + ")
-    expr(s"($compose) % $NbBuckets")
-  }
 
   /** (doc_id, keep, b) one row per DISTINCT bucket present in the doc —
     * the Bernoulli feature relation shared by train and score. Bigrams
@@ -657,51 +649,63 @@ object TrainData3 {
   // the census output (lang grain) is unchanged by that swap. ──
   private val DsBuckets = NbBuckets // 64; spaces differ by hash prefix
 
-  /** (doc_id, lang, b, n) hashed word-bigram COUNT features — the
-    * multinomial relation (vs [[nbFeatures]]'s distinct-presence). */
-  private def dsFeatures(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.WordBigrams(col("text"))).as("g"))
-      .withColumn("__h", md5(concat(lit("ds:"), col("g"))))
-      .select(col("doc_id"), col("lang"), nbBucket(col("g")).as("b"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+  /** The frozen DSIR model as driver-side state: per-bucket importance
+    * deltas `w(b) = L(t_b+1) − L(s_b+1)` plus the Laplace-normalizer
+    * delta every bigram token contributes regardless of bucket.
+    * Training is ONE occurrence-grain census scan (the codegen'd
+    * [[graft.functions.HashBucketSet]] list kernel explodes straight
+    * into a DsBuckets-cell partial agg — map-side combine leaves a
+    * 64-row exchange); model = DsBuckets longs + one scalar. */
+  private[graft] def dsModel(docs: DataFrame): (IndexedSeq[Long], Long) = {
+    val occ = docs.select(col("lang"),
+      explode(graft.functions.HashBucketSet.list(
+        col("text"), "ds:", DsBuckets)).as("b"))
+    val cens = occ.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("sb"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (tt, st) = (cens.values.map(_._1).sum, cens.values.map(_._2).sum)
+    val weights = IndexedSeq.tabulate(DsBuckets) { b =>
+      val (tb, sb) = cens.getOrElse(b.toLong, (0L, 0L)) // +1 smoothing spine
+      lg2e10(tb + 1) - lg2e10(sb + 1)
+    }
+    val shift = lg2e10(st + DsBuckets) - lg2e10(tt + DsBuckets)
+    (weights, shift)
+  }
+
+  /** The DSIR scoring column under a FROZEN model: logit =
+    * Σ_occurrences w(bucket) + n_bigrams·shift, one row-local fold over
+    * the occurrence-grain bucket list (Σ_b n_db·w(b) ≡ the
+    * occurrence sum — integer, order-free). Shared VERBATIM by the
+    * batch selector ([[dsirSelect]]) and the streaming threshold gate
+    * ([[graft.streaming.Streams.dsirScoreFilter]]). */
+  private[graft] def dsLogitCol(text: Column, weights: IndexedSeq[Long],
+                                shift: Long): Column = {
+    require(weights.size == DsBuckets,
+      s"dsir_logit: expected $DsBuckets weights, got ${weights.size}")
+    // fold (w(b) + shift) per OCCURRENCE — Σw + n·shift in one
+    // traversal, so the kernel column is referenced (and computed) once
+    aggregate(
+      graft.functions.HashBucketSet.list(text, "ds:", DsBuckets),
+      lit(0L),
+      (acc, b) => acc + lit(shift) +
+        element_at(typedLit(weights), (b + lit(1L)).cast("int")))
+  }
 
   /** Per-doc importance logits + the ⌈n/4⌉ selection flag — split out
     * so the spec can pin WHICH docs a planted vocab-separated corpus
-    * selects, not just the census. */
+    * selects, not just the census. Two-phase like [[nbDocMargins]]:
+    * TRAIN collects the bounded model ([[dsModel]]), SCORE is one
+    * row-local scan under the literal model — no feature checkpoint,
+    * no broadcast join, no per-doc count shuffle. */
   private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    // one heavy pass, two consumers (census + scoring join)
-    val feats = dsFeatures(docs).localCheckpoint()
-    val cens = feats.groupBy("b").agg(
-      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tb"),
-      sum(col("n")).as("sb"))
-    val spine = spark.range(DsBuckets).select(col("id").as("b"))
-    // DsBuckets-row model: per-bucket fixed-point log-likelihood delta
-    val bw = spine.join(cens, Seq("b"), "left")
-      .select(col("b"),
-        coalesce(col("tb"), lit(0L)).as("tb"),
-        coalesce(col("sb"), lit(0L)).as("sb"))
-      .withColumn("w",
-        expr(lg2e10Expr("tb + 1")) - expr(lg2e10Expr("sb + 1")))
-      .localCheckpoint()
-    val tot = bw.agg(sum("tb").as("tt"), sum("sb").as("st")).head
-    val (tt, st) = (tot.getLong(0), tot.getLong(1))
-    // Laplace-normalizer delta per bigram token (driver scalar)
-    val shift = lg2e10(st + DsBuckets) - lg2e10(tt + DsBuckets)
+    val (weights, shift) = dsModel(docs)
     val selN = (docs.count() + 3) / 4
-    val logits = feats.join(broadcast(bw.select("b", "w")), "b")
-      .groupBy("doc_id")
-      .agg(sum(col("n") * col("w")).as("wsum"), sum("n").as("nd"))
-    val scored = docs.select(col("doc_id"), col("lang"))
-      .join(logits, Seq("doc_id"), "left") // docs w/o bigrams: logit 0
-      .select(col("doc_id"), col("lang"),
-        (coalesce(col("wsum"), lit(0L)) +
-          coalesce(col("nd"), lit(0L)) * lit(shift)).as("logit"))
-    scored.withColumn("sel",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("logit").desc, col("doc_id"))) <= selN)
+    docs.select(col("doc_id"), col("lang"),
+        dsLogitCol(col("text"), weights, shift).as("logit"))
+      .withColumn("sel",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("logit").desc, col("doc_id"))) <= selN)
   }
 
   private def q169(spark: SparkSession, dir: String): DataFrame =

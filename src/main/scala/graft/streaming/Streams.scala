@@ -770,6 +770,29 @@ object Streams {
       .withColumn("pred_keep", col("margin") >= 0)
       .select("doc_id", "ts", "margin", "pred_keep")
 
+  /** Streaming DSIR importance gate — the online form of q169's scoring
+    * half (`TrainData3.dsirSelect`): each arriving doc's importance
+    * logit is computed under the BATCH-trained model
+    * (`TrainData3.dsModel` — DsBuckets per-bucket deltas + the
+    * Laplace-normalizer shift) by the batch selector's own column
+    * (`TrainData3.dsLogitCol` — one kernel, two deployment shapes), and
+    * routed against a THRESHOLD. The threshold replaces the batch
+    * query's global top-⌈n/4⌉ rank because a stream has no corpus to
+    * rank against — this is exactly the 100 TB deployment SCALE.md
+    * prescribes for the batch side too (read the cut-off once from the
+    * q79 histogram sketch of a scored sample, then gate row-locally).
+    * ROW-LOCAL and STATELESS; model transport is a plan literal
+    * (DsBuckets longs + two scalars). Null-text rows are dropped;
+    * a no-bigram doc scores logit 0 (the empty occurrence list).
+    * Batch equality pinned per-doc in StreamsSpec. */
+  def dsirScoreFilter(docs: DataFrame, weights: IndexedSeq[Long],
+                      shift: Long, threshold: Long): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("logit",
+        graft.queries.TrainData3.dsLogitCol(col("text"), weights, shift))
+      .withColumn("sel", col("logit") >= threshold)
+      .select("doc_id", "ts", "logit", "sel")
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

@@ -521,6 +521,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreFilter matches batch dsirSelect logits; the threshold routes like the batch rank") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the TrainData3Spec planted DSIR corpus: 4 en + 4 de docs over the
+    // t-vocabulary, 8 fr docs over the disjoint u-vocabulary — batch
+    // selects the top-4 = exactly 4 of the t-docs
+    val tText = (0 until 30).map(i => s"t${i % 7}").mkString(" ")
+    val uText = (0 until 30).map(i => s"u${i % 7}").mkString(" ")
+    val corpus = (0L until 4L).map(i => (i, "en", tText)) ++
+      (4L until 8L).map(i => (i, "de", tText)) ++
+      (8L until 16L).map(i => (i, "fr", uText))
+    val docsDf = corpus.toDF("doc_id", "lang", "text")
+    val (weights, shift) = graft.queries.TrainData3.dsModel(docsDf)
+    val batch = graft.queries.TrainData3.dsirSelect(docsDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // the online gate routes on a threshold, not a rank: any cut
+    // strictly between the u-logits and the t-logits reproduces the
+    // batch selection up to the rank's intra-tie budget — here all
+    // t-docs tie, so take the t-logit itself and check sel ⊇ batch sel
+    val tLogit = batch(0L)._1
+    val uLogit = batch(8L)._1
+    assert(tLogit > uLogit, s"planted separation missing: $tLogit vs $uLogit")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dsirScoreFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), weights, shift,
+        threshold = tLogit)
+      .writeStream.format("memory").queryName("dsirscore")
+      .outputMode("append").start()
+    try {
+      in.addData(corpus.zipWithIndex.map { case ((id, _, text), i) =>
+        (id, ts(f"2024-01-01 10:${i % 60}%02d:00"), text)
+      }: _*)
+      in.addData((90L, ts("2024-01-01 11:00:00"), "solo"),
+        (91L, ts("2024-01-01 11:01:00"), null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("dsirscore").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+      batch.foreach { case (id, (logit, _)) =>
+        assert(got(id)._1 == logit,
+          s"doc $id: stream logit ${got(id)._1} vs batch $logit")
+      }
+      // every t-doc passes the gate, every u-doc is rejected
+      (0L until 8L).foreach(id => assert(got(id)._2, s"t-doc $id rejected"))
+      (8L until 16L).foreach(id => assert(!got(id)._2, s"u-doc $id passed"))
+      assert(got(90L)._1 == 0L, s"no-bigram doc logit: ${got(90L)._1}")
+      assert(!got.contains(91L), "null-text row must be dropped")
+    } finally q.stop()
+  }
+
   test("bpeTokenizeFilter matches batch bpeDocTokens on shared docs; unseen words replay the frozen merges") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
