@@ -692,20 +692,78 @@ object TrainData3 {
         element_at(typedLit(weights), (b + lit(1L)).cast("int")))
   }
 
+  /** Doc-count line above which [[dsirSelect]] swaps its global
+    * top-⌈n/4⌉ rank for the histogram-threshold plan (same selected
+    * set, no corpus-sized single-partition sort). Generous for
+    * local[32]; a cluster deployment would tune it to what one task
+    * sorts comfortably. */
+  private val DsRankMaxDocs = 100000L
+
   /** Per-doc importance logits + the ⌈n/4⌉ selection flag — split out
     * so the spec can pin WHICH docs a planted vocab-separated corpus
     * selects, not just the census. Two-phase like [[nbDocMargins]]:
     * TRAIN collects the bounded model ([[dsModel]]), SCORE is one
     * row-local scan under the literal model — no feature checkpoint,
-    * no broadcast join, no per-doc count shuffle. */
-  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
+    * no broadcast join, no per-doc count shuffle.
+    *
+    * SELECTION has two plans behind the doc-count census (the
+    * q156-family selectable-fallback contract; `force` pins a path for
+    * tests, which pin set equality through BOTH):
+    *   - `rank` (≤ [[DsRankMaxDocs]]): one global
+    *     row_number(logit DESC, doc_id) — fine while a single task can
+    *     sort the corpus' (logit, doc_id) pairs.
+    *   - `threshold` (the 100 TB plan): the cut logit T = the
+    *     ⌈n/4⌉-th largest, read off the LOGIT-GRAIN histogram (the
+    *     discrete-median convention — window the histogram, never the
+    *     docs); then sel = logit > T, plus the lowest-doc_id docs AT T
+    *     up to the remaining budget — a window partitioned by the ONE
+    *     boundary logit value, so no corpus-sized sort anywhere. The
+    *     selected SET is identical to the rank's by construction
+    *     (rank orders by logit DESC then doc_id). */
+  private[graft] def dsirSelect(docs: DataFrame,
+                                force: Option[String] = None): DataFrame = {
+    require(force.forall(Set("rank", "threshold")),
+      s"dsir_select: force must be rank|threshold, got $force")
     val (weights, shift) = dsModel(docs)
-    val selN = (docs.count() + 3) / 4
-    docs.select(col("doc_id"), col("lang"),
-        dsLogitCol(col("text"), weights, shift).as("logit"))
-      .withColumn("sel",
+    val nDocs = docs.count()
+    val selN = (nDocs + 3) / 4
+    val scored = docs.select(col("doc_id"), col("lang"),
+      dsLogitCol(col("text"), weights, shift).as("logit"))
+    val useRank = force.map(_ == "rank").getOrElse(nDocs <= DsRankMaxDocs)
+    if (useRank)
+      scored.withColumn("sel",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("logit").desc, col("doc_id"))) <= selN)
+    else {
+      val sc = scored.localCheckpoint() // 2 consumers: histogram + sel
+      // logit-grain histogram (≤ one row per distinct logit), cumulated
+      // top-down; T = the logit whose cumulative count first reaches
+      // selN, aboveT = docs STRICTLY above it
+      val hist = sc.groupBy("logit").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("logit").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val bRow = hist.filter(col("cum") >= selN)
+        .orderBy(col("logit").desc).limit(1).collect()
+      if (bRow.isEmpty) sc.withColumn("sel", lit(true)) // selN ≥ n
+      else {
+        val t = bRow(0).getLong(0)
+        val aboveT = bRow(0).getLong(2) - bRow(0).getLong(1)
+        val atBudget = selN - aboveT // docs to take AT the boundary logit
+        // rank ONLY the boundary-logit docs (the single group whose
+        // intra-tie order matters) — the sort is bounded by the tie
+        // mass at T, never the corpus
+        val atSel = sc.filter(col("logit") === t)
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+          .filter(col("__rn") <= atBudget)
+          .select(col("doc_id").as("__bid"))
+        sc.join(broadcast(atSel), sc("doc_id") === atSel("__bid"), "left")
+          .withColumn("sel", col("logit") > t || col("__bid").isNotNull)
+          .drop("__bid")
+      }
+    }
   }
 
   private def q169(spark: SparkSession, dir: String): DataFrame =

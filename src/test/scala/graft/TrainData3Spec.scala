@@ -157,6 +157,31 @@ class TrainData3Spec extends SparkSpec {
     assert(sel.forall(_ < 8L), s"selected a u-vocabulary doc: $sel")
   }
 
+  test("q169: the rank and threshold selection plans pick the identical set (boundary mid-tie)") {
+    import spark.implicits._
+    // the planted corpus puts the ⌈16/4⌉ = 4 cut INSIDE the 8-way
+    // t-logit tie, so the threshold plan's boundary-rank leg is
+    // genuinely exercised, and again on the real sf0.001 corpus for
+    // organic logit collisions
+    val tText = (0 until 30).map(i => s"t${i % 7}").mkString(" ")
+    val uText = (0 until 30).map(i => s"u${i % 7}").mkString(" ")
+    val planted = (
+      (0L until 4L).map(i => (i, "en", tText)) ++
+        (4L until 8L).map(i => (i, "de", tText)) ++
+        (8L until 16L).map(i => (i, "fr", uText))
+      ).toDF("doc_id", "lang", "text")
+    val real = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    for (docs <- Seq(planted, real)) {
+      def selSet(path: String) = graft.queries.TrainData3
+        .dsirSelect(docs, Some(path))
+        .filter(col("sel")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val (r, t) = (selSet("rank"), selSet("threshold"))
+      assert(r == t, s"rank/threshold diverge: ${r.diff(t)} vs ${t.diff(r)}")
+    }
+  }
+
   test("q169: census conserves docs and selects exactly the quarter budget") {
     val rows = q("q169_dsir_resample").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
