@@ -647,7 +647,21 @@ object TrainData3 {
   // global row_number is doc-census grain; at 100 TB the rank would be
   // replaced by a logit threshold read off the q79 histogram sketch —
   // the census output (lang grain) is unchanged by that swap. ──
-  private val DsBuckets = NbBuckets // 64; spaces differ by hash prefix
+  private[graft] val DsBuckets = NbBuckets // 64; spaces differ by hash prefix
+
+  /** The DsBuckets-cell training census: per bucket, target (lang='en')
+    * and raw occurrence counts — one occurrence-grain scan straight
+    * into a partial agg (map-side combine leaves a 64-row exchange).
+    * Merge = counter addition, so the SAME relation is the batch
+    * trainer's input ([[dsModel]]) and the streaming maintenance state
+    * ([[graft.streaming.Streams.dsCensusCells]]). */
+  private[graft] def dsCensus(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        explode(graft.functions.HashBucketSet.list(
+          col("text"), "ds:", DsBuckets)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+        count(lit(1)).as("sb"))
 
   /** The frozen DSIR model as driver-side state: per-bucket importance
     * deltas `w(b) = L(t_b+1) − L(s_b+1)` plus the Laplace-normalizer
@@ -657,12 +671,7 @@ object TrainData3 {
     * into a DsBuckets-cell partial agg — map-side combine leaves a
     * 64-row exchange); model = DsBuckets longs + one scalar. */
   private[graft] def dsModel(docs: DataFrame): (IndexedSeq[Long], Long) = {
-    val occ = docs.select(col("lang"),
-      explode(graft.functions.HashBucketSet.list(
-        col("text"), "ds:", DsBuckets)).as("b"))
-    val cens = occ.groupBy("b").agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
-      count(lit(1)).as("sb"))
+    val cens = dsCensus(docs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val (tt, st) = (cens.values.map(_._1).sum, cens.values.map(_._2).sum)
     val weights = IndexedSeq.tabulate(DsBuckets) { b =>

@@ -793,6 +793,24 @@ object Streams {
       .withColumn("sel", col("logit") >= threshold)
       .select("doc_id", "ts", "logit", "sel")
 
+  /** Streaming DSIR census maintenance — the TRAIN side of the
+    * importance-resampling lifecycle ([[dsirScoreFilter]] is the serve
+    * side): each arriving doc's bigram-bucket occurrences accumulate
+    * into the DsBuckets-cell (b, target-count, raw-count) census, and
+    * the running aggregation state IS the trainer's input — it is
+    * LITERALLY `TrainData3.dsCensus` applied to the stream, because
+    * census merge is counter addition ([[cmsCells]]' algebra: per-batch
+    * increments commute with stored counters, so after any prefix the
+    * state equals the batch census of the rows seen so far, pinned in
+    * StreamsSpec). Refreshing the model is then a 64-row read +
+    * [[graft.queries.TrainData3 dsModel]]'s driver-side log math — no
+    * corpus re-scan, which is what makes periodic model refresh cheap
+    * at ingest rates. State bounded at DsBuckets rows by construction;
+    * no watermark (a monotone running census). Run with Update/Complete
+    * output mode. */
+  def dsCensusCells(docs: DataFrame): DataFrame =
+    graft.queries.TrainData3.dsCensus(docs)
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

@@ -802,6 +802,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsCensusCells streaming state equals a hand-rolled census after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.dsCensusCells(in.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("dscens")
+      .outputMode("complete").start()
+
+    // independent reference: JVM MD5 + the little-endian 8-nibble
+    // compose, NOT the shipping kernel
+    def bucketOf(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("ds:" + g).getBytes("UTF-8"))
+      (0 until 8).map { n =>
+        val b = d(n / 2) & 0xff
+        val nib = if (n % 2 == 0) b >>> 4 else b & 0xf
+        nib.toLong << (4 * n)
+      }.sum % graft.queries.TrainData3.DsBuckets
+    }
+    def censusOf(rows: Seq[(String, String)]): Map[Long, (Long, Long)] =
+      rows.flatMap { case (lang, text) =>
+        val t = text.split(" ", -1)
+        t.zip(t.drop(1)).map(p => (lang, bucketOf(p._1 + " " + p._2)))
+      }.groupBy(_._2).map { case (b, xs) =>
+        b -> (xs.count(_._1 == "en").toLong, xs.size.toLong)
+      }
+    def state(): Map[Long, (Long, Long)] = spark.table("dscens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    try {
+      val b1 = Seq(("en", "the cat sat on the mat"), ("fr", "le chat le chat"))
+      in.addData(b1.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == censusOf(b1)) // prefix 1: state == census
+
+      // a second micro-batch ADDS counters (census merge), never rebuilds
+      val b2 = Seq(("en", "the cat again"), ("zh", "one-token"))
+      in.addData(b2.zipWithIndex.map { case ((l, t), i) => (10L + i, l, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == censusOf(b1 ++ b2)) // prefix 2: still == census of all
+      assert(state().size <= graft.queries.TrainData3.DsBuckets,
+        "state must stay bounded at the bucket count")
+    } finally q.stop()
+  }
+
   test("histCells streaming state equals the batch histogram after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Long]
