@@ -19,6 +19,10 @@ import graft.operators.{ConnectedComponents, MinHashLsh}
   * claims. Not part of the driver bench (minutes at 100x).
   */
 object ScaleProbe {
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -41,9 +45,6 @@ object ScaleProbe {
     // of 4. Runs BEFORE the documents-corpus replication below — this
     // family reads embeddings only and must not pay that checkpoint.
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "ann") {
-      def timedA[T](f: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-      }
       import graft.operators.{IvfFlat, PqAdc}
       import graft.functions.CosineSimilarity
       val embBase = graft.engine.Tables.embeddings(spark, sfDir)
@@ -73,11 +74,11 @@ object ScaleProbe {
       // shipping lifecycle train: the coarse quantizer (IvfFlat.train)
       // and the fine codebooks (PqAdc.trainCodebooks — the round-11
       // path q151/q153 gate)
-      val ((cents, codebooks), tTrain) = timedA {
+      val ((cents, codebooks), tTrain) = timed {
         (IvfFlat.train(embBase, seeds, iters = 3),
           PqAdc.trainCodebooks(embBase, initCbs, pqSub, iters = 2))
       }
-      val ((encoded, _), tEncode) = timedA {
+      val ((encoded, _), tEncode) = timed {
         val e = PqAdc.encode(IvfFlat.assign(vecs, cents), codebooks, pqSub)
           .localCheckpoint(true)
         (e, e.count())
@@ -86,13 +87,13 @@ object ScaleProbe {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
         .localCheckpoint(true)
       val topK = 10
-      val (adc, tAdc) = timedA[Set[(Long, Long)]] {
+      val (adc, tAdc) = timed[Set[(Long, Long)]] {
         PqAdc.search(encoded, probes, cents, codebooks, pqSub,
             nprobe = 4, shortlist = 4 * topK, k = topK)
           .select("probe_id", "cand_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-      val (brute, tBrute) = timedA[Set[(Long, Long)]] {
+      val (brute, tBrute) = timed[Set[(Long, Long)]] {
         import org.apache.spark.sql.expressions.Window
         val wk = Window.partitionBy("probe_id")
           .orderBy(col("cosine").desc, col("cand_id"))
@@ -117,7 +118,7 @@ object ScaleProbe {
             "CASE WHEN vec_id % 4 = 0 THEN CAST(0 AS BIGINT) " +
               "ELSE shiftleft(CAST(1 AS BIGINT), CAST(vec_id % 4 AS INT) * 7) END"))
           .as("phash"))
-      val ((nGroups, nDups), tNeardup) = timedA {
+      val ((nGroups, nDups), tNeardup) = timed {
         val r = graft.engine.Multimodal.nearDupByHash(hashed)
           .agg(countDistinct(when(col("n_members") === 4, col("keeper"))).as("g"),
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("d")).collect()(0)
@@ -141,19 +142,15 @@ object ScaleProbe {
     val n0 = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
 
     // SPARK_GRAFT_PROBE=classifier: the round-12 curation scorers — NB
-    // train+score (q166/q167: one heavy bigram feature pass shared by
-    // the 64-cell train census and the broadcast-model scoring join)
-    // and DSIR select (q169: one bigram count pass, broadcast weights,
-    // doc-census rank). Model state is DsBuckets cells in both — wall
-    // should track the corpus (the feature passes), never the model;
+    // train+score (q166/q167) and DSIR select (q169), both TWO-PHASE:
+    // train = one hashed-bigram census scan into the 64-cell model,
+    // score = one row-local scan under the literal model. Wall should
+    // track the corpus (the census + score scans), never the model;
     // replication leaves the per-doc margins of replica 0 docs almost
     // unchanged (each replica adds one salt bigram per doc and scales
     // every bucket census ~mult×, which the fixed-point log deltas
     // absorb), so accuracy should hold flat while docs multiply.
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "classifier") {
-      def timedC[T](f: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-      }
       val lbase = graft.engine.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("text"))
       val ccorpus = (0 until mult).map { k =>
@@ -164,14 +161,14 @@ object ScaleProbe {
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val nc = ccorpus.count()
-      val (cm, tNb) = timedC {
+      val (cm, tNb) = timed {
         graft.queries.TrainData3.nbConfusion(
           ccorpus.select(col("doc_id"), col("text"))).collect()
       }
       val nbTotal = cm.map(_.getLong(2)).sum
       val nbCorrect = cm.filter(r => r.getBoolean(0) == r.getBoolean(1))
         .map(_.getLong(2)).sum
-      val (nSel, tDsir) = timedC {
+      val (nSel, tDsir) = timed {
         graft.queries.TrainData3.dsirSelect(ccorpus)
           .filter(col("sel")).count()
       }
@@ -204,9 +201,6 @@ object ScaleProbe {
     // (the default probe), not the exact audit path.
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "prefixjoin") {
       import graft.queries.TrainData2
-      def timedP[T](f: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-      }
       val pcorpus = (0 until mult).map { k =>
         base.select((col("doc_id") + lit(k * n0)).as("doc_id"),
           (if (k == 0) col("text")
@@ -217,7 +211,7 @@ object ScaleProbe {
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val np = pcorpus.count()
-      val ((nCand, nVer), tJoin) = timedP {
+      val ((nCand, nVer), tJoin) = timed {
         val (cand, ver) = TrainData2.prefixJoinPairs(pcorpus)
         (cand.count(), ver.count())
       }
@@ -238,9 +232,6 @@ object ScaleProbe {
       .localCheckpoint(true)
     val n = corpus.count()
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     // SPARK_GRAFT_PROBE=sketch: the round-5 operators — corpus-linear
     // sketch builds with CONSTANT state (CMS cells, histogram bins) and

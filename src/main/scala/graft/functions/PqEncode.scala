@@ -33,11 +33,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * what surfaces, never a silent code.
   */
 object PqEncode {
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    * A NULL ELEMENT anywhere in the vector yields NULL codes — ArrayData
+    * getters read a null slot as 0.0, which would silently encode a
+    * corrupted vector with plausible codes (the composed fold this
+    * kernel replaced nulled the distance instead; NULL-out preserves
+    * that loud-by-absence policy). */
   def compute(vec: ArrayData, cbs: Array[Array[Array[Double]]], subDim: Int,
               isFloat: Boolean): Any = {
     val mCnt = cbs.length
     if (vec.numElements() < mCnt * subDim) return null
+    var p = 0
+    val dim = mCnt * subDim
+    while (p < dim) {
+      if (vec.isNullAt(p)) return null
+      p += 1
+    }
     val out = new Array[Any](mCnt)
     var mi = 0
     while (mi < mCnt) {

@@ -1218,7 +1218,7 @@ object TrainData2 {
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
       // residual seeds: the PqKT seed vectors' residuals vs their own
-      // assigned trained centroid (bounded model state, PqK rows)
+      // assigned trained centroid (bounded model state, PqKT rows)
       val seedRows = IvfFlat.assign(e.filter(col("vec_id") < PqKT), cents)
         .orderBy("vec_id").select("embedding", "cluster").collect()
       val seedResid: Seq[Array[Double]] = seedRows.map { r =>

@@ -400,10 +400,9 @@ object TrainData3 {
     nbWeightsFrom(nbFeatures(docs), nk, nd)
   }
 
-  /** [[nbWeights]] over an ALREADY-built feature relation — split out so
-    * [[nbConfusion]] can pay the (heavy) explode+md5+distinct feature
-    * pass once and feed BOTH the train census and the scoring join from
-    * the same checkpoint. */
+  /** [[nbWeights]] over an ALREADY-built feature relation and
+    * ALREADY-collected class counts — split out so [[nbModel]] (which
+    * pays the label census itself) never runs it twice. */
   private def nbWeightsFrom(feats: DataFrame, nk: Long, nd: Long): DataFrame = {
     val df = feats
       .groupBy("b").agg(
@@ -477,7 +476,9 @@ object TrainData3 {
     * scalar — the IvfFlat-centroid transport contract. */
   private[graft] def nbModel(docs: DataFrame): (IndexedSeq[Long], Long) = {
     val (nk, nd) = nbClassCounts(docs)
-    val w = nbWeights(docs).orderBy("b").collect()
+    // nbWeightsFrom, not nbWeights — the latter would re-run the label
+    // census this function just paid for
+    val w = nbWeightsFrom(nbFeatures(docs), nk, nd).orderBy("b").collect()
     val wArr = w.map(r => r.getLong(3) - r.getLong(4)).toIndexedSeq
     val sumAbsent = w.map(_.getLong(4)).sum
     // bias = ΣB + priorΔ + C, where C = NbBuckets·(L(n_d+2) − L(n_k+2))
@@ -521,7 +522,11 @@ object TrainData3 {
     val (weights, bias) = nbModel(docs)
     docs.select(col("doc_id"),
       (size(TrainData.tokens(col("text"))) >= 30).as("keep"),
-      nbMarginCol(col("text"), weights, bias).as("m"))
+      // NULL text folds to NULL; the oracle's LEFT JOIN + COALESCE
+      // shape scores such a doc at exactly `bias` — mirror it or the
+      // engines diverge on the pred group key the day a corpus carries
+      // a NULL (keep stays NULL in BOTH engines: len(NULL) is NULL)
+      coalesce(nbMarginCol(col("text"), weights, bias), lit(bias)).as("m"))
   }
 
   /** Score every doc against the trained model and compare to its own
@@ -707,6 +712,9 @@ object TrainData3 {
     * local[32]; a cluster deployment would tune it to what one task
     * sorts comfortably. */
   private val DsRankMaxDocs = 100000L
+  /** Coarse-bin budget of the threshold plan — bounds its histogram
+    * window at DsThresholdBins+1 rows regardless of corpus size. */
+  private val DsThresholdBins = 4096L
 
   /** Per-doc importance logits + the ⌈n/4⌉ selection flag — split out
     * so the spec can pin WHICH docs a planted vocab-separated corpus
@@ -721,14 +729,19 @@ object TrainData3 {
     *   - `rank` (≤ [[DsRankMaxDocs]]): one global
     *     row_number(logit DESC, doc_id) — fine while a single task can
     *     sort the corpus' (logit, doc_id) pairs.
-    *   - `threshold` (the 100 TB plan): the cut logit T = the
-    *     ⌈n/4⌉-th largest, read off the LOGIT-GRAIN histogram (the
-    *     discrete-median convention — window the histogram, never the
-    *     docs); then sel = logit > T, plus the lowest-doc_id docs AT T
-    *     up to the remaining budget — a window partitioned by the ONE
-    *     boundary logit value, so no corpus-sized sort anywhere. The
-    *     selected SET is identical to the rank's by construction
-    *     (rank orders by logit DESC then doc_id). */
+    *   - `threshold` (the 100 TB plan): find the cut logit T = the
+    *     ⌈n/4⌉-th largest in TWO bounded refinement steps — a coarse
+    *     FIXED-WIDTH bin histogram (≤ [[DsThresholdBins]]+1 rows, bin
+    *     width from a 2-scalar extent census) locates the boundary
+    *     BIN, then the exact logit-grain histogram of that ONE bin
+    *     (≈ n/DsThresholdBins docs) yields T. sel = logit > T, plus
+    *     the lowest-doc_id docs AT T up to the remaining budget (only
+    *     that single tie group is ever rank-ordered). Every windowed
+    *     relation is bounded — a logit-grain histogram over the WHOLE
+    *     corpus would itself be ~n rows when logits are mostly
+    *     distinct, i.e. the very single-partition sort this plan
+    *     exists to avoid. The selected SET is identical to the rank's
+    *     by construction (rank orders by logit DESC then doc_id). */
   private[graft] def dsirSelect(docs: DataFrame,
                                 force: Option[String] = None): DataFrame = {
     require(force.forall(Set("rank", "threshold")),
@@ -737,35 +750,51 @@ object TrainData3 {
     val nDocs = docs.count()
     val selN = (nDocs + 3) / 4
     val scored = docs.select(col("doc_id"), col("lang"),
-      dsLogitCol(col("text"), weights, shift).as("logit"))
+      // NULL text → logit 0, the oracle's COALESCE shape (see
+      // nbDocMargins' NULL rule)
+      coalesce(dsLogitCol(col("text"), weights, shift), lit(0L)).as("logit"))
     val useRank = force.map(_ == "rank").getOrElse(nDocs <= DsRankMaxDocs)
     if (useRank)
       scored.withColumn("sel",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("logit").desc, col("doc_id"))) <= selN)
     else {
-      val sc = scored.localCheckpoint() // 2 consumers: histogram + sel
-      // logit-grain histogram (≤ one row per distinct logit), cumulated
-      // top-down; T = the logit whose cumulative count first reaches
-      // selN, aboveT = docs STRICTLY above it
-      val hist = sc.groupBy("logit").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("logit").desc)
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      val bRow = hist.filter(col("cum") >= selN)
-        .orderBy(col("logit").desc).limit(1).collect()
-      if (bRow.isEmpty) sc.withColumn("sel", lit(true)) // selN ≥ n
+      val W = org.apache.spark.sql.expressions.Window
+      val sc = scored.localCheckpoint() // consumers: extent, bins, refine, sel
+      val ext = sc.agg(min("logit").as("lo"), max("logit").as("hi")).head
+      if (ext.isNullAt(0)) sc.withColumn("sel", lit(false)) // empty corpus
       else {
-        val t = bRow(0).getLong(0)
-        val aboveT = bRow(0).getLong(2) - bRow(0).getLong(1)
+        val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+        // coarse step: fixed-width bins (0 = top logits) — the bin
+        // histogram and its cumulative window are ≤ DsThresholdBins+1
+        // rows no matter the corpus
+        val width = math.max((hi - lo) / DsThresholdBins + 1, 1L)
+        val bin = expr(s"(${hi}L - logit) div ${width}L")
+        val bBin = sc.select(bin.as("__bin")).groupBy("__bin")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(W.orderBy("__bin")
+            .rowsBetween(W.unboundedPreceding, 0)))
+          .filter(col("cum") >= selN).orderBy("__bin").limit(1).collect()(0)
+        val aboveBin = bBin.getLong(2) - bBin.getLong(1)
+        // exact step: logit-grain histogram of the ONE boundary bin
+        // (≈ n/DsThresholdBins docs); T = the logit whose cumulative
+        // count (plus the strictly-above-bin mass) first reaches selN
+        val bRow = sc.filter(bin === bBin.getLong(0))
+          .groupBy("logit").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(W.orderBy(col("logit").desc)
+            .rowsBetween(W.unboundedPreceding, 0)))
+          .filter(col("cum") + lit(aboveBin) >= selN)
+          .orderBy(col("logit").desc).limit(1).collect()(0)
+        val t = bRow.getLong(0)
+        val aboveT = aboveBin + bRow.getLong(2) - bRow.getLong(1)
         val atBudget = selN - aboveT // docs to take AT the boundary logit
         // rank ONLY the boundary-logit docs (the single group whose
         // intra-tie order matters) — the sort is bounded by the tie
-        // mass at T, never the corpus
+        // mass at T, never the corpus; atSel is likewise tie-bounded,
+        // so the broadcast stays small unless the data is one giant tie
+        // (where ANY doc_id tie-break must order that tie)
         val atSel = sc.filter(col("logit") === t)
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+          .withColumn("__rn", row_number().over(W.orderBy("doc_id")))
           .filter(col("__rn") <= atBudget)
           .select(col("doc_id").as("__bid"))
         sc.join(broadcast(atSel), sc("doc_id") === atSel("__bid"), "left")

@@ -291,6 +291,25 @@ class IvfFlatSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("pq_adc")), e.getMessage)
   }
 
+  test("PQ encode NULLs the codes of a vector with a NULL element, never fabricating a code") {
+    val subDim = 4
+    val codebooks = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
+    // correctly-SIZED vector with one null slot: the size guard passes,
+    // so only the kernel's element check stands between this row and a
+    // silent encode-as-0.0 (ArrayData reads a null float slot as 0.0)
+    val holed = Seq((998L,
+      (0 until dim).map(i => if (i == 5) null
+        else java.lang.Float.valueOf(0.25f)))).toDF("vec_id", "embedding")
+    val rows = graft.operators.PqAdc.encode(
+        corpusDf.limit(1).unionByName(holed), codebooks, subDim)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows.filterKeys(_ != 998L).values.exists(identity),
+      "intact vector must encode")
+    assert(rows(998L), "null-element vector must yield NULL codes")
+  }
+
   test("residual PQ encode fails loudly on dim-mismatched vectors") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>
