@@ -128,8 +128,14 @@ object Bench {
         (sec, if (st0 < 0 || st1 < 0) -1L else st1 - st0)
       }
       // Isolation: no query may ride on (or pay for) another query's
-      // cached state. Queries themselves use GC-scoped localCheckpoint,
+      // cached DATA. Queries themselves use GC-scoped localCheckpoint,
       // not persist, so this is insurance against future persist use.
+      // Deliberate exemption: FrozenModels' TRAINED-MODEL cache
+      // (centroids/codebooks/unigram/NB/DSIR state) is shared across
+      // queries AND reps by design — train-once/serve-many is the
+      // production lifecycle being measured, so whichever consumer runs
+      // first pays training for the family. clearCache() does not (and
+      // must not) reset it; cache_policy in the artifact records this.
       spark.catalog.clearCache()
       name -> times
     }
@@ -195,7 +201,8 @@ object Bench {
     // measurement conditions.
     val env = s""""reps":$reps,"agg":"min","cpus":$cpus,"warmup_sf":"sf0.001",""" +
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
-      s""""cache_policy":"localCheckpoint per query, clearCache between queries",""" +
+      s""""cache_policy":"localCheckpoint per query, clearCache between queries; """ +
+      s"""FrozenModels trained-model cache shared across queries+reps",""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""aqe_size_first":$sizeFirstCoalesce,"aqe_advisory":"$advisoryBytes""""
     // Outlier forensics that SURVIVES the tail capture: a query whose

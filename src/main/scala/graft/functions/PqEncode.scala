@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * into generated code as a reference object (same contract as the plan
   * literals they replace).
   *
-  * The input must ALREADY be size-guarded (callers wrap in the
-  * `when(size === M·subDim, …).otherwise(raise_error)` policy —
-  * [[graft.operators.PqAdc.encode]]); a short vector here returns NULL
-  * rather than reading out of bounds, so the guard's raise_error is
-  * what surfaces, never a silent code.
+  * The input must ALREADY be guarded (callers wrap in
+  * [[graft.operators.PqAdc.encode]]'s `when(size === M·subDim,
+  * coalesce(codes, raise_error)).otherwise(raise_error)` policy): a
+  * short vector here returns NULL rather than reading out of bounds,
+  * and a correctly-sized vector with a NULL ELEMENT also returns NULL
+  * (see [[compute]]) — in both cases the guard's raise_error is what
+  * surfaces, never a silent code. A bare use of this expression without
+  * that guard would let NULL codes sort FIRST in an ascending ADC scan.
   */
 object PqEncode {
   /** Static kernel shared by interpreted eval and generated code.

@@ -179,9 +179,14 @@ object PqAdc {
     // IvfFlat.assign): a short vector would otherwise fold over
     // null-padded slices and silently take code NULL — which the ADC
     // lookup then ranks FIRST (nulls sort ahead ascending), poisoning
-    // the shortlist with exactly the rows that should have failed
+    // the shortlist with exactly the rows that should have failed.
+    // A NULL ELEMENT passes the size guard but makes the kernel return
+    // NULL codes (PqEncode's NULL-out rule) — the coalesce raises on
+    // that too, so no corrupted vector ever reaches the ADC scan.
     vecs.withColumn("codes",
-      when(size(col(vecCol)) === dim, codes)
+      when(size(col(vecCol)) === dim,
+        coalesce(codes, raise_error(lit(
+          "pq_adc: vector contains a NULL element - cannot encode"))))
         .otherwise(raise_error(concat(
           lit(s"pq_adc: vector must have $dim dims (M*subDim), got "),
           coalesce(size(col(vecCol)).cast("string"), lit("NULL"))))))

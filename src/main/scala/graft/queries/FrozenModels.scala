@@ -20,9 +20,12 @@ import java.util.concurrent.ConcurrentHashMap
   * already collect to the driver as plan literals), never data-sized
   * artifacts, so memory is O(model), not O(corpus).
   *
-  * Keys embed the data directory: different scale factors / spec corpora
-  * coexist. The source tables are immutable inputs (driver-generated
-  * parquet), so no invalidation is needed; [[clear]] exists for tests.
+  * Keys embed the data directory AND a content [[fingerprint]] of the
+  * source table the model is trained on: different scale factors / spec
+  * corpora coexist, and a rewrite at the SAME path (a regenerated
+  * fixture, a reused temp dir, a future data-refresh flow) changes the
+  * fingerprint and misses the cache instead of silently serving a stale
+  * model. [[clear]] exists for tests.
   *
   * Callers must resolve memoized DEPENDENCIES (e.g. the centroids a
   * residual codebook needs) BEFORE entering [[memo]] — nesting
@@ -35,6 +38,23 @@ private[graft] object FrozenModels {
     * key (ConcurrentHashMap.computeIfAbsent semantics). */
   private[graft] def memo[T <: AnyRef](key: String)(f: => T): T =
     cache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  /** Content fingerprint of the file (or file tree) at `path`: relative
+    * order-pinned (name, length, mtime) of every regular file, hashed.
+    * One directory walk, no data read — cheap enough to run on every
+    * model lookup, and exactly the parquet-footer-level signal a
+    * rewrite-in-place changes (new part files, new sizes, new mtimes). */
+  private[graft] def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .toSeq.flatMap(walk)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    val root = new java.io.File(path)
+    if (!root.exists()) s"absent"
+    else Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(walk(root)))
+  }
 
   private[graft] def clear(): Unit = cache.clear()
 }

@@ -1197,7 +1197,8 @@ object TrainData2 {
     * the IDENTICAL model (the oracle side already shares `pqTrainCtes`);
     * training runs once per process, not once per query per bench rep. */
   private[graft] def frozenCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
-    FrozenModels.memo(s"pq-codebooks|$dir") {
+    FrozenModels.memo(s"pq-codebooks|$dir|" +
+        FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
@@ -1213,7 +1214,8 @@ object TrainData2 {
     * memo body (FrozenModels' reentrancy rule). */
   private def frozenCodebooksResidual(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] = {
     val cents = TrainData.trainedCentroids(spark, dir)
-    FrozenModels.memo(s"pq-codebooks-residual|$dir") {
+    FrozenModels.memo(s"pq-codebooks-residual|$dir|" +
+        FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))

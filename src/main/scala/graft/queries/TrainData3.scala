@@ -156,7 +156,8 @@ object TrainData3 {
     * memoized per data directory like the PQ/IVF models ([[FrozenModels]]:
     * the model is a pure function of the corpus and the pinned caps). */
   private[graft] def uniModel(spark: SparkSession, dir: String): (Map[String, Long], Long) =
-    FrozenModels.memo(s"unigram-model|$dir") {
+    FrozenModels.memo(s"unigram-model|$dir|" +
+        FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       uniModelFromWords(uniWords(spark, dir).localCheckpoint())
     }
 
@@ -386,7 +387,13 @@ object TrainData3 {
     val m = docs
       .select((size(TrainData.tokens(col("text"))) >= 30).as("keep"))
       .groupBy("keep").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      .collect()
+      // a NULL-text doc lands in a NULL keep group: count it in NEITHER
+      // class, exactly as the oracle's WHERE keep / WHERE NOT keep
+      // census does (getBoolean on the NULL group row would NPE and
+      // defeat the NULL-text parity nbDocMargins engineers)
+      .filter(!_.isNullAt(0))
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     (m.getOrElse(true, 0L), m.getOrElse(false, 0L))
   }
 

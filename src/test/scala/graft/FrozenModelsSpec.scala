@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.FrozenModels
+
+/** The trained-model cache's two contracts: memoization (train at most
+  * once per key) and staleness detection (a rewrite at the same path
+  * changes the fingerprint, so the next lookup retrains instead of
+  * serving the model of data that no longer exists). */
+class FrozenModelsSpec extends AnyFunSuite {
+
+  test("memo runs the body once per key; clear() resets") {
+    FrozenModels.clear()
+    var runs = 0
+    def v(): java.lang.Integer = FrozenModels.memo("fm-spec-key") {
+      runs += 1; Integer.valueOf(runs)
+    }
+    assert(v() == 1 && v() == 1 && runs == 1, "body must run once")
+    FrozenModels.clear()
+    assert(v() == 2 && runs == 2, "clear() must force a retrain")
+    FrozenModels.clear()
+  }
+
+  test("fingerprint changes when a file at the same path is rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_")
+    try {
+      val f = dir.resolve("part-0.parquet")
+      java.nio.file.Files.write(f, "generation-1".getBytes)
+      val fp1 = FrozenModels.fingerprint(dir.toString)
+      // rewrite with different LENGTH (mtime granularity can be 1 s,
+      // too coarse for a same-second spec rewrite — length isn't)
+      java.nio.file.Files.write(f, "generation-2-longer".getBytes)
+      val fp2 = FrozenModels.fingerprint(dir.toString)
+      assert(fp1 != fp2, s"rewrite not detected: $fp1 == $fp2")
+      // a NEW part file (the overwrite-layout case) also changes it
+      java.nio.file.Files.write(dir.resolve("part-1.parquet"), "x".getBytes)
+      assert(FrozenModels.fingerprint(dir.toString) != fp2)
+      // and stability: no change -> same fingerprint
+      assert(FrozenModels.fingerprint(dir.toString) ==
+        FrozenModels.fingerprint(dir.toString))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("fingerprint of a missing path is the sentinel, not an error") {
+    assert(FrozenModels.fingerprint("/nonexistent/graft/path") == "absent")
+  }
+}

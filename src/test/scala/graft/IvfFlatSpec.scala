@@ -291,23 +291,29 @@ class IvfFlatSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("pq_adc")), e.getMessage)
   }
 
-  test("PQ encode NULLs the codes of a vector with a NULL element, never fabricating a code") {
+  test("PQ encode fails loudly on a vector with a NULL element, never fabricating a code") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>
       cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
-    // correctly-SIZED vector with one null slot: the size guard passes,
-    // so only the kernel's element check stands between this row and a
-    // silent encode-as-0.0 (ArrayData reads a null float slot as 0.0)
+    // correctly-SIZED vector with one null slot: the size guard passes
+    // (the kernel NULLs the codes — ArrayData would read a null float
+    // slot as 0.0 and encode a corrupted vector with plausible codes),
+    // and encode's coalesce must turn that NULL into a raise: NULL
+    // codes downstream sort FIRST in the ascending ADC scan, poisoning
+    // the shortlist with exactly the rows that should have failed
     val holed = Seq((998L,
       (0 until dim).map(i => if (i == 5) null
         else java.lang.Float.valueOf(0.25f)))).toDF("vec_id", "embedding")
-    val rows = graft.operators.PqAdc.encode(
-        corpusDf.limit(1).unionByName(holed), codebooks, subDim)
-      .select("vec_id", "codes").collect()
-      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-    assert(!rows.filterKeys(_ != 998L).values.exists(identity),
-      "intact vector must encode")
-    assert(rows(998L), "null-element vector must yield NULL codes")
+    val e = intercept[Exception](
+      graft.operators.PqAdc.encode(
+          corpusDf.limit(1).unionByName(holed), codebooks, subDim)
+        .select("vec_id", "codes").collect())
+    assert(e.getMessage.contains("NULL element") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL element")), e.getMessage)
+    // intact vectors still encode (the coalesce is pass-through for them)
+    val ok = graft.operators.PqAdc.encode(corpusDf, codebooks, subDim)
+      .select("codes").collect()
+    assert(ok.nonEmpty && ok.forall(!_.isNullAt(0)), "intact vectors must encode")
   }
 
   test("residual PQ encode fails loudly on dim-mismatched vectors") {

@@ -108,6 +108,30 @@ class TrainData3Spec extends SparkSpec {
       s"confusion=$cm")
   }
 
+  test("nb: a NULL-text doc trains in NEITHER class — the census matches the oracle's") {
+    import spark.implicits._
+    // the oracle's class census (WHERE keep / WHERE NOT keep) counts a
+    // NULL-text doc in neither class; the Spark census must do the same
+    // (a getBoolean over the NULL keep group used to NPE here), and the
+    // doc contributes no features either — so the trained weight table
+    // with the NULL doc present is IDENTICAL to the one without it
+    val keepText = (0 until 40).map(i => s"a$i").mkString(" ")
+    val dropText = (0 until 10).map(i => s"b$i").mkString(" ")
+    val base = (0L until 5L).map(i => i -> keepText) ++
+      (5L until 10L).map(i => i -> dropText)
+    val clean = base.toDF("doc_id", "text")
+    val holed = (base :+ (99L -> null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val wClean = nbWeights(clean).orderBy("b").collect().map(_.toSeq)
+    val wHoled = nbWeights(holed).orderBy("b").collect().map(_.toSeq)
+    assert(wClean.toSeq == wHoled.toSeq,
+      "NULL-text doc must not move the trained model")
+    // and scoring the holed corpus proceeds (margin = bias, keep = NULL)
+    val m = graft.queries.TrainData3.nbDocMargins(holed)
+      .filter(col("doc_id") === 99L).collect()
+    assert(m.length == 1 && m(0).isNullAt(1), "NULL text keeps a NULL label")
+  }
+
   test("nb: weight table covers every bucket and df counts are bounded by class sizes") {
     val w = nbWeights(graft.engine.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))).collect()
