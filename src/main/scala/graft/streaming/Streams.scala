@@ -811,6 +811,25 @@ object Streams {
   def dsCensusCells(docs: DataFrame): DataFrame =
     graft.queries.TrainData3.dsCensus(docs)
 
+  /** Streaming NB census maintenance — the TRAIN side of the trained-
+    * quality-classifier lifecycle ([[nbScoreFilter]] is the serve side;
+    * [[dsCensusCells]] is the DSIR twin, same algebra): each arriving
+    * doc's distinct present buckets increment the per-bucket
+    * (df_keep, df_drop) document frequencies, and the class census
+    * rides along as cell b = −1 — the running aggregation state is
+    * LITERALLY `TrainData3.nbCensus` applied to the stream, because
+    * every cell is a counter and census merge is counter addition.
+    * After any prefix the state equals the batch census of the rows
+    * seen so far (pinned in StreamsSpec), so refreshing the served
+    * model is a ≤65-row read + `TrainData3.nbModelFromCensus`'s
+    * driver-side log math — no corpus re-scan, the same cheap-refresh
+    * story DSIR got. NULL-text rows count nowhere (batch parity).
+    * State bounded at NbBuckets + 1 rows by construction; no watermark
+    * (a monotone running census). Run with Update/Complete output
+    * mode. */
+  def nbCensusCells(docs: DataFrame): DataFrame =
+    graft.queries.TrainData3.nbCensus(docs)
+
   /** Streaming count-min sketch maintenance — the online form of the
     * batch heavy-hitter sketch (q81, `operators/CountMin`): each arriving
     * doc's tokens hash into the depth×256 counter matrix via the same

@@ -217,6 +217,34 @@ class PlanSpec extends SparkSpec {
     assert(s161.contains("Join"), s161.take(800))
   }
 
+  test("q170: every window in the forced DSIR threshold plan sits above the boundary-tie filter") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.functions.col
+    // the threshold plan exists to avoid the rank's corpus-wide
+    // single-partition sort; the ONLY window it may keep is the
+    // boundary-logit tie rank, whose input is bounded by the tie mass.
+    // Pinned structurally: every WindowExec's subtree must contain the
+    // logit tie filter. (sparkPlan, not executedPlan: AQE query stages
+    // hide subtrees from collect.)
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def windows(df: DataFrame) =
+      df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    def tieFiltered(w: WindowExec) = w.collectFirst {
+      case f: FilterExec if f.condition.toString.contains("logit") => f
+    }.isDefined
+    val tWins = windows(graft.queries.TrainData3.dsirSelect(docs, Some("threshold")))
+    assert(tWins.nonEmpty, "threshold plan should rank the boundary tie group")
+    tWins.foreach(w => assert(tieFiltered(w),
+      s"corpus-wide window in the threshold plan:\n${w.toString.take(800)}"))
+    // contrast (the property is not vacuous): the rank plan's window
+    // sorts the whole scored corpus — no tie filter below it
+    val rWins = windows(graft.queries.TrainData3.dsirSelect(docs, Some("rank")))
+    assert(rWins.exists(w => !tieFiltered(w)),
+      "rank plan lost its global window — update this pin")
+  }
+
   test("GLOBAL SWEEP: no registered query plans a cartesian or nested-loop join") {
     // Two sanctioned nested-loop shapes, nothing else:
     //  - the 1-ROW-total crossJoin (q62 pattern): the broadcast side is

@@ -846,6 +846,67 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nbCensusCells streaming state equals a hand-rolled census after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.nbCensusCells(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nbcens")
+      .outputMode("complete").start()
+
+    // independent reference: JVM MD5 + the little-endian 8-nibble
+    // compose + a set per doc, NOT the shipping kernel; the class
+    // census is cell -1, NULL-text docs count nowhere
+    def bucketOf(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("nb:" + g).getBytes("UTF-8"))
+      (0 until 8).map { n =>
+        val b = d(n / 2) & 0xff
+        val nib = if (n % 2 == 0) b >>> 4 else b & 0xf
+        nib.toLong << (4 * n)
+      }.sum % 64L
+    }
+    def censusOf(rows: Seq[String]): Map[Long, (Long, Long)] = {
+      val labeled = rows.filter(_ != null).map { text =>
+        val t = text.split(" ", -1)
+        (t.length >= 30, t.zip(t.drop(1)).map(p => bucketOf(p._1 + " " + p._2)).toSet)
+      }
+      val cells = labeled.flatMap { case (keep, bs) => bs.map(keep -> _) }
+        .groupBy(_._2).map { case (b, xs) =>
+          b -> (xs.count(_._1).toLong, xs.count(!_._1).toLong)
+        }
+      cells + (-1L -> (labeled.count(_._1).toLong, labeled.count(!_._1).toLong))
+    }
+    def state(): Map[Long, (Long, Long)] = spark.table("nbcens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    try {
+      val long1 = (0 until 35).map(i => s"w$i").mkString(" ")
+      val b1 = Seq(long1, "short doc only", null)
+      in.addData(b1.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == censusOf(b1)) // prefix 1: state == census
+      assert(state()(-1L) == ((1L, 1L)), "class cell: 1 keep, 1 drop, null nowhere")
+
+      // a second micro-batch ADDS counters (census merge), never rebuilds
+      val b2 = Seq((0 until 32).map(i => s"w$i").mkString(" "), "tiny")
+      in.addData(b2.zipWithIndex.map { case (t, i) => (10L + i, t) }: _*)
+      q.processAllAvailable()
+      assert(state() == censusOf(b1 ++ b2)) // prefix 2: still == census of all
+      assert(state().size <= 65, "state bounded at NbBuckets + the class cell")
+      // and the refresh story: the model from the streamed state equals
+      // the batch-trained model of the same rows
+      import spark.implicits._
+      val docsDf = (b1 ++ b2).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cells = state()
+      val (nk, nd) = cells(-1L)
+      val spine = IndexedSeq.tabulate(64)(b => cells.getOrElse(b.toLong, (0L, 0L)))
+      assert(graft.queries.TrainData3.nbModelFromCensus((spine, nk, nd)) ==
+        graft.queries.TrainData3.nbModel(docsDf),
+        "model refreshed from streamed census must equal batch retrain")
+    } finally q.stop()
+  }
+
   test("histCells streaming state equals the batch histogram after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Long]

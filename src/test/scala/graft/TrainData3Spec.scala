@@ -206,6 +206,30 @@ class TrainData3Spec extends SparkSpec {
     }
   }
 
+  test("nb/dsir: memoized per-dir models equal a fresh retrain; hits serve the cached value") {
+    import graft.queries.TrainData3
+    val nb1 = TrainData3.nbModelFromCensus(TrainData3.nbCensusDir(spark, dir))
+    assert(nb1 == TrainData3.nbModel(graft.engine.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))),
+      "memoized NB model != fresh retrain")
+    val ds1 = TrainData3.dsModelDir(spark, dir)
+    assert(ds1 == TrainData3.dsModel(graft.engine.Tables.documents(spark, dir)
+        .select(col("lang"), col("text"))),
+      "memoized DSIR model != fresh retrain")
+    // cache HIT: the second lookup returns the identical object — no
+    // second training census ran
+    assert(TrainData3.nbCensusDir(spark, dir).asInstanceOf[AnyRef] eq
+      TrainData3.nbCensusDir(spark, dir).asInstanceOf[AnyRef])
+    assert(TrainData3.dsModelDir(spark, dir).asInstanceOf[AnyRef] eq
+      TrainData3.dsModelDir(spark, dir).asInstanceOf[AnyRef])
+  }
+
+  test("q170: the forced threshold census equals q169's rank census row-for-row") {
+    val a = q("q169_dsir_resample").collect().map(_.toSeq).toSeq
+    val b = q("q170_dsir_threshold").collect().map(_.toSeq).toSeq
+    assert(a == b, s"rank census $a != threshold census $b")
+  }
+
   test("q169: census conserves docs and selects exactly the quarter budget") {
     val rows = q("q169_dsir_resample").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
