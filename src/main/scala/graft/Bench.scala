@@ -37,22 +37,29 @@ object Bench {
     * untouched. system ≫ user_nice in the artifact = host-kernel
     * overhead, not a plan regression; steal > 0 = hypervisor
     * contention. */
-  private def hostCpuTicks(): Option[(Long, Long, Long, Long)] =
+  private def hostCpuTicks(): Option[(Long, Long, Long, Long, Long)] =
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      Some((l(0) + l(1), l(2), l(3), if (l.length > 7) l(7) else 0L))
+      Some((l(0) + l(1), l(2), l(3), if (l.length > 4) l(4) else 0L,
+        if (l.length > 7) l(7) else 0L))
     } catch { case _: Throwable => None }
 
-  /** Steal ticks alone (cheap enough to bracket EVERY rep). Three
-    * consecutive rounds needed prose steal-adjudication because the
-    * artifact carried only one whole-run steal number — a clean total
-    * could hide one contended rep, and a dirty total could smear one
-    * contended query over the whole suite. Per-rep steal makes the
-    * artifact self-adjudicating: the min rep of each query carries the
-    * hypervisor conditions it was measured under. −1 = unreadable. */
-  private def stealTicks(): Long =
-    hostCpuTicks().map(_._4).getOrElse(-1L)
+  /** Per-rep host-tick bracket: (user_nice, system, iowait, steal) —
+    * one /proc/stat line read per side, ~50 µs, cheap enough for EVERY
+    * rep. Three consecutive rounds needed prose steal-adjudication
+    * because the artifact carried only one whole-run steal number — a
+    * clean total could hide one contended rep, and a dirty total could
+    * smear one contended query over the whole suite; per-rep steal
+    * closed that. The round-12 driver run then showed the NEXT gap:
+    * q159 at [5.4, 15.4, 9.9] s vs 0.9 s clean with LOW per-rep steal —
+    * host SYSTEM ticks exceeded user ticks, i.e. kernel/I-O contention
+    * steal-only sampling cannot see. Sampling user+system+iowait per
+    * rep alongside steal makes the min rep self-adjudicating for that
+    * failure mode too (tools/bench_report.py derives the sentence).
+    * None = /proc/stat unreadable. */
+  private def repTicks(): Option[(Long, Long, Long, Long)] =
+    hostCpuTicks().map { case (u, s, _, w, st) => (u, s, w, st) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,17 +122,23 @@ object Bench {
     // Failed names land in an "errors" key inside the tail window and the
     // process exits nonzero.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // Per rep: (wall seconds, steal ticks during the rep) — the steal
-    // bracket costs one /proc/stat line read per side, ~50 µs.
+    // Per rep: (wall seconds, (user, system, iowait, steal) host-tick
+    // deltas) — see repTicks for why all four.
+    val noTicks = (-1L, -1L, -1L, -1L)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
-        val st0 = stealTicks()
+        val h0 = repTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name }
         val sec = (System.nanoTime() - t0) / 1e9
-        val st1 = stealTicks()
-        (sec, if (st0 < 0 || st1 < 0) -1L else st1 - st0)
+        val h1 = repTicks()
+        val d = (h0, h1) match {
+          case (Some((u0, s0, w0, st0)), Some((u1, s1, w1, st1))) =>
+            (u1 - u0, s1 - s0, w1 - w0, st1 - st0)
+          case _ => noTicks
+        }
+        (sec, d)
       }
       // Isolation: no query may ride on (or pay for) another query's
       // cached DATA. Queries themselves use GC-scoped localCheckpoint,
@@ -152,12 +165,17 @@ object Bench {
     val repsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(t => fmt(t._1, 2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // Steal ticks per rep, parallel to reps_sec (sacrificial zone — the
-    // committed bench_local file keeps it; the tail window keeps the
-    // minrep_steal summary below).
-    val repStealJson = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
-    }.mkString("{", ",", "}")
+    // Host ticks per rep (user/system/iowait/steal), parallel to
+    // reps_sec (sacrificial zone — the committed bench_local file keeps
+    // them; the tail window keeps the minrep summaries below).
+    def repTickJson(pick: ((Long, Long, Long, Long)) => Long) =
+      results.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => pick(t._2)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val repUserJson = repTickJson(_._1)
+    val repSysJson = repTickJson(_._2)
+    val repIowaitJson = repTickJson(_._3)
+    val repStealJson = repTickJson(_._4)
     // 2 dp: the artifact is captured as the LAST 2000 chars of stdout
     // (sbt's [success] epilogue included). At 87+ queries the full map
     // (~2.2 KB) no longer fits whole — it sits BEFORE the diag/contract
@@ -173,15 +191,24 @@ object Bench {
     // round's whole-run steal of 14,585 could not say whether the MIN
     // reps were the contended ones — this can.
     val minReps = results.map { case (k, ts) => (k, ts.minBy(_._1)) }
-    val minStealTotal =
-      if (minReps.exists(_._2._2 < 0)) -1L else minReps.map(_._2._2).sum
-    val minStealRate =
-      if (minStealTotal < 0 || total <= 0) -1.0 else minStealTotal / total
+    def minTickStats(pick: ((Long, Long, Long, Long)) => Long): (Long, Double) = {
+      val tot = if (minReps.exists(t => pick(t._2._2) < 0)) -1L
+                else minReps.map(t => pick(t._2._2)).sum
+      (tot, if (tot < 0 || total <= 0) -1.0 else tot / total)
+    }
+    val (minStealTotal, minStealRate) = minTickStats(_._4)
+    // system/iowait/user over the same min reps: system ≫ user with
+    // elevated iowait = kernel/I-O contention (the r12 q159 anomaly
+    // steal sampling could not see); system ≈ 2× user under full
+    // saturation is NORMAL on this VM class (see hostCpuTicks)
+    val (minUserTotal, minUserRate) = minTickStats(_._1)
+    val (minSysTotal, minSysRate) = minTickStats(_._2)
+    val (minIowaitTotal, minIowaitRate) = minTickStats(_._3)
     // the five dirtiest min-reps by steal rate (ticks/s), for pinpointing
     val dirtyJson = minReps
-      .filter { case (_, (sec, st)) => st > 0 && sec > 0.2 }
-      .sortBy { case (_, (sec, st)) => -(st / sec) }.take(5)
-      .map { case (k, (sec, st)) => "\"" + k + "\":" + fmt(st / sec, 0) }
+      .filter { case (_, (sec, t)) => t._4 > 0 && sec > 0.2 }
+      .sortBy { case (_, (sec, t)) => -(t._4 / sec) }.take(5)
+      .map { case (k, (sec, t)) => "\"" + k + "\":" + fmt(t._4 / sec, 0) }
       .mkString("{", ",", "}")
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
@@ -189,8 +216,9 @@ object Bench {
     // all-zero delta would read as "idle host" and a mixed success would
     // emit garbage negatives — corrupting the very diagnosis this exists for
     val hostJson = (host0, host1) match {
-      case (Some((u0, s0, i0, st0)), Some((u1, s1, i1, st1))) =>
-        s"""{"user_nice":${u1 - u0},"system":${s1 - s0},"idle":${i1 - i0},"steal":${st1 - st0}}"""
+      case (Some((u0, s0, i0, w0, st0)), Some((u1, s1, i1, w1, st1))) =>
+        s"""{"user_nice":${u1 - u0},"system":${s1 - s0},"idle":${i1 - i0},""" +
+          s""""iowait":${w1 - w0},"steal":${st1 - st0}}"""
       case _ => "null"
     }
     val diag = s""""wall_sec":${fmt(wallSec, 1)},"proc_cpu_sec":${fmt(cpu1 - cpu0, 1)},""" +
@@ -242,7 +270,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)
