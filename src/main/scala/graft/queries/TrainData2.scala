@@ -1340,6 +1340,97 @@ object TrainData2 {
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
       |    ORDER BY cosine DESC, cand_id) <= ${TrainData.IvfTopK})""".stripMargin
 
+  /** q172's oracle front (TrainData3): the TWO-GENERATION IVFADC
+    * lifecycle — the model is Lloyd-trained on the BASE embeddings only
+    * (kmTrain + pqTrain, exactly the gen-1 build), q162's deterministic
+    * delta batch is appended under that frozen model, and the q151
+    * search replays over the MERGED corpus (probes still the 5 base
+    * vectors; their appended ×1.01 twins are legitimate candidates).
+    * Ends at `rescored(probe_id, cand_id, cosine)` like
+    * [[ivfadcSearchCtes]], deriving everything from the immutable
+    * inputs — no filesystem — so the gate checks the persisted
+    * generations' write/reload/append/serve path end to end. */
+  private[queries] val gen2SearchCtes =
+    s"""${TrainData.kmTrainCtesSql},
+      |ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+      |psrc AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_transform(
+      |      list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+      |      x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM embeddings e CROSS JOIN ms),
+      |${pqTrainCtes("psrc", "pq")},
+      |delta AS (
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x * 1.01e0 AS FLOAT)) AS embedding
+      |  FROM embeddings),
+      |tagged AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, embedding FROM delta),
+      |g2asg AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT t.vec_id, c.cid,
+      |      ${TrainData.cosExprSql("t.embedding", "c.cv")} AS cos
+      |    FROM tagged t CROSS JOIN c2 c)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |g2sub AS (
+      |  SELECT t.vec_id, ms.m,
+      |    list_transform(
+      |      list_slice(t.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+      |      x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM tagged t CROSS JOIN ms),
+      |g2d AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |    list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum') AS d2
+      |  FROM g2sub s JOIN pqcb$PqIters c ON s.m = c.m),
+      |g2codes AS (
+      |  SELECT vec_id, m, code FROM g2d
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+      |psub AS (
+      |  SELECT p.probe_id, ms.m,
+      |    list_slice(p.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+      |  FROM probes p CROSS JOIN ms),
+      |plut AS (
+      |  SELECT s.probe_id, s.m, c.code,
+      |    CAST(round(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (CAST(s.sv[i] AS DOUBLE) - c.cv[i])
+      |         * (CAST(s.sv[i] AS DOUBLE) - c.cv[i])), 'sum')
+      |      * 1e9) AS BIGINT) AS d2e9
+      |  FROM psub s JOIN pqcb$PqIters c ON s.m = c.m),
+      |pc AS (
+      |  SELECT p.probe_id, c.cid,
+      |    ${TrainData.cosExprSql("p.embedding", "c.cv")} AS pc_cos
+      |  FROM probes p CROSS JOIN c2 c),
+      |probed AS (
+      |  SELECT probe_id, cid FROM pc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY pc_cos DESC, cid) <= ${TrainData.IvfNprobe}),
+      |cand AS (
+      |  SELECT pr.probe_id, a.vec_id AS cand_id
+      |  FROM probed pr JOIN g2asg a ON a.cluster = pr.cid
+      |  WHERE a.vec_id != pr.probe_id),
+      |adc AS (
+      |  SELECT cd.probe_id, cd.cand_id, CAST(SUM(l.d2e9) AS BIGINT) AS adc_e9
+      |  FROM cand cd
+      |  JOIN g2codes co ON co.vec_id = cd.cand_id
+      |  JOIN plut l ON l.probe_id = cd.probe_id AND l.m = co.m AND l.code = co.code
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT probe_id, cand_id FROM adc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+      |    ORDER BY adc_e9, cand_id) <= $AdcShortlist),
+      |rescored AS (
+      |  SELECT s.probe_id, s.cand_id,
+      |    ${TrainData.cosExprSql("pe.embedding", "ce.embedding")} AS cosine
+      |  FROM short s
+      |  JOIN embeddings pe ON s.probe_id = pe.vec_id
+      |  JOIN tagged ce ON s.cand_id = ce.vec_id)""".stripMargin
+
   private val q151Sql =
     s"""WITH $ivfadcSearchCtes,
       |bscored AS (

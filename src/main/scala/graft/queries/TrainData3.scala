@@ -59,6 +59,9 @@ object TrainData3 {
   /** Multi-character candidate budget of the seed vocabulary (single
     * chars are always kept for coverage). */
   private val UniMultiCap = 24
+  /** Multi-piece budget AFTER the pruning round (q171) — deliberately
+    * half of UniMultiCap so pruning genuinely bites at every gated SF. */
+  private[graft] val UniPruneKeep = 12
   /** Field multipliers of the packed DP key (see the scaladoc bounds). */
   private val KeyCost = 536870912L // 2^29
   private val KeyPiece = 16777216L // 2^24
@@ -161,31 +164,98 @@ object TrainData3 {
       uniModelFromWords(uniWords(spark, dir).localCheckpoint())
     }
 
+  /** Cost model from a use-count census: +1-smoothed fixed-point
+    * −log2 p per piece, plus the OOV single-char cost (count 0). */
+  private def uniCostsOf(counts: Seq[(String, Long)]): (Map[String, Long], Long) = {
+    val tot = counts.map(_._2).sum
+    val oov = lg2e10(tot + 1)
+    (counts.map { case (p, c) => p -> (oov - lg2e10(c + 1)) }.toMap, oov)
+  }
+
+  /** Viterbi use-count census of `words` under model (vocab, oov) — the
+    * hard-EM recount both the rescore and the prune consume. Bounded:
+    * only vocab pieces and OOV single chars can appear. */
+  private def uniUseCensus(words: DataFrame, vocab: Map[String, Long],
+                           oov: Long): Seq[(String, Long)] =
+    words.withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .select(col("f"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  /** Round-1 use census: seed vocab (all single chars + top-UniMultiCap
+    * multi-char substrings by occurrence count), one Viterbi-EM
+    * recount — shared by the plain trainer and the pruning round. */
+  private def uniCounts1(words: DataFrame): Seq[(String, Long)] = {
+    val cnt0 = words
+      .select(col("f"), explode(uniAllPieces(col("w"))).as("piece"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+      .localCheckpoint() // consumed twice (singles + top-multi cut)
+    val singles = cnt0.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = cnt0.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniMultiCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (v0, oov0) = uniCostsOf((singles ++ multi).toSeq)
+    // hard-EM recount: pieces actually used, weighted by word freq
+    uniUseCensus(words, v0, oov0)
+  }
+
   /** The training body over an explicit word relation `words(w, f)` —
     * split out so specs can train on planted corpora. */
-  private[graft] def uniModelFromWords(words: DataFrame): (Map[String, Long], Long) = {
-      val cnt0 = words
-        .select(col("f"), explode(uniAllPieces(col("w"))).as("piece"))
-        .groupBy("piece").agg(sum("f").as("cnt"))
-        .localCheckpoint() // consumed twice (singles + top-multi cut)
-      val singles = cnt0.filter(length(col("piece")) === 1)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val multi = cnt0.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece")).limit(UniMultiCap)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val tot0 = (singles ++ multi).map(_._2).sum
-      val oov0 = lg2e10(tot0 + 1)
-      val v0 = (singles ++ multi)
-        .map { case (p, c) => p -> (oov0 - lg2e10(c + 1)) }.toMap
-      // hard-EM recount: pieces actually used, weighted by word freq
-      val c1 = words.withColumn("seg", uniSegCol(col("w"), v0, oov0))
-        .select(col("f"), explode(col("seg")).as("piece"))
-        .groupBy("piece").agg(sum("f").as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val tot1 = c1.map(_._2).sum
-      val oov1 = lg2e10(tot1 + 1)
-      (c1.map { case (p, c) => p -> (oov1 - lg2e10(c + 1)) }.toMap, oov1)
+  private[graft] def uniModelFromWords(words: DataFrame): (Map[String, Long], Long) =
+    uniCostsOf(uniCounts1(words))
+
+  /** UTF-8 byte order — what Spark's UTF8String comparison and DuckDB's
+    * binary collation both implement. Java String.compareTo is UTF-16
+    * code-unit order, which diverges above the BMP, so a DRIVER-side
+    * tie-break must not use it (the relational cuts get this ordering
+    * for free from the engines). */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
+
+  /** One vocabulary-PRUNING round on top of the hard-EM trainer — the
+    * SentencePiece shrink step: real unigram training alternates EM
+    * with pruning toward a target size, dropping the pieces whose
+    * removal least raises corpus cost. Under a hard-EM (Viterbi) model
+    * that contribution is the piece's USE-MASS — an unused piece costs
+    * nothing to drop, a heavily-used one forces its mass onto longer
+    * segmentations — so the prune ranks the round-1 multis by Viterbi
+    * use-mass (ties → UTF-8 byte order, both engines' collation) and
+    * keeps the top [[UniPruneKeep]]; single chars are always kept for
+    * coverage (pruning one would strand its words on the OOV cost).
+    * Costs are rescored on the kept mass, exactly [[uniCostsOf]].
+    *
+    * Scale: the prune input is the COLLECTED round-1 census — bounded
+    * at |alphabet| + UniMultiCap entries by the seed caps — so the
+    * prune itself is pure driver math over vocab-sized state; no extra
+    * corpus scan vs the unpruned trainer ([[uniCounts1]] is shared). */
+  private[graft] def uniModelPrunedFromWords(words: DataFrame): (Map[String, Long], Long) = {
+    val c1 = uniCounts1(words)
+    val kept = c1.filter(_._1.length == 1) ++
+      c1.filter(_._1.length >= 2)
+        .sortWith { (a, b) =>
+          if (a._2 != b._2) a._2 > b._2 else utf8Less(a._1, b._1)
+        }
+        .take(UniPruneKeep)
+    uniCostsOf(kept)
+  }
+
+  /** [[uniModelPrunedFromWords]] memoized per data directory like
+    * [[uniModel]]. */
+  private[graft] def uniModelPruned(spark: SparkSession, dir: String): (Map[String, Long], Long) =
+    FrozenModels.memo(s"unigram-pruned|$dir|" +
+        FrozenModels.fingerprint(s"$dir/documents.parquet")) {
+      uniModelPrunedFromWords(uniWords(spark, dir).localCheckpoint())
+    }
 
   // ── q164: unigram-LM tokenizer TRAINING census — the final vocab's
   // use counts after the hard-EM round (the readout a vocab build
@@ -248,10 +318,11 @@ object TrainData3 {
       |  FROM $src WHERE len(w) > $UniMaxW OR len(w) = 0)""".stripMargin
   }
 
-  /** Shared training unroll: corpus → words → seed census → seed vocab
-    * (costs) → DP round 1 → recount → final vocab → DP round 2. Leaves
-    * `ur2seg` (w, f, seg) and `uc2` (final census) for the consumers. */
-  private def uniTrainCtes: String =
+  /** Shared trunk of the training unroll: corpus → words → seed census
+    * → seed vocab (costs) → DP round 1 → recount. Leaves `uc1` (the
+    * round-1 use census) for the rescore (q164/q165) and the prune
+    * (q171) to branch on. */
+  private def uniC1Ctes: String =
     s"""uw0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  GROUP BY 1),
@@ -274,7 +345,12 @@ object TrainData3 {
       |  FROM uv0pre),
       |${uniDpCtes("uv0", "uoov0", "uw0", "ur1")},
       |uc1 AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
-      |  FROM (SELECT f, unnest(seg) AS piece FROM ur1seg) GROUP BY 1),
+      |  FROM (SELECT f, unnest(seg) AS piece FROM ur1seg) GROUP BY 1)""".stripMargin
+
+  /** The full unpruned unroll: trunk + rescore on `uc1` + DP round 2.
+    * Leaves `ur2seg` (w, f, seg) and `uc2` (final census). */
+  private def uniTrainCtes: String =
+    s"""$uniC1Ctes,
       |uoov1 AS MATERIALIZED (SELECT ${lg2e10Sql("(t + 1)")} AS cost
       |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uc1)),
       |uv1 AS MATERIALIZED (SELECT piece,
@@ -284,9 +360,52 @@ object TrainData3 {
       |uc2 AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS n_uses
       |  FROM (SELECT f, unnest(seg) AS piece FROM ur2seg) GROUP BY 1)""".stripMargin
 
+  /** The PRUNED unroll (q171): trunk + use-mass prune of `uc1` (singles
+    * always kept, top-UniPruneKeep multis by cnt DESC, piece) + rescore
+    * on the kept mass + DP round. Leaves `ucp` (the pruned census) —
+    * the "one more stage" extension of the CTE discipline. */
+  private def uniPrunedCtes: String =
+    s"""$uniC1Ctes,
+      |uv1ppre AS (
+      |  SELECT piece, cnt FROM uc1 WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM uc1 WHERE len(piece) >= 2)
+      |  WHERE rn <= $UniPruneKeep),
+      |uoov1p AS MATERIALIZED (SELECT ${lg2e10Sql("(t + 1)")} AS cost
+      |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv1ppre)),
+      |uv1p AS MATERIALIZED (SELECT piece,
+      |    (SELECT cost FROM uoov1p) - ${lg2e10Sql("(cnt + 1)")} AS cost
+      |  FROM uv1ppre),
+      |${uniDpCtes("uv1p", "uoov1p", "uw0", "urp")},
+      |ucp AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS n_uses
+      |  FROM (SELECT f, unnest(seg) AS piece FROM urpseg) GROUP BY 1)""".stripMargin
+
   private val q164Sql =
     s"""WITH $uniTrainCtes
       |SELECT piece, n_uses FROM uc2
+      |ORDER BY n_uses DESC, piece LIMIT 25""".stripMargin
+
+  // ── q171: unigram vocabulary PRUNING round — q164's census under the
+  // PRUNED model ([[uniModelPrunedFromWords]]): the round-1 multis are
+  // ranked by Viterbi use-mass, only the top UniPruneKeep survive, and
+  // the census re-runs the DP under the shrunk vocabulary. A prune that
+  // ranked by RAW substring mass instead (the seed's ordering) would
+  // keep different pieces and fail this gate — the spec additionally
+  // plants a corpus where the two orderings disagree. ──
+  private def q171(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, oov) = uniModelPruned(spark, dir)
+    uniWords(spark, dir)
+      .withColumn("seg", uniSegCol(col("w"), vocab, oov))
+      .select(col("f"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("n_uses"))
+      .orderBy(col("n_uses").desc, col("piece")).limit(25)
+  }
+
+  private val q171Sql =
+    s"""WITH $uniPrunedCtes
+      |SELECT piece, n_uses FROM ucp
       |ORDER BY n_uses DESC, piece LIMIT 25""".stripMargin
 
   // ── q165: per-doc unigram TOKENIZE — the doc-grain apply of the
@@ -659,6 +778,84 @@ object TrainData3 {
       |WHERE rk <= ${TrainData.IvfTopK}
       |ORDER BY probe_id, rk""".stripMargin
 
+  // ── q172: the COMPOSED persisted-index lifecycle — persist → reload
+  // → append → persist → serve, the production loop q162 (in-memory
+  // append) and q168 (persist + serve) each exercise half of. The
+  // gen-1 index (q168's layout: codes + model tables) is written and
+  // reloaded; q162's deterministic delta batch is assigned + encoded
+  // under the RELOADED frozen model (never the in-memory one — the
+  // reload is load-bearing); the delta codes persist as generation 2;
+  // and the probe is served from the two reloaded code legs merged.
+  // The oracle replays train + delta synthesis + full-corpus encode +
+  // search from the immutable inputs alone (TrainData2.gen2SearchCtes),
+  // so corruption anywhere across the two generations' write/read/
+  // append path breaks the hash gate; WritersSpec pins merged-reload ≡
+  // one-shot in-memory rebuild. Scale: per append only the DELTA is
+  // assigned/encoded (row-local under plan-literal models); the gen-1
+  // codes never re-encode, and the reload collects ONLY model tables. ──
+  private def q172(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q172_") { lake =>
+      val sp = spark
+      import sp.implicits._
+      val corpus = TrainData.embParallel(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val cents = TrainData.trainedCentroids(spark, dir)
+      val codebooks = TrainData2.frozenCodebooks(spark, dir)
+      // GENERATION 1: the q168 layout (codes + the two model tables)
+      PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, TrainData2.PqSub)
+        .select("vec_id", "embedding", "cluster", "codes")
+        .write.parquet(s"$lake/gen1/codes")
+      codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
+      }.toDF("m", "code", "cv").coalesce(1).write.parquet(s"$lake/gen1/codebooks")
+      cents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }
+        .toDF("cid", "cv").coalesce(1).write.parquet(s"$lake/gen1/centroids")
+      // RELOAD: from here on only the persisted artifacts are consumed —
+      // model tables back as bounded driver state, codes stay distributed
+      val rCbs: Seq[Seq[Array[Double]]] = spark.read
+        .parquet(s"$lake/gen1/codebooks").orderBy("m", "code").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq)
+      val rCents: Seq[Array[Float]] = spark.read
+        .parquet(s"$lake/gen1/centroids").orderBy("cid").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+      // APPEND: q162's deterministic delta, encoded under the RELOADED
+      // frozen model and persisted as generation 2 (id offset = the
+      // id-space bound, q162's collision rule)
+      val offset = Tables.embeddings(spark, dir)
+        .agg(max("vec_id")).collect()(0).getLong(0) + 1L
+      val delta = corpus.select(
+        (col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
+          .as("embedding"))
+        .localCheckpoint() // materialized delta batch (q162's rule)
+      PqAdc.encode(IvfFlat.assign(delta, rCents), rCbs, TrainData2.PqSub)
+        .select("vec_id", "embedding", "cluster", "codes")
+        .write.parquet(s"$lake/gen2/codes")
+      // SERVE: the merged generations are just the union of code legs —
+      // counter-free, no rewrite of gen 1 (the append contract)
+      val merged = spark.read.parquet(s"$lake/gen1/codes", s"$lake/gen2/codes")
+      val probes = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      PqAdc.search(merged, probes, rCents, rCbs, TrainData2.PqSub,
+          nprobe = TrainData.IvfNprobe, shortlist = TrainData2.AdcShortlist,
+          k = TrainData.IvfTopK)
+        .select(col("probe_id"), col("cand_id"), col("rk"))
+        .orderBy("probe_id", "rk").localCheckpoint()
+    }
+
+  private val q172Sql =
+    s"""WITH ${TrainData2.gen2SearchCtes},
+      |ranked AS (
+      |  SELECT probe_id, cand_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, cand_id) AS INT) AS rk
+      |  FROM rescored)
+      |SELECT probe_id, cand_id, rk FROM ranked
+      |WHERE rk <= ${TrainData.IvfTopK}
+      |ORDER BY probe_id, rk""".stripMargin
+
   // ── q169: DSIR-style hashed n-gram importance RESAMPLING (Xie et
   // al. 2023, "Data Selection for Language Models via Importance
   // Resampling") — the distribution-MATCHING selector next to the NB
@@ -944,5 +1141,7 @@ object TrainData3 {
     QueryDef("q169_dsir_resample", q169, Some(q169Sql)),
     // same oracle as q169 on purpose: the threshold plan's contract IS
     // set-equality with the rank plan
-    QueryDef("q170_dsir_threshold", q170, Some(q169Sql)))
+    QueryDef("q170_dsir_threshold", q170, Some(q169Sql)),
+    QueryDef("q171_unigram_prune", q171, Some(q171Sql)),
+    QueryDef("q172_index_lifecycle", q172, Some(q172Sql)))
 }

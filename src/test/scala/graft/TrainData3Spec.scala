@@ -74,6 +74,46 @@ class TrainData3Spec extends SparkSpec {
     assert(census.sameElements(census.sortBy(-_)), "census not descending")
   }
 
+  test("unigram prune: survival is by Viterbi USE-mass, not raw substring mass") {
+    import graft.queries.TrainData3.uniModelPrunedFromWords
+    // corpus "abab"x100: the seed census counts substring "ab" at 200
+    // occurrences — TWICE "abab"'s 100 — but round-1 Viterbi segments
+    // every word as [abab], so "ab" carries ZERO use-mass. A prune by
+    // raw mass would keep "ab" first; a prune by use-mass must keep
+    // "abab" and drop "ab" entirely.
+    val (pv, _) = uniModelPrunedFromWords(words("abab" -> 100L))
+    assert(pv.contains("abab"), s"used piece pruned: $pv")
+    assert(!pv.contains("ab"), s"zero-use piece survived the prune: $pv")
+  }
+
+  test("unigram prune: exactly the top-UniPruneKeep multis by use-mass survive") {
+    import graft.queries.TrainData3.{uniModelPrunedFromWords, UniPruneKeep}
+    // 16 two-char words over disjoint alphabets, distinct frequencies
+    // 100..115 — each segments as its own whole piece, so the use
+    // census has 16 multis with distinct masses and the prune must keep
+    // precisely the UniPruneKeep highest-frequency ones
+    val pieces = "abcdefghijklmnopqrstuvwxyz012345".grouped(2).toSeq
+    assert(pieces.size == 16)
+    val corpus = pieces.zipWithIndex.map { case (p, i) => p -> (100L + i) }
+    val (pv, _) = uniModelPrunedFromWords(words(corpus: _*))
+    val survivors = pv.keys.filter(_.length >= 2).toSet
+    val expected = corpus.sortBy(-_._2).take(UniPruneKeep).map(_._1).toSet
+    assert(survivors == expected,
+      s"survivors $survivors != top-$UniPruneKeep by use ($expected)")
+  }
+
+  test("unigram prune: the real-corpus pruned vocab is within budget and the census is sane") {
+    import graft.queries.TrainData3.{uniModelPruned, UniPruneKeep}
+    val (pv, oov) = uniModelPruned(spark, dir)
+    assert(pv.keys.count(_.length >= 2) <= UniPruneKeep,
+      s"multi budget exceeded: ${pv.keys.filter(_.length >= 2)}")
+    assert(pv.values.forall(c => c >= 0 && c <= oov),
+      "piece costs must sit in [0, oov]")
+    val census = q("q171_unigram_prune").collect().map(_.getLong(1))
+    assert(census.nonEmpty && census.forall(_ >= 1))
+    assert(census.sameElements(census.sortBy(-_)), "census not descending")
+  }
+
   test("unigram: fertility never below 1000 per-mille (a word is >= 1 piece)") {
     val rows = q("q165_unigram_encode").collect()
     assert(rows.length == 20)

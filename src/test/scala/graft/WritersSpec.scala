@@ -186,4 +186,38 @@ class WritersSpec extends SparkSpec {
     assert(applied == Seq("00_two.sql: OK", "00_two.sql: OK"), applied.toString)
     assert(spark.table("ws_ddl2_b").collect().map(_.getInt(0)).toSeq == Seq(10))
   }
+
+  test("q172: the two-generation persisted index serves exactly a one-shot in-memory build") {
+    // the production loop is persist -> reload -> append delta -> persist
+    // -> serve; its result must be indistinguishable from encoding
+    // base + delta in one shot under the same frozen model — any float
+    // round-trip loss, code corruption or generation-merge mistake
+    // breaks this equality (and the q172 oracle gate)
+    import graft.queries.{TrainData, TrainData2}
+    import graft.operators.{IvfFlat, PqAdc}
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.engine.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = TrainData.trainedCentroids(spark, dir)
+    val codebooks = TrainData2.frozenCodebooks(spark, dir)
+    val offset = corpus.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    val delta = corpus.select(
+      (col("vec_id") + lit(offset)).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
+        .as("embedding"))
+    val probes = corpus
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val rebuilt = PqAdc.search(
+        PqAdc.encode(IvfFlat.assign(corpus.unionByName(delta), cents),
+          codebooks, TrainData2.PqSub),
+        probes, cents, codebooks, TrainData2.PqSub,
+        nprobe = TrainData.IvfNprobe, shortlist = TrainData2.AdcShortlist,
+        k = TrainData.IvfTopK)
+      .select("probe_id", "cand_id", "rk")
+    val served = SparkEntry.queries("q172_index_lifecycle")(spark, dir)
+    assert(served.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(served).isEmpty,
+      "two-generation index diverges from the one-shot build")
+    assert(served.count() == 5L * TrainData.IvfTopK)
+  }
 }
