@@ -302,6 +302,22 @@ object ScaleProbe {
           .agg(sum("n_p")).collect()(0).getLong(0)
         (uv.size, mass)
       }
+      // PRUNED unigram train + encode (q171's kernel): identical corpus
+      // legs (uniCounts1 + one broadcast-vocab encode scan) plus the
+      // prune itself — driver array ops over the ≤|alphabet|+UniMultiCap
+      // collected census. If the prune were anything but vocab-sized,
+      // prune_sec would diverge from unigram_sec as the corpus
+      // multiplies; matching walls ARE the measurement.
+      val ((pruneVocab, pruneMass), tPrune) = timed {
+        val (pv, po) = graft.queries.TrainData3.uniModelPrunedFromWords(weights)
+        val vlen = weights.withColumn("n_p",
+          size(graft.queries.TrainData3.uniSegCol(col("w"), pv, po)).cast("long"))
+        val mass = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vlen.select("w", "n_p")), "w")
+          .agg(sum("n_p")).collect()(0).getLong(0)
+        (pv.size, mass)
+      }
       println(s"""{"probe":"sketch","sf":"$sfDir","mult":$mult,"docs":$n,""" +
         s""""tokens":$nTok,"vocab":$vocab,"cms_rows":$cmsRows,"hist_rows":$histRows,""" +
         s""""words_sec":${f"$tWords%.2f"},"vocab_sec":${f"$tVocab%.2f"},""" +
@@ -311,7 +327,9 @@ object ScaleProbe {
         s""""bpe_batch_merges":[${bpeBatch.map(_._3).mkString(",")}],""" +
         s""""tokenize_mass":$bpeMass,"tokenize_sec":${f"$tTokenize%.2f"},""" +
         s""""unigram_vocab":$uniVocab,"unigram_mass":$uniMass,""" +
-        s""""unigram_sec":${f"$tUnigram%.2f"}}""")
+        s""""unigram_sec":${f"$tUnigram%.2f"},""" +
+        s""""unigram_prune_vocab":$pruneVocab,"unigram_prune_mass":$pruneMass,""" +
+        s""""unigram_prune_sec":${f"$tPrune%.2f"}}""")
       spark.stop()
       return
     }

@@ -88,18 +88,21 @@ def render(b, src):
     # Kernel/I-O adjudication (round-12 lesson: the driver's q159 ran
     # [5.4, 15.4, 9.9] s vs 0.9 s clean with LOW per-rep steal — host
     # SYSTEM ticks exceeded user ticks, i.e. kernel/I-O contention that
-    # steal-only sampling cannot see). Calibration: this VM class runs
-    # system ~2x user under full 32-thread saturation NORMALLY
-    # (scheduler/futex overhead), so only >3x user or real iowait flags.
+    # steal-only sampling cannot see). Calibration: that anomaly run
+    # measured whole-run system/user = 1.22; a local run at 1.44 showed
+    # +4% inflation concentrated on shuffle-heavy queries — so system
+    # ABOVE user is the caution line, 2x user (or real iowait) the flag.
+    # Individual saturating STAGES legitimately run kernel-heavier; this
+    # sentence adjudicates whole-run min-rep totals only.
     rs = b.get("minrep_sys_per_sec", -1)
     ru = b.get("minrep_user_per_sec", -1)
     rw = b.get("minrep_iowait_per_sec", -1)
     if rs is not None and rs >= 0 and ru is not None and ru >= 0:
-        if (rw is not None and rw >= 50) or (ru > 0 and rs > 3 * ru):
+        if (rw is not None and rw >= 50) or (ru > 0 and rs > 2 * ru):
             kv = "KERNEL/I-O CONTENDED — re-run before comparing totals across rounds"
-        elif (rw is not None and rw >= 5) or (ru > 0 and rs > 2 * ru):
-            kv = ("kernel-heavy — can be normal under full-thread saturation "
-                  "on this VM class; treat saturating-stage deltas with caution")
+        elif (rw is not None and rw >= 5) or (ru > 0 and rs > ru):
+            kv = ("kernel-heavy — treat sub-second per-query deltas vs other "
+                  "rounds with caution")
         else:
             kv = ("clean — kernel and I/O wait were unremarkable while the "
                   "reported reps ran")
