@@ -1882,14 +1882,25 @@ object TrainData {
     * every train-slice doc with its first-firing drop stage —
     * `(doc_id, source, n_tok, stage)`. */
   private def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docsParallel(spark, dir)
     val train = d.filter(col("doc_id") % 10 =!= 7)
-    val exKeeper = min("doc_id").over(Window.partitionBy(sha2(col("text"), 256)))
-    val flags = train.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tok"),
-      (col("doc_id") =!= exKeeper).as("ex_drop"),
-      (qualityScore < 400).as("lowq"))
+    // exact-dup keeper via groupBy-and-join-back, NOT a window over
+    // partitionBy(hash): the window form has no partial aggregation, so
+    // a pathological mega-duplicate corpus would funnel every copy of
+    // the hot text into ONE task's sort. The groupBy gets map-side
+    // combine (each map task forwards one (hash, min) row per distinct
+    // text) and the join back is an AQE-skew-splittable equi-join —
+    // the 100 TB-safe shape. NULL text hashes to a sentinel (not a hex
+    // string, collision-free) so the join keeps the window form's
+    // "all NULLs share one keeper" semantics instead of null-key-dropping.
+    val h = coalesce(sha2(col("text"), 256), lit("__null_text__"))
+    val keepers = train.groupBy(h.as("__h")).agg(min("doc_id").as("__keeper"))
+    val flags = train.withColumn("__h", h)
+      .join(keepers, Seq("__h"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        (col("doc_id") =!= col("__keeper")).as("ex_drop"),
+        (qualityScore < 400).as("lowq"))
     // near-dup components over the train slice (q49's shape)
     val sigs = MinHashLsh.signatures(train).localCheckpoint()
     val comps = ConnectedComponents(

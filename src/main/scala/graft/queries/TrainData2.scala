@@ -652,13 +652,70 @@ object TrainData2 {
       .agg(count(lit(1)).as("ws_tok"), sum("n_sym").as("bpe_tok"))
   }
 
+  /** Per-word trained-tokenize length under a LITERAL merge list — the
+    * row-local replay of [[bpeApply]]'s greedy fold (pairs within a
+    * round are pairwise symbol-disjoint by construction, so the skip
+    * step equals the islands parity rule, and matching indexes the
+    * ROUND-INPUT array so in-round products never re-merge). Shared
+    * VERBATIM by the streaming filter
+    * ([[graft.streaming.Streams.bpeTokenizeFilter]]) and the
+    * persisted-model serve (q173) — one kernel, two deployment shapes;
+    * a word the training corpus never saw folds exactly as the frozen
+    * model prescribes (no OOV fallback, no vocab lookup to go stale). */
+  private[graft] def bpeTokLenCol(w: Column, merges: Seq[Seq[(String, String)]]): Column = {
+    require(merges.nonEmpty && merges.forall(_.nonEmpty),
+      "bpe_tok_len: empty merge list — train q82's rounds first")
+    def matchPair(round: Seq[(String, String)], a: Column, b: Column): Column =
+      round.map { case (l, r) => a === lit(l) && b === lit(r) }.reduce(_ || _)
+    def applyRound(arr: Column, round: Seq[(String, String)]): Column =
+      when(size(arr) <= 1, arr).otherwise(aggregate(
+        sequence(lit(1), size(arr)),
+        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+        (acc, i) => {
+          val (out, skip) = (acc.getField("out"), acc.getField("skip"))
+          val (cur, nxt) = (element_at(arr, i), element_at(arr, i + 1))
+          when(skip, struct(out.as("out"), lit(false).as("skip")))
+            .when(i < size(arr) && matchPair(round, cur, nxt),
+              struct(concat(out, array(concat(cur, nxt))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(struct(concat(out, array(cur)).as("out"),
+              lit(false).as("skip")))
+        },
+        acc => acc.getField("out")))
+    def chars(c: Column): Column =
+      when(length(c) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(c)),
+          i => c.substr(i, lit(1))))
+    size(merges.foldLeft(chars(w))(applyRound)).cast("long")
+  }
+
+  /** The trained merge list as driver-side model state (one pair list
+    * per round, ROUND ORDER IS the model) — the transport
+    * [[graft.streaming.Streams.bpeTokenizeFilter]] documents and q173
+    * persists. Memoized per data directory ([[FrozenModels]]) like the
+    * other frozen trainers. */
+  private[graft] def trainedMerges(spark: SparkSession, dir: String): Seq[Seq[(String, String)]] =
+    FrozenModels.memo(s"bpe-merges|$dir|" +
+        FrozenModels.fingerprint(s"$dir/documents.parquet")) {
+      val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
+          .select(explode(TrainData.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f")))
+        .localCheckpoint()
+      (1 to BpeRounds).foldLeft(
+          (syms0, Seq.empty[Seq[(String, String)]])) { case ((s, acc), k) =>
+        val (s2, rec) = bpeRound(s, k)
+        val r = rec.collect()(0)
+        (s2, acc :+ Seq((r.getString(1), r.getString(2))))
+      }._2
+    }
+
   private def q163(spark: SparkSession, dir: String): DataFrame =
     bpeDocTokens(TrainData.docsParallel(spark, dir)
         .select(col("doc_id"), col("text")))
       .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
       .orderBy(col("bpe_tok").desc, col("doc_id")).limit(20)
 
-  private val q163Sql =
+  private[queries] val q163Sql =
     s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  GROUP BY 1),

@@ -1132,6 +1132,76 @@ object TrainData3 {
       |FROM dssel GROUP BY 1 ORDER BY lang""".stripMargin
   }
 
+  // ── q173/q174: TOKENIZER model persistence — the q168 Writers
+  // discipline applied to the two trained tokenizer families (the ANN
+  // index got its persistence gates in q168/q172; a production
+  // tokenizer is likewise trained once and SHIPPED as an artifact to
+  // the tokenize fleet). q173 persists the BPE merge list WITH its
+  // round index — ORDER IS the model: merges apply sequentially, and a
+  // reload that loses the order ships a different tokenizer — reloads
+  // it, and serves q163's exact output through the shared row-local
+  // fold kernel (TrainData2.bpeTokLenCol, the streaming filter's
+  // kernel) at VOCAB grain with the q163 broadcast transport. q174
+  // persists the unigram (piece, cost) table + the OOV scalar and
+  // serves q165's output under the reloaded model. Both gate against
+  // the ORIGINAL queries' oracles, which train from scratch with no
+  // filesystem — any loss in the persist/reload path (ordering, type
+  // round-trip, row duplication) breaks the hash. ──
+  private def q173(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q173_") { lake =>
+      val sp = spark
+      import sp.implicits._
+      // TRAIN + PERSIST (train memoized like every frozen model)
+      TrainData2.trainedMerges(spark, dir).zipWithIndex.flatMap {
+        case (round, k) => round.map { case (l, r) => (k + 1, l, r) }
+      }.toDF("round", "left_sym", "right_sym")
+        .coalesce(1).write.parquet(s"$lake/merges")
+      // RELOAD ordered by the persisted round index
+      val reloaded: Seq[Seq[(String, String)]] = spark.read
+        .parquet(s"$lake/merges").orderBy("round").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(r => (r.getString(1), r.getString(2))).toSeq)
+      // SERVE q163's output: per-word lengths under the reloaded model
+      // computed once at vocab grain, broadcast onto one tokenize scan
+      val docs = TrainData.docsParallel(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val vlen = docs.select(explode(TrainData.tokens(col("text"))).as("w"))
+        .distinct()
+        .select(col("w"), TrainData2.bpeTokLenCol(col("w"), reloaded).as("n_sym"))
+      docs.select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+        .join(broadcast(vlen), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ws_tok"), sum("n_sym").as("bpe_tok"))
+        .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
+        .orderBy(col("bpe_tok").desc, col("doc_id")).limit(20)
+        .localCheckpoint()
+    }
+
+  private def q174(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q174_") { lake =>
+      val sp = spark
+      import sp.implicits._
+      val (vocab, oov) = uniModel(spark, dir)
+      vocab.toSeq.toDF("piece", "cost")
+        .coalesce(1).write.parquet(s"$lake/vocab")
+      Seq(oov).toDF("oov_cost").coalesce(1).write.parquet(s"$lake/oov")
+      val rVocab = spark.read.parquet(s"$lake/vocab").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rOov = spark.read.parquet(s"$lake/oov").collect()(0).getLong(0)
+      // q165's body under the RELOADED model
+      val vlen = uniWords(spark, dir)
+        .withColumn("n_p", size(uniSegCol(col("w"), rVocab, rOov)).cast("long"))
+        .select(col("w"), col("n_p"))
+      TrainData.docsParallel(spark, dir)
+        .select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+        .join(broadcast(vlen), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ws_tok"), sum("n_p").as("uni_tok"))
+        .withColumn("fertility_pm", expr("uni_tok * 1000 div ws_tok"))
+        .orderBy(col("uni_tok").desc, col("doc_id")).limit(20)
+        .localCheckpoint()
+    }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q164_unigram_train", q164, Some(q164Sql)),
     QueryDef("q165_unigram_encode", q165, Some(q165Sql)),
@@ -1143,5 +1213,9 @@ object TrainData3 {
     // set-equality with the rank plan
     QueryDef("q170_dsir_threshold", q170, Some(q169Sql)),
     QueryDef("q171_unigram_prune", q171, Some(q171Sql)),
-    QueryDef("q172_index_lifecycle", q172, Some(q172Sql)))
+    QueryDef("q172_index_lifecycle", q172, Some(q172Sql)),
+    // both persistence gates reuse their source queries' oracles on
+    // purpose: serve-from-reload ≡ train-from-scratch IS the contract
+    QueryDef("q173_bpe_persist", q173, Some(TrainData2.q163Sql)),
+    QueryDef("q174_unigram_persist", q174, Some(q165Sql)))
 }

@@ -677,45 +677,20 @@ object Streams {
     * tokens (impossible under the single-space corpus contract) count
     * 0 symbols. */
   def bpeTokenizeFilter(docs: DataFrame,
-                        merges: Seq[Seq[(String, String)]]): DataFrame = {
-    require(merges.nonEmpty && merges.forall(_.nonEmpty),
-      "bpe_tokenize_filter: empty merge list — train q82's rounds first")
-    def matchPair(round: Seq[(String, String)], a: Column, b: Column): Column =
-      round.map { case (l, r) => a === lit(l) && b === lit(r) }.reduce(_ || _)
-    // one trained round over a symbol array — the literal-pair twin of
-    // the batch fold (pairs within a round are pairwise symbol-disjoint
-    // by bpeRound/bpeBatchRound construction, so the greedy skip step
-    // equals the islands parity rule; matching indexes the ROUND-INPUT
-    // array, so in-round products never re-merge)
-    def applyRound(arr: Column, round: Seq[(String, String)]): Column =
-      when(size(arr) <= 1, arr).otherwise(aggregate(
-        sequence(lit(1), size(arr)),
-        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
-        (acc, i) => {
-          val (out, skip) = (acc.getField("out"), acc.getField("skip"))
-          val (cur, nxt) = (element_at(arr, i), element_at(arr, i + 1))
-          when(skip, struct(out.as("out"), lit(false).as("skip")))
-            .when(i < size(arr) && matchPair(round, cur, nxt),
-              struct(concat(out, array(concat(cur, nxt))).as("out"),
-                lit(true).as("skip")))
-            .otherwise(struct(concat(out, array(cur)).as("out"),
-              lit(false).as("skip")))
-        },
-        acc => acc.getField("out")))
-    def chars(w: Column): Column =
-      when(length(w) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(w)),
-          i => w.substr(i, lit(1))))
-    def tokLen(w: Column): Column =
-      size(merges.foldLeft(chars(w))(applyRound)).cast("long")
+                        merges: Seq[Seq[(String, String)]]): DataFrame =
+    // the per-word fold is the SHARED kernel (one trained round over a
+    // symbol array — the literal-pair twin of the batch fold), now in
+    // TrainData2.bpeTokLenCol so the stream gate and the
+    // persisted-model serve (q173) cannot drift
     docs.filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("ws_tok", size(col("toks")).cast("long"))
       .withColumn("bpe_tok", aggregate(
-        transform(col("toks"), w => tokLen(w)), lit(0L), (a, x) => a + x))
+        transform(col("toks"),
+          w => graft.queries.TrainData2.bpeTokLenCol(w, merges)),
+        lit(0L), (a, x) => a + x))
       .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
       .select("doc_id", "ts", "ws_tok", "bpe_tok", "fertility_pm")
-  }
 
   /** Streaming unigram-LM tokenize filter — the online form of q165
     * (`TrainData3.uniSegCol` at doc grain): count each arriving doc's

@@ -217,6 +217,18 @@ class PlanSpec extends SparkSpec {
     assert(s161.contains("Join"), s161.take(800))
   }
 
+  test("q75/q107: exact-dup keeper is a partial-agg groupBy + join-back, never a hash window") {
+    // min-doc_id-per-text-hash as a Window(partitionBy(sha2)) has no
+    // partial aggregation: a mega-duplicate corpus funnels every copy
+    // of the hot text into one task's sort. The groupBy form forwards
+    // one (hash, min) row per distinct text per map task — pinned here
+    // as the partial_min in the plan.
+    Seq("q75_curation_funnel", "q107_funnel_by_source").foreach { name =>
+      val s = planString(q(name))
+      assert(s.contains("partial_min"), s"$name:\n${s.take(800)}")
+    }
+  }
+
   test("q170: every window in the forced DSIR threshold plan sits above the boundary-tie filter") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.FilterExec

@@ -281,6 +281,18 @@ class TrainData3Spec extends SparkSpec {
     }
   }
 
+  test("q173/q174: tokenizer models served from parquet reload equal the in-memory serve") {
+    // persistence must be invisible: the reload-served output IS the
+    // source query's output (they also share the oracle, so this pin
+    // plus the gate covers both engines)
+    val bpe = q("q173_bpe_persist").collect().map(_.toSeq).toSeq
+    assert(bpe == q("q163_bpe_tokenize").collect().map(_.toSeq).toSeq,
+      "BPE persisted-model serve diverged from q163")
+    val uni = q("q174_unigram_persist").collect().map(_.toSeq).toSeq
+    assert(uni == q("q165_unigram_encode").collect().map(_.toSeq).toSeq,
+      "unigram persisted-model serve diverged from q165")
+  }
+
   test("q168: the reloaded index serves exactly what an in-memory rebuild serves") {
     import graft.queries.{TrainData, TrainData2}
     import graft.operators.{IvfFlat, PqAdc}
