@@ -906,9 +906,14 @@ object TrainData3 {
     * [[graft.functions.HashBucketSet]] list kernel explodes straight
     * into a DsBuckets-cell partial agg — map-side combine leaves a
     * 64-row exchange); model = DsBuckets longs + one scalar. */
-  private[graft] def dsModel(docs: DataFrame): (IndexedSeq[Long], Long) = {
-    val cens = dsCensus(docs)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  private[graft] def dsModel(docs: DataFrame): (IndexedSeq[Long], Long) =
+    dsModelFromCensus(dsCensus(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
+
+  /** The scoring model as driver math over a collected census — the
+    * DsBuckets-cell state ([[dsCensus]] at rest / the streaming
+    * maintenance cells / q175's refreshed merge) is all it needs. */
+  private[graft] def dsModelFromCensus(cens: Map[Long, (Long, Long)]): (IndexedSeq[Long], Long) = {
     val (tt, st) = (cens.values.map(_._1).sum, cens.values.map(_._2).sum)
     val weights = IndexedSeq.tabulate(DsBuckets) { b =>
       val (tb, sb) = cens.getOrElse(b.toLong, (0L, 0L)) // +1 smoothing spine
@@ -1202,6 +1207,60 @@ object TrainData3 {
         .localCheckpoint()
     }
 
+  // ── q175/q176: incremental MODEL-CENSUS refresh — the trainer-side
+  // member of the incremental family (q53 dedup, q73 LSH, q83 sketches,
+  // q99 clusters, q162 ANN): the DSIR / NB training censuses live AT
+  // REST as ≤65-row tables, a new document batch arrives, and the
+  // refreshed model comes from STORED + DELTA-BATCH counter addition —
+  // never a base-corpus re-scan (census(base ∪ delta) ≡ census(base) +
+  // census(delta) because every cell is a counter; this is the batch
+  // form of the dsCensusCells/nbCensusCells streaming maintenance).
+  // Both gate against the FULL-RETRAIN oracles (q169Sql / q167Sql):
+  // the refresh path must be indistinguishable from training on the
+  // union from scratch, across engines, through a real parquet
+  // round-trip of the stored census. Scale: refresh cost = one DELTA
+  // scan + a 65-row read + driver log math — the model-refresh loop a
+  // 100 TB ingest pipeline runs on a schedule. ──
+  private def q175(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q175_") { lake =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val base = docs.filter(col("doc_id") % 10 =!= 3)
+      val delta = docs.filter(col("doc_id") % 10 === 3)
+      // generation 1: the base census at rest
+      dsCensus(base).write.parquet(s"$lake/census")
+      // REFRESH: stored + delta-batch census, merged by counter addition
+      val merged = spark.read.parquet(s"$lake/census")
+        .unionByName(dsCensus(delta))
+        .groupBy("b").agg(sum("tb").as("tb"), sum("sb").as("sb"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // serve the q169 census under the refreshed model — must equal
+      // the full retrain exactly
+      dsirSelect(docs, model = Some(dsModelFromCensus(merged)))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("sel"), col("logit")).otherwise(0L)).as("sel_logit_sum"))
+        .orderBy("lang").localCheckpoint()
+    }
+
+  private def q176(spark: SparkSession, dir: String): DataFrame =
+    Writers.withTempDir("graft_q176_") { lake =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 10 =!= 3)
+      val delta = docs.filter(col("doc_id") % 10 === 3)
+      nbCensus(base).write.parquet(s"$lake/census")
+      val merged = spark.read.parquet(s"$lake/census")
+        .unionByName(nbCensus(delta))
+        .groupBy("b").agg(
+          sum("df_keep").as("df_keep"), sum("df_drop").as("df_drop"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (nk, nd) = merged.getOrElse(-1L, (0L, 0L))
+      val spine = IndexedSeq.tabulate(NbBuckets)(
+        b => merged.getOrElse(b.toLong, (0L, 0L)))
+      nbConfusion(docs, nbModelFromCensus((spine, nk, nd))).localCheckpoint()
+    }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q164_unigram_train", q164, Some(q164Sql)),
     QueryDef("q165_unigram_encode", q165, Some(q165Sql)),
@@ -1217,5 +1276,8 @@ object TrainData3 {
     // both persistence gates reuse their source queries' oracles on
     // purpose: serve-from-reload ≡ train-from-scratch IS the contract
     QueryDef("q173_bpe_persist", q173, Some(TrainData2.q163Sql)),
-    QueryDef("q174_unigram_persist", q174, Some(q165Sql)))
+    QueryDef("q174_unigram_persist", q174, Some(q165Sql)),
+    // refresh ≡ full retrain IS the contract — hence the source oracles
+    QueryDef("q175_dsir_refresh", q175, Some(q169Sql)),
+    QueryDef("q176_nb_refresh", q176, Some(q167Sql)))
 }

@@ -281,6 +281,42 @@ class TrainData3Spec extends SparkSpec {
     }
   }
 
+  test("census refresh: merged base+delta censuses train the exact full-corpus model") {
+    import spark.implicits._
+    import graft.queries.TrainData3
+    // DSIR: census merge is counter addition, so stored(base) +
+    // batch(delta) must train the identical model to a full retrain
+    val tText = (0 until 30).map(i => s"t${i % 7}").mkString(" ")
+    val uText = (0 until 30).map(i => s"u${i % 7}").mkString(" ")
+    val all = ((0L until 4L).map(i => (i, "en", tText)) ++
+      (4L until 8L).map(i => (i, "de", tText)) ++
+      (8L until 16L).map(i => (i, "fr", uText))).toDF("doc_id", "lang", "text")
+    def cens(df: org.apache.spark.sql.DataFrame) = TrainData3.dsCensus(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = (cens(all.filter(col("doc_id") % 3 =!= 0)).toSeq ++
+        cens(all.filter(col("doc_id") % 3 === 0)).toSeq)
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum) }
+    assert(TrainData3.dsModelFromCensus(merged) == TrainData3.dsModel(all),
+      "DSIR refresh diverged from full retrain")
+    // NB: same algebra including the b = -1 class cell
+    val keepText = (0 until 40).map(i => s"a$i").mkString(" ")
+    val dropText = (0 until 10).map(i => s"b$i").mkString(" ")
+    val nbAll = ((0L until 10L).map(i => i -> keepText) ++
+      (10L until 20L).map(i => i -> dropText)).toDF("doc_id", "text")
+    def nbCens(df: org.apache.spark.sql.DataFrame) = TrainData3.nbCensus(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nbMerged = (nbCens(nbAll.filter(col("doc_id") % 3 =!= 0)).toSeq ++
+        nbCens(nbAll.filter(col("doc_id") % 3 === 0)).toSeq)
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum) }
+    val (nk, nd) = nbMerged.getOrElse(-1L, (0L, 0L))
+    val spine = IndexedSeq.tabulate(64)(b => nbMerged.getOrElse(b.toLong, (0L, 0L)))
+    assert(TrainData3.nbModelFromCensus((spine, nk, nd)) ==
+      TrainData3.nbModel(nbAll),
+      "NB refresh diverged from full retrain")
+  }
+
   test("q173/q174: tokenizer models served from parquet reload equal the in-memory serve") {
     // persistence must be invisible: the reload-served output IS the
     // source query's output (they also share the oracle, so this pin
