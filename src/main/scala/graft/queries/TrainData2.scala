@@ -661,32 +661,16 @@ object TrainData2 {
     * ([[graft.streaming.Streams.bpeTokenizeFilter]]) and the
     * persisted-model serve (q173) — one kernel, two deployment shapes;
     * a word the training corpus never saw folds exactly as the frozen
-    * model prescribes (no OOV fallback, no vocab lookup to go stale). */
+    * model prescribes (no OOV fallback, no vocab lookup to go stale).
+    * The kernel is the native codegen'd [[graft.functions.BpeTokLen]]:
+    * the composed per-round `aggregate` folds chained by foldLeft
+    * duplicate the previous round's WHOLE expression at every array
+    * reference, and interpreted HOF evaluation re-runs each copy per
+    * element — measured 3.6 s for a 31-row vocabulary at 3 rounds. */
   private[graft] def bpeTokLenCol(w: Column, merges: Seq[Seq[(String, String)]]): Column = {
     require(merges.nonEmpty && merges.forall(_.nonEmpty),
       "bpe_tok_len: empty merge list — train q82's rounds first")
-    def matchPair(round: Seq[(String, String)], a: Column, b: Column): Column =
-      round.map { case (l, r) => a === lit(l) && b === lit(r) }.reduce(_ || _)
-    def applyRound(arr: Column, round: Seq[(String, String)]): Column =
-      when(size(arr) <= 1, arr).otherwise(aggregate(
-        sequence(lit(1), size(arr)),
-        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
-        (acc, i) => {
-          val (out, skip) = (acc.getField("out"), acc.getField("skip"))
-          val (cur, nxt) = (element_at(arr, i), element_at(arr, i + 1))
-          when(skip, struct(out.as("out"), lit(false).as("skip")))
-            .when(i < size(arr) && matchPair(round, cur, nxt),
-              struct(concat(out, array(concat(cur, nxt))).as("out"),
-                lit(true).as("skip")))
-            .otherwise(struct(concat(out, array(cur)).as("out"),
-              lit(false).as("skip")))
-        },
-        acc => acc.getField("out")))
-    def chars(c: Column): Column =
-      when(length(c) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(c)),
-          i => c.substr(i, lit(1))))
-    size(merges.foldLeft(chars(w))(applyRound)).cast("long")
+    graft.functions.BpeTokLen(w, merges)
   }
 
   /** The trained merge list as driver-side model state (one pair list
