@@ -67,13 +67,20 @@ object BpeTokLen {
 
   def apply(c: Column, merges: Seq[Seq[(String, String)]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(BpeTokLenExpr(ColumnBridge.expression(c),
-      merges.map(_.map(p => Array(p._1, p._2)).toArray).toArray))
+    ColumnBridge.column(BpeTokLenExpr(ColumnBridge.expression(c), merges))
   }
 }
 
+/** `merges` stays a Seq of pairs ON the case class so expression
+  * equality is structural (an Array field would compare by reference,
+  * defeating common-subexpression elimination and plan canonicalization
+  * for two identical bpe_tok_len calls); the kernel's array form is
+  * derived lazily once per task. */
 case class BpeTokLenExpr(child: Expression,
-                         merges: Array[Array[Array[String]]]) extends UnaryExpression {
+                         merges: Seq[Seq[(String, String)]]) extends UnaryExpression {
+  @transient private lazy val mergeArr: Array[Array[Array[String]]] =
+    merges.map(_.map(p => Array(p._1, p._2)).toArray).toArray
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -86,11 +93,11 @@ case class BpeTokLenExpr(child: Expression,
     }
 
   override def nullSafeEval(v: Any): Any =
-    BpeTokLen.compute(v.asInstanceOf[UTF8String], merges)
+    BpeTokLen.compute(v.asInstanceOf[UTF8String], mergeArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val mRef = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][][]")
+      val mRef = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][][]")
       s"${ev.value} = graft.functions.BpeTokLen.compute($c, $mRef);"
     })
 

@@ -39,6 +39,22 @@ private[graft] object FrozenModels {
   private[graft] def memo[T <: AnyRef](key: String)(f: => T): T =
     cache.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** Memoize under `prefix|fp` and EVICT other generations of the same
+    * prefix first: fingerprinted keys mean a rewrite-in-place data flow
+    * retrains instead of serving stale models, but without eviction each
+    * refresh would leak one full model set per data generation — in a
+    * long-lived process running a scheduled refresh loop that is
+    * unbounded driver memory. One prefix holds one live generation. */
+  private[graft] def memoGen[T <: AnyRef](prefix: String, fp: String)(f: => T): T = {
+    val key = s"$prefix|$fp"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(prefix + "|") && k != key) it.remove()
+    }
+    memo(key)(f)
+  }
+
   /** Content fingerprint of the file (or file tree) at `path`: relative
     * order-pinned (name, length, mtime) of every regular file, hashed.
     * One directory walk, no data read — cheap enough to run on every

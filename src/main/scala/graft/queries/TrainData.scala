@@ -1522,7 +1522,7 @@ object TrainData {
     * the pinned seeds, so every consumer (q54/q64/q69/q76/q80/q151/
     * q153/q162) shares ONE training pass per process. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
-    FrozenModels.memo(s"ivf-centroids|$dir|" +
+    FrozenModels.memoGen(s"ivf-centroids|$dir",
         FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)

@@ -679,7 +679,7 @@ object TrainData2 {
     * persists. Memoized per data directory ([[FrozenModels]]) like the
     * other frozen trainers. */
   private[graft] def trainedMerges(spark: SparkSession, dir: String): Seq[Seq[(String, String)]] =
-    FrozenModels.memo(s"bpe-merges|$dir|" +
+    FrozenModels.memoGen(s"bpe-merges|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
           .select(explode(TrainData.tokens(col("text"))).as("w"))
@@ -688,8 +688,14 @@ object TrainData2 {
       (1 to BpeRounds).foldLeft(
           (syms0, Seq.empty[Seq[(String, String)]])) { case ((s, acc), k) =>
         val (s2, rec) = bpeRound(s, k)
-        val r = rec.collect()(0)
-        (s2, acc :+ Seq((r.getString(1), r.getString(2))))
+        val rows = rec.collect()
+        // a corpus whose words are all single symbols by round k yields
+        // an empty adjacency relation — surface that intelligibly
+        // instead of an index-out-of-bounds on the empty record
+        require(rows.nonEmpty,
+          s"trainedMerges: round $k found no adjacent pair to merge — " +
+            "the corpus collapsed to single symbols before BpeRounds rounds")
+        (s2, acc :+ Seq((rows(0).getString(1), rows(0).getString(2))))
       }._2
     }
 
@@ -1238,7 +1244,7 @@ object TrainData2 {
     * the IDENTICAL model (the oracle side already shares `pqTrainCtes`);
     * training runs once per process, not once per query per bench rep. */
   private[graft] def frozenCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
-    FrozenModels.memo(s"pq-codebooks|$dir|" +
+    FrozenModels.memoGen(s"pq-codebooks|$dir",
         FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val corpus = TrainData.embParallel(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -1255,7 +1261,7 @@ object TrainData2 {
     * memo body (FrozenModels' reentrancy rule). */
   private def frozenCodebooksResidual(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] = {
     val cents = TrainData.trainedCentroids(spark, dir)
-    FrozenModels.memo(s"pq-codebooks-residual|$dir|" +
+    FrozenModels.memoGen(s"pq-codebooks-residual|$dir",
         FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val corpus = TrainData.embParallel(spark, dir)

@@ -159,7 +159,7 @@ object TrainData3 {
     * memoized per data directory like the PQ/IVF models ([[FrozenModels]]:
     * the model is a pure function of the corpus and the pinned caps). */
   private[graft] def uniModel(spark: SparkSession, dir: String): (Map[String, Long], Long) =
-    FrozenModels.memo(s"unigram-model|$dir|" +
+    FrozenModels.memoGen(s"unigram-model|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       uniModelFromWords(uniWords(spark, dir).localCheckpoint())
     }
@@ -209,18 +209,17 @@ object TrainData3 {
     * binary collation both implement. Java String.compareTo is UTF-16
     * code-unit order, which diverges above the BMP, so a DRIVER-side
     * tie-break must not use it (the relational cuts get this ordering
-    * for free from the engines). */
+    * for free from the engines); delegate to the engine's own class
+    * rather than hand-rolling the byte loop. */
   private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    while (i < x.length && i < y.length) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
+    import org.apache.spark.unsafe.types.UTF8String
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
   }
+
+  /** Code-point length — the character grain Spark's `length()` and
+    * DuckDB's `len()` share; Java String.length counts UTF-16 units and
+    * would misclassify a supplementary-plane piece as multi-char. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
   /** One vocabulary-PRUNING round on top of the hard-EM trainer — the
     * SentencePiece shrink step: real unigram training alternates EM
@@ -240,8 +239,11 @@ object TrainData3 {
     * corpus scan vs the unpruned trainer ([[uniCounts1]] is shared). */
   private[graft] def uniModelPrunedFromWords(words: DataFrame): (Map[String, Long], Long) = {
     val c1 = uniCounts1(words)
-    val kept = c1.filter(_._1.length == 1) ++
-      c1.filter(_._1.length >= 2)
+    // single/multi split at CODE-POINT grain (cpLen): the oracle's
+    // len(piece) = 1 keeps a supplementary-plane single as coverage,
+    // and a Java-length split would instead throw it into the prune pool
+    val kept = c1.filter(p => cpLen(p._1) == 1) ++
+      c1.filter(p => cpLen(p._1) >= 2)
         .sortWith { (a, b) =>
           if (a._2 != b._2) a._2 > b._2 else utf8Less(a._1, b._1)
         }
@@ -252,7 +254,7 @@ object TrainData3 {
   /** [[uniModelPrunedFromWords]] memoized per data directory like
     * [[uniModel]]. */
   private[graft] def uniModelPruned(spark: SparkSession, dir: String): (Map[String, Long], Long) =
-    FrozenModels.memo(s"unigram-pruned|$dir|" +
+    FrozenModels.memoGen(s"unigram-pruned|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       uniModelPrunedFromWords(uniWords(spark, dir).localCheckpoint())
     }
@@ -497,26 +499,36 @@ object TrainData3 {
     * per doc leave the scan (a relational DISTINCT shuffles one row per
     * bigram OCCURRENCE; the HOF formulation pays an interpreted lambda
     * per bigram — both measured ~1 s of q167's wall at sf0.1). */
-  private[graft] def nbCensus(docs: DataFrame): DataFrame = {
-    val lab = docs.select(col("text"),
+  private[graft] def nbCensus(docs: DataFrame): DataFrame =
+    docs.select(col("text"),
         (size(TrainData.tokens(col("text"))) >= 30).as("keep"))
       .filter(col("keep").isNotNull)
-    lab.select(col("keep"),
-        explode(graft.functions.HashBucketSet(
-          col("text"), "nb:", NbBuckets)).as("b"))
-      .unionByName(lab.select(col("keep"), lit(-1L).as("b")))
+      // ONE scan: each doc emits its class cell (-1) and its distinct
+      // bucket set from the same row — a unionByName of two projections
+      // here would scan (and tokenize/label) the corpus twice per
+      // census build. Post-filter text is never NULL (keep is derived
+      // from it), so the concat never NULLs out the class cell; a 0/1-
+      // token doc emits [-1] alone (empty bucket set).
+      .select(col("keep"),
+        explode(concat(array(lit(-1L)), graft.functions.HashBucketSet(
+          col("text"), "nb:", NbBuckets))).as("b"))
       .groupBy("b").agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("df_keep"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("df_drop"))
-  }
 
   /** The collected census: the NbBuckets-cell (df_keep, df_drop) spine
     * (unseen buckets 0 — ABSENCE carries weight in a Bernoulli model)
     * plus the class counts. Bounded driver model state; one distributed
     * job (census scan + 65-row readout). */
-  private[graft] def nbCensusState(docs: DataFrame): (IndexedSeq[(Long, Long)], Long, Long) = {
-    val cells = nbCensus(docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  private[graft] def nbCensusState(docs: DataFrame): (IndexedSeq[(Long, Long)], Long, Long) =
+    nbStateFromCells(nbCensus(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
+
+  /** Assemble (bucket spine, n_keep, n_drop) from a collected cell map —
+    * the ONE place the b = −1 class-cell convention is decoded (shared
+    * by the batch trainer, q176's refresh merge, and the streaming
+    * twin's spec). */
+  private[graft] def nbStateFromCells(cells: Map[Long, (Long, Long)]): (IndexedSeq[(Long, Long)], Long, Long) = {
     val (nk, nd) = cells.getOrElse(-1L, (0L, 0L))
     (IndexedSeq.tabulate(NbBuckets)(b => cells.getOrElse(b.toLong, (0L, 0L))),
       nk, nd)
@@ -528,7 +540,7 @@ object TrainData3 {
     * discipline; previously each q166/q167 execution replayed the class
     * + feature census scans). */
   private[graft] def nbCensusDir(spark: SparkSession, dir: String): (IndexedSeq[(Long, Long)], Long, Long) =
-    FrozenModels.memo(s"nb-census|$dir|" +
+    FrozenModels.memoGen(s"nb-census|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       nbCensusState(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     }
@@ -928,7 +940,7 @@ object TrainData3 {
     * bench rep share ONE census pass per process (the nbCensusDir /
     * uniModel discipline). */
   private[graft] def dsModelDir(spark: SparkSession, dir: String): (IndexedSeq[Long], Long) =
-    FrozenModels.memo(s"dsir-model|$dir|" +
+    FrozenModels.memoGen(s"dsir-model|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
       dsModel(Tables.documents(spark, dir).select(col("lang"), col("text")))
     }
@@ -1255,10 +1267,8 @@ object TrainData3 {
         .groupBy("b").agg(
           sum("df_keep").as("df_keep"), sum("df_drop").as("df_drop"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val (nk, nd) = merged.getOrElse(-1L, (0L, 0L))
-      val spine = IndexedSeq.tabulate(NbBuckets)(
-        b => merged.getOrElse(b.toLong, (0L, 0L)))
-      nbConfusion(docs, nbModelFromCensus((spine, nk, nd))).localCheckpoint()
+      nbConfusion(docs, nbModelFromCensus(nbStateFromCells(merged)))
+        .localCheckpoint()
     }
 
   val defs: Seq[QueryDef] = Seq(

@@ -50,4 +50,22 @@ class FrozenModelsSpec extends AnyFunSuite {
   test("fingerprint of a missing path is the sentinel, not an error") {
     assert(FrozenModels.fingerprint("/nonexistent/graft/path") == "absent")
   }
+
+  test("memoGen evicts the PREVIOUS generation of a prefix, not other prefixes") {
+    FrozenModels.clear()
+    var trains = 0
+    def model(fp: String): java.lang.Integer =
+      FrozenModels.memoGen("fm-spec-model|/d", fp) { trains += 1; Integer.valueOf(trains) }
+    val other = FrozenModels.memoGen("fm-spec-other|/d", "fpX") { Integer.valueOf(99) }
+    assert(model("fp1") == 1 && model("fp1") == 1 && trains == 1)
+    // data rewritten at the same path: new fingerprint retrains AND the
+    // stale generation is evicted (no leak per refresh)
+    assert(model("fp2") == 2 && trains == 2)
+    // the old generation is gone: flipping back retrains rather than
+    // serving the evicted value
+    assert(model("fp1") == 3 && trains == 3)
+    // unrelated prefixes are untouched by the eviction sweep
+    assert(FrozenModels.memoGen("fm-spec-other|/d", "fpX") { Integer.valueOf(-1) } == other)
+    FrozenModels.clear()
+  }
 }

@@ -898,10 +898,8 @@ class StreamsSpec extends SparkSpec {
       import spark.implicits._
       val docsDf = (b1 ++ b2).zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val cells = state()
-      val (nk, nd) = cells(-1L)
-      val spine = IndexedSeq.tabulate(64)(b => cells.getOrElse(b.toLong, (0L, 0L)))
-      assert(graft.queries.TrainData3.nbModelFromCensus((spine, nk, nd)) ==
+      assert(graft.queries.TrainData3.nbModelFromCensus(
+          graft.queries.TrainData3.nbStateFromCells(state())) ==
         graft.queries.TrainData3.nbModel(docsDf),
         "model refreshed from streamed census must equal batch retrain")
     } finally q.stop()

@@ -102,6 +102,25 @@ class TrainData3Spec extends SparkSpec {
       s"survivors $survivors != top-$UniPruneKeep by use ($expected)")
   }
 
+  test("unigram prune: a supplementary-plane single survives as coverage, never pruned as a multi") {
+    import graft.queries.TrainData3.uniModelPrunedFromWords
+    // U+1D552 (MATHEMATICAL SCRIPT SMALL A) is 2 UTF-16 units but ONE
+    // character in both engines' length(); a Java-length split would
+    // route it into the multi pool where zero use-mass prunes it —
+    // here it is used (the word IS the char) but even a zero-use single
+    // must stay for coverage semantics. Pin: it lands in the pruned
+    // vocab alongside the ascii singles.
+    // 16 heavy two-char pieces overflow the UniPruneKeep=12 budget, so
+    // anything misrouted into the multi pool at use-mass 1 IS cut —
+    // the discriminating case for the length grain
+    val scriptA = new String(Character.toChars(0x1D552))
+    val pieces = "abcdefghijklmnopqrstuvwxyz012345".grouped(2).toSeq
+    val corpus = pieces.zipWithIndex.map { case (p, i) => p -> (100L + i) } :+
+      (scriptA -> 1L)
+    val (pv, _) = uniModelPrunedFromWords(words(corpus: _*))
+    assert(pv.contains(scriptA), s"supplementary-plane single pruned: ${pv.keys}")
+  }
+
   test("unigram prune: the real-corpus pruned vocab is within budget and the census is sane") {
     import graft.queries.TrainData3.{uniModelPruned, UniPruneKeep}
     val (pv, oov) = uniModelPruned(spark, dir)
