@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.lang.management.ManagementFactory
 import scala.jdk.CollectionConverters._
 
@@ -125,20 +125,68 @@ object Bench {
     // Per rep: (wall seconds, (user, system, iowait, steal) host-tick
     // deltas) — see repTicks for why all four.
     val noTicks = (-1L, -1L, -1L, -1L)
+    def oneRep(name: String, fn: (SparkSession, String) => DataFrame)
+        : (Double, (Long, Long, Long, Long)) = {
+      val h0 = repTicks()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val h1 = repTicks()
+      val d = (h0, h1) match {
+        case (Some((u0, s0, w0, st0)), Some((u1, s1, w1, st1))) =>
+          (u1 - u0, s1 - s0, w1 - w0, st1 - st0)
+        case _ => noTicks
+      }
+      (sec, d)
+    }
+    // A rep is CLEAN when its own host-tick bracket certifies it:
+    // readable ticks, hypervisor steal ≤5% of the host's BUSY ticks
+    // (steal/busy is the fraction of runnable time the hypervisor took,
+    // i.e. a direct bound on wall inflation — a per-core or per-second
+    // threshold misfires on short reps where one tick is a huge rate),
+    // iowait ≤25% of busy, and host system time within this VM class's
+    // normal saturation profile (system can legitimately reach ~2× user
+    // at full 32-thread load — see hostCpuTicks — so 3× user is the
+    // foreign-contention line). The +1/+2 tick tolerances absorb
+    // USER_HZ=100 granularity on sub-second reps. This predicate is the
+    // rep-grain form of tools/bench_report.py's whole-run adjudication.
+    def dirtyRep(t: (Long, Long, Long, Long)): Boolean = {
+      val (u, s, w, st) = t
+      val busy = u + s + w + st
+      u < 0 || // unreadable ticks cannot certify cleanliness
+        st > 1 + 0.05 * busy ||
+        w > 1 + 0.25 * busy ||
+        s > 3 * u + 2
+    }
+    // Clean-rep policy (round-13 lesson): the driver's official r13
+    // artifact was contention-polluted — its adjudication columns could
+    // DIAGNOSE that (minrep steal 6.9/s, q09 at 46 s vs 1.35 s clean)
+    // but not FIX the headline number, so the 2× contract had to be
+    // argued from a separate builder-side run. Now any query with no
+    // clean rep after the fixed reps earns up to `cleanRetries` extra
+    // reps (stop at the first clean one), and the artifact carries
+    // clean_total / clean_coverage — a total whose every contributing
+    // rep ran with certified-clean host ticks — next to the raw value,
+    // so one driver artifact self-certifies.
+    val cleanRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_RETRIES", "3").toInt
+    // Global extra-rep budget: on a PERSISTENTLY stolen host every rep
+    // is dirty and per-query retries alone would double the run (174
+    // queries × 3 extras). The budget bounds total retry wall-cost; when
+    // it runs out remaining dirty queries simply stay uncertified and
+    // clean_coverage says so.
+    var cleanBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_BUDGET", "60").toInt
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val h0 = repTicks()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val h1 = repTicks()
-        val d = (h0, h1) match {
-          case (Some((u0, s0, w0, st0)), Some((u1, s1, w1, st1))) =>
-            (u1 - u0, s1 - s0, w1 - w0, st1 - st0)
-          case _ => noTicks
-        }
-        (sec, d)
+      var times = (1 to reps).map(_ => oneRep(name, fn)).toVector
+      val canCertify = times.exists(_._2._1 >= 0) // /proc/stat readable
+      var extra = 0
+      while (extra < cleanRetries && cleanBudget > 0 && canCertify &&
+             !failed.contains(name) && !times.exists(r => !dirtyRep(r._2))) {
+        times = times :+ oneRep(name, fn)
+        extra += 1
+        cleanBudget -= 1
       }
       // Isolation: no query may ride on (or pay for) another query's
       // cached DATA. Queries themselves use GC-scoped localCheckpoint,
@@ -150,8 +198,21 @@ object Bench {
       // first pays training for the family. clearCache() does not (and
       // must not) reset it; cache_policy in the artifact records this.
       spark.catalog.clearCache()
-      name -> times
+      (name, times, extra)
     }
+    // Per-query min over CLEAN reps only; a query with no clean rep
+    // (even after retries) is excluded from clean_total and named in
+    // "uncertified" — clean_coverage says how much of the suite the
+    // certified number covers.
+    val cleanMins = results.map { case (k, ts, _) =>
+      val clean = ts.filter(r => !dirtyRep(r._2)).map(_._1)
+      (k, if (clean.isEmpty) None else Some(clean.min))
+    }
+    val cleanCovered = cleanMins.count(_._2.isDefined)
+    val cleanTotal = cleanMins.flatMap(_._2).sum
+    val cleanExtraReps = results.map(_._3).sum
+    val uncertifiedJson = cleanMins.filter(_._2.isEmpty).map(_._1).take(10)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val host1 = hostCpuTicks()
     val (gc1Count, gc1Ms) = gcTotals()
@@ -162,14 +223,15 @@ object Bench {
     // a JIT/first-touch effect shows rep 1 >> rep 2..n. min-of-reps alone
     // (round ≤4) couldn't distinguish the two — that ambiguity is what
     // this block removes.
-    val repsJson = results.map { case (k, ts) =>
+    val resultTimes = results.map { case (k, ts, _) => (k, ts) }
+    val repsJson = resultTimes.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(t => fmt(t._1, 2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Host ticks per rep (user/system/iowait/steal), parallel to
     // reps_sec (sacrificial zone — the committed bench_local file keeps
     // them; the tail window keeps the minrep summaries below).
     def repTickJson(pick: ((Long, Long, Long, Long)) => Long) =
-      results.map { case (k, ts) =>
+      resultTimes.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(t => pick(t._2)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val repUserJson = repTickJson(_._1)
@@ -181,16 +243,16 @@ object Bench {
     // (~2.2 KB) no longer fits whole — it sits BEFORE the diag/contract
     // keys so its HEAD is what truncates; whatever survives is still
     // per-query data, and the committed bench_local file has all of it.
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
+    val qs = resultTimes.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.map(_._1).min).sum
+    val total = resultTimes.map(_._2.map(_._1).min).sum
     // The adjudication summary that SURVIVES the tail window: total steal
     // ticks observed during exactly the reps the "queries" map reports
     // (each query's fastest), plus that total normalized per wall second
     // (USER_HZ=100: 100 ticks/s ≈ one continuously stolen core). A prior
     // round's whole-run steal of 14,585 could not say whether the MIN
     // reps were the contended ones — this can.
-    val minReps = results.map { case (k, ts) => (k, ts.minBy(_._1)) }
+    val minReps = resultTimes.map { case (k, ts) => (k, ts.minBy(_._1)) }
     def minTickStats(pick: ((Long, Long, Long, Long)) => Long): (Long, Double) = {
       val tot = if (minReps.exists(t => pick(t._2._2) < 0)) -1L
                 else minReps.map(t => pick(t._2._2)).sum
@@ -231,6 +293,7 @@ object Bench {
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries; """ +
       s"""FrozenModels trained-model cache shared across queries+reps",""" +
+      s""""clean_retries":$cleanRetries,""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""aqe_size_first":$sizeFirstCoalesce,"aqe_advisory":"$advisoryBytes""""
     // Outlier forensics that SURVIVES the tail capture: a query whose
@@ -241,7 +304,7 @@ object Bench {
     // window); this is the only per-rep detail inside the window — the
     // full reps_sec up front can never fit (the 87-entry queries map
     // alone is ~2 KB).
-    val outJson = results
+    val outJson = resultTimes
       .map { case (k, ts) => (k, ts.map(_._1)) }
       .filter { case (_, ss) => ss.min > 0.3 && ss.max > 2 * ss.min }
       .sortBy { case (_, ss) => -ss.min }.take(5) // bound the window cost
@@ -256,7 +319,7 @@ object Bench {
     // rep_outliers (which carries its own rep arrays) every number a
     // drift adjudication needs is in the captured artifact, no local
     // file required.
-    val topJson = results.sortBy { case (_, ts) => -ts.map(_._1).min }.take(20)
+    val topJson = resultTimes.sortBy { case (_, ts) => -ts.map(_._1).min }.take(20)
       .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
       .mkString("{", ",", "}")
     // Key order is survival priority under a `tail` capture (the HEAD of
@@ -270,7 +333,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)

@@ -39,37 +39,81 @@ private[graft] object FrozenModels {
   private[graft] def memo[T <: AnyRef](key: String)(f: => T): T =
     cache.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** One lock object per memoGen prefix: the evict+insert below must be
+    * atomic PER PREFIX or two concurrent lookups of the same prefix with
+    * different fingerprints can each evict the other's freshly inserted
+    * generation (retrain thrash — results stay correct, the
+    * one-live-generation invariant doesn't). Lock objects are stateless
+    * and bounded by the number of model prefixes, so they are never
+    * evicted themselves. */
+  private val prefixLocks = new ConcurrentHashMap[String, Object]()
+
   /** Memoize under `prefix|fp` and EVICT other generations of the same
     * prefix first: fingerprinted keys mean a rewrite-in-place data flow
     * retrains instead of serving stale models, but without eviction each
     * refresh would leak one full model set per data generation — in a
     * long-lived process running a scheduled refresh loop that is
-    * unbounded driver memory. One prefix holds one live generation. */
+    * unbounded driver memory. One prefix holds one live generation.
+    *
+    * The hot path (live generation already cached) is a lock-free get —
+    * the O(cache) eviction sweep and the per-prefix lock are paid only
+    * on a generation MISS, i.e. once per data rewrite. Retrains of the
+    * same prefix serialize under the lock (no duplicate training);
+    * distinct prefixes never contend. */
   private[graft] def memoGen[T <: AnyRef](prefix: String, fp: String)(f: => T): T = {
     val key = s"$prefix|$fp"
-    val it = cache.keySet().iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      if (k.startsWith(prefix + "|") && k != key) it.remove()
+    val hit = cache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = prefixLocks.computeIfAbsent(prefix, _ => new Object)
+    lock.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix + "|") && k != key) it.remove()
+      }
+      memo(key)(f)
     }
-    memo(key)(f)
   }
 
-  /** Content fingerprint of the file (or file tree) at `path`: relative
-    * order-pinned (name, length, mtime) of every regular file, hashed.
-    * One directory walk, no data read — cheap enough to run on every
-    * model lookup, and exactly the parquet-footer-level signal a
-    * rewrite-in-place changes (new part files, new sizes, new mtimes). */
+  /** Content fingerprint of the file (or file tree) at `path`: for every
+    * regular file, its path RELATIVE to `path` (a file moved between
+    * sibling subdirectories with identical metadata must not fingerprint
+    * identically), length, modification time at the filesystem's finest
+    * granularity (nanoseconds where supported — `File.lastModified`'s
+    * millisecond floor can alias a same-instant rewrite), and a tail
+    * content sample (last ≤16 bytes — for parquet that region holds the
+    * footer length + magic, which any footer rewrite perturbs; it is
+    * what catches a same-length same-timestamp in-place rewrite). One
+    * directory walk + one bounded pread per file, no data-sized reads —
+    * cheap enough to run on every model lookup. */
   private[graft] def fingerprint(path: String): String = {
-    def walk(f: java.io.File): Seq[String] =
+    def mtimeNanos(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified }
+    def tail(f: java.io.File): String = {
+      val n = f.length
+      if (n <= 0) "-"
+      else try {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val take = math.min(16L, n).toInt
+          raf.seek(n - take)
+          val buf = new Array[Byte](take)
+          raf.readFully(buf)
+          java.util.Base64.getEncoder.encodeToString(buf)
+        } finally raf.close()
+      } catch { case _: java.io.IOException => "?" } // unreadable ≠ crash
+    }
+    def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-          .toSeq.flatMap(walk)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+          .toSeq.flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${mtimeNanos(f)}:${tail(f)}")
     val root = new java.io.File(path)
     if (!root.exists()) s"absent"
     else Integer.toHexString(
-      scala.util.hashing.MurmurHash3.orderedHash(walk(root)))
+      scala.util.hashing.MurmurHash3.orderedHash(walk(root, "")))
   }
 
   private[graft] def clear(): Unit = cache.clear()

@@ -47,6 +47,73 @@ class FrozenModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint catches a same-length same-mtime in-place rewrite (content sample)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp2_")
+    try {
+      val f = dir.resolve("part-0.parquet")
+      java.nio.file.Files.write(f, "generation-A".getBytes)
+      val t0 = java.nio.file.Files.getLastModifiedTime(f)
+      val fp1 = FrozenModels.fingerprint(dir.toString)
+      // rewrite with the SAME length and force the SAME mtime — only the
+      // tail content sample can tell the generations apart
+      java.nio.file.Files.write(f, "generation-B".getBytes)
+      java.nio.file.Files.setLastModifiedTime(f, t0)
+      assert(FrozenModels.fingerprint(dir.toString) != fp1,
+        "metadata-identical rewrite not detected")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("fingerprint catches a file moved between sibling subdirectories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp3_")
+    try {
+      val a = java.nio.file.Files.createDirectory(dir.resolve("a"))
+      val b = java.nio.file.Files.createDirectory(dir.resolve("b"))
+      val f = a.resolve("part-0.parquet")
+      java.nio.file.Files.write(f, "payload".getBytes)
+      val t0 = java.nio.file.Files.getLastModifiedTime(f)
+      val fp1 = FrozenModels.fingerprint(dir.toString)
+      // move a/part-0 -> b/part-0 preserving name, length, mtime: only
+      // the RELATIVE path in each entry distinguishes the trees
+      java.nio.file.Files.move(f, b.resolve("part-0.parquet"))
+      java.nio.file.Files.setLastModifiedTime(b.resolve("part-0.parquet"), t0)
+      assert(FrozenModels.fingerprint(dir.toString) != fp1,
+        "sibling-subdirectory move not detected")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("memoGen: concurrent same-prefix lookups train once per live generation") {
+    FrozenModels.clear()
+    val trains = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 8 threads race the SAME (prefix, fp): the per-prefix lock must
+    // collapse them to one training (evict-then-computeIfAbsent without
+    // the lock could let racers evict each other's fresh insert)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Integer] {
+          def call(): Integer =
+            FrozenModels.memoGen("fm-spec-conc|/d", "fp1") {
+              Integer.valueOf(trains.incrementAndGet())
+            }
+        })
+      }
+      val vals = tasks.map(_.get()).toSet
+      assert(vals == Set(Integer.valueOf(1)), s"racers saw $vals")
+      assert(trains.get() == 1, s"trained ${trains.get()} times for one generation")
+    } finally pool.shutdown()
+    FrozenModels.clear()
+  }
+
   test("fingerprint of a missing path is the sentinel, not an error") {
     assert(FrozenModels.fingerprint("/nonexistent/graft/path") == "absent")
   }

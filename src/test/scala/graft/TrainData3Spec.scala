@@ -124,8 +124,12 @@ class TrainData3Spec extends SparkSpec {
   test("unigram prune: the real-corpus pruned vocab is within budget and the census is sane") {
     import graft.queries.TrainData3.{uniModelPruned, UniPruneKeep}
     val (pv, oov) = uniModelPruned(spark, dir)
-    assert(pv.keys.count(_.length >= 2) <= UniPruneKeep,
-      s"multi budget exceeded: ${pv.keys.filter(_.length >= 2)}")
+    // code-point grain, matching the production prune's cpLen classifier:
+    // a supplementary-plane SINGLE is 2 UTF-16 units but must not count
+    // against the multi budget (String.length would falsely trip this)
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    assert(pv.keys.count(cpLen(_) >= 2) <= UniPruneKeep,
+      s"multi budget exceeded: ${pv.keys.filter(cpLen(_) >= 2)}")
     assert(pv.values.forall(c => c >= 0 && c <= oov),
       "piece costs must sit in [0, oov]")
     val census = q("q171_unigram_prune").collect().map(_.getLong(1))

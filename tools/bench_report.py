@@ -38,14 +38,21 @@ def load_bench(path):
     # Tail-truncated capture: the contract keys sit at the END of the line
     # precisely so they survive a 2000-char tail window — reconstruct the
     # queries map + total from the surviving suffix.
-    mq = re.search(r'"queries":(\{[^{}]*\}),"metric":"total","value":([0-9.]+)',
-                   text)
-    if not mq:
+    mq = re.search(r'"queries":(\{[^{}]*\})', text)
+    mv = re.search(r'"metric":"total","value":([0-9.]+)', text)
+    if not (mq and mv):
         sys.exit(f"no bench JSON line found in {path}")
-    b = {"queries": json.loads(mq.group(1)), "value": float(mq.group(2))}
+    b = {"queries": json.loads(mq.group(1)), "value": float(mv.group(1))}
     msf = re.search(r'"sf":"([^"]*)"', text)
     if msf:
         b["sf"] = msf.group(1)
+    # clean-rep certification keys sit just before the contract keys, so
+    # they survive the same tail window — recover them too
+    mct = re.search(r'"clean_total":([0-9.]+),"clean_coverage":"(\d+)/(\d+)"',
+                    text)
+    if mct:
+        b["clean_total"] = float(mct.group(1))
+        b["clean_coverage"] = f"{mct.group(2)}/{mct.group(3)}"
     return b, path
 
 
@@ -106,12 +113,39 @@ def render(b, src):
         else:
             kv = ("clean — kernel and I/O wait were unremarkable while the "
                   "reported reps ran")
+        # A failed /proc/stat iowait read (rw < 0) must not render as a
+        # clean "0 iowait" — say it was unreadable and that the verdict
+        # above used system/user only.
+        io_txt = (f"{rw:.0f} iowait ticks/s" if rw is not None and rw >= 0
+                  else "iowait unreadable (adjudicated on system/user only)")
         adj += (f"\nKernel/I-O adjudication (generated): min-reps ran at "
-                f"{rs:.0f} system / {ru:.0f} user / {max(rw or 0, 0):.0f} iowait "
-                f"ticks/s (host-wide): {kv}.")
+                f"{rs:.0f} system / {ru:.0f} user / {io_txt} "
+                f"(host-wide): {kv}.")
+    # Prefer the certified clean_total when present (round-14 policy:
+    # Bench retries dirty min-reps and emits a total whose every
+    # contributing rep ran with clean host ticks). Full coverage makes
+    # it the headline; partial coverage keeps the raw headline and
+    # states what the certified number covers.
+    cert = ""
+    ct, cc = b.get("clean_total"), b.get("clean_coverage", "")
+    cc_parts = cc.split("/") if isinstance(cc, str) and "/" in cc else []
+    cc_full = len(cc_parts) == 2 and cc_parts[0] == cc_parts[1]
+    if ct is not None and cc_full:
+        headline = (f"**total {ct:.1f} s across {n} queries (certified clean "
+                    f"reps; raw min-total {b['value']:.1f} s)**")
+        cert = ("\nEvery rep contributing to the certified total ran with "
+                "clean host ticks (steal <5%, iowait <25% of one core, "
+                "system within the saturation profile).")
+    else:
+        headline = f"**total {b['value']:.1f} s across {n} queries**"
+        if ct is not None:
+            cert = (f"\nClean-rep certification PARTIAL: clean_total "
+                    f"{ct:.1f} s covers {cc} queries; the remainder never "
+                    f"produced a clean rep — treat cross-round comparison "
+                    f"of the raw total with caution.")
     return (
-        f"Measured (source: `{src}`): **total {b['value']:.1f} s across {n} queries**\n"
-        f"at `{b.get('sf', '?')}` ({env}). Slowest five: {top}.\n"
+        f"Measured (source: `{src}`): {headline}\n"
+        f"at `{b.get('sf', '?')}` ({env}). Slowest five: {top}.{cert}\n"
         f"Median query {median:.2f} s; {sub1}/{n} queries run sub-second.{adj}\n"
         f"Numbers in this block are generated by `tools/bench_report.py` from a\n"
         f"measured artifact — if they disagree with the latest `BENCH_r{{N}}.json`,\n"
