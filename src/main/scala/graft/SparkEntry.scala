@@ -15,8 +15,8 @@ object SparkEntry {
   /** All registered query definitions, grouped by theme. */
   def all: Seq[QueryDef] =
     Core.defs ++ Etl.defs ++ TrainData.defs ++ TrainData2.defs ++
-      TrainData3.defs ++ Profile.defs ++ Hygiene.defs ++ Relational.defs ++
-      Warehouse.defs ++ Writers.defs
+      TrainData3.defs ++ TrainData4.defs ++ Profile.defs ++ Hygiene.defs ++
+      Relational.defs ++ Warehouse.defs ++ Writers.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

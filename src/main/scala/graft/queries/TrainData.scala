@@ -1522,10 +1522,19 @@ object TrainData {
     * the pinned seeds, so every consumer (q54/q64/q69/q76/q80/q151/
     * q153/q162) shares ONE training pass per process. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
-    FrozenModels.memoGen(s"ivf-centroids|$dir",
+    trainedCentroidsK(spark, dir, KmK)
+
+  /** The same training recipe at caller-chosen quantizer size `k` (seed
+    * rows vec_id < k, KmIters Lloyd refinements) — q177's nprobe Pareto
+    * sweep needs a finer quantizer (k=16) than the q69/q76 family's
+    * KmK=4 so nprobe has a range worth sweeping. Memoized per (k, dir):
+    * the two models coexist in the cache under distinct prefixes. */
+  private[graft] def trainedCentroidsK(spark: SparkSession, dir: String,
+                                       k: Int): Seq[Array[Float]] =
+    FrozenModels.memoGen(s"ivf-centroids-$k|$dir",
         FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      val init: Seq[Array[Float]] = e.filter(col("vec_id") < KmK)
+      val init: Seq[Array[Float]] = e.filter(col("vec_id") < k)
         .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray).toSeq
       IvfFlat.train(embParallel(spark, dir).select(col("vec_id"), col("embedding")),
         init, iters = KmIters)
@@ -1589,11 +1598,13 @@ object TrainData {
       |    GROUP BY cid) n ON p.cid = n.cid""".stripMargin
 
   /** The c0 → a3 training unroll (seeds, KmIters assign/update rounds,
-    * final assignment) shared by q69 and q76 — one recipe, two gates. */
-  private[queries] val kmTrainCtesSql: String =
+    * final assignment) at quantizer size `k` — the assign/update CTEs
+    * are k-agnostic, only the seed filter changes, so the q177 sweep's
+    * k=16 unroll is the same recipe as the q69/q76 k=4 one. */
+  private[queries] def kmTrainCtesSqlK(k: Int): String =
     s"""c0 AS (
       |  SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS cv
-      |  FROM embeddings WHERE vec_id < $KmK),
+      |  FROM embeddings WHERE vec_id < $k),
       |a1 AS (
       |  ${kmAssignSql("c0")}),
       |c1 AS (
@@ -1604,6 +1615,9 @@ object TrainData {
       |  ${kmUpdateSql("a2", "c1")}),
       |a3 AS (
       |  ${kmAssignSql("c2")})""".stripMargin
+
+  /** The KmK-sized unroll shared by q69 and q76 — one recipe, two gates. */
+  private[queries] val kmTrainCtesSql: String = kmTrainCtesSqlK(KmK)
 
   private val q69Sql =
     s"""WITH $kmTrainCtesSql

@@ -269,10 +269,10 @@ class PlanSpec extends SparkSpec {
     // cross-products sneaks nothing past this sweep.
     val allowed = Set(
       "q63_vocab_coverage", "q81_cms_topk", // 1-row totals
-      // bounded-probe brute force (q151/q153 score IVFADC against the
-      // same 5-probe ground-truth kernel as q80)
+      // bounded-probe brute force (q151/q153/q177 score IVF paths
+      // against the same 5-probe ground-truth kernel as q80)
       "q24_embedding_knn", "q80_ann_recall", "q151_ivfadc",
-      "q153_ivfadc_residual")
+      "q153_ivfadc_residual", "q177_nprobe_pareto")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val s = planString(fn(spark, dir))
