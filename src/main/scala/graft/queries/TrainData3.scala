@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{IvfFlat, PqAdc}
+import graft.sources.ModelRegistry
 
 /** Round-12 frontier queries: the UNIGRAM-LM tokenizer family —
   * the SentencePiece-style counterpart of the BPE family (q82/q88/q89/
@@ -750,24 +751,31 @@ object TrainData3 {
         .select(col("vec_id"), col("embedding"))
       val cents = TrainData.trainedCentroids(spark, dir)
       val codebooks = TrainData2.frozenCodebooks(spark, dir)
-      // WRITE: the data-sized leg (codes + vectors) and the model tables
-      PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, TrainData2.PqSub)
-        .select("vec_id", "embedding", "cluster", "codes")
-        .write.parquet(s"$lake/codes")
-      codebooks.zipWithIndex.flatMap { case (cb, m) =>
-        cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
-      }.toDF("m", "code", "cv").coalesce(1).write.parquet(s"$lake/codebooks")
-      cents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }
-        .toDF("cid", "cv").coalesce(1).write.parquet(s"$lake/centroids")
-      // RELOAD: codes stay distributed; model tables come back as
-      // driver-side state (the same shape the in-memory build uses)
-      val rCodes = spark.read.parquet(s"$lake/codes")
-      val rCbs: Seq[Seq[Array[Double]]] = spark.read
-        .parquet(s"$lake/codebooks").orderBy("m", "code").collect()
+      // PUBLISH through the registry: the data-sized leg (codes +
+      // vectors) and the model tables, one generation, manifest row per
+      // table carrying the source-data fingerprint
+      val reg = new ModelRegistry(spark, lake)
+      reg.publish("ivfadc", 1,
+        FrozenModels.fingerprint(s"$dir/embeddings.parquet"), Map(
+          "codes" -> PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks,
+              TrainData2.PqSub)
+            .select("vec_id", "embedding", "cluster", "codes"),
+          "codebooks" -> codebooks.zipWithIndex.flatMap { case (cb, m) =>
+            cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
+          }.toDF("m", "code", "cv").coalesce(1),
+          "centroids" -> cents.zipWithIndex
+            .map { case (cv, i) => (i + 1, cv.toSeq) }
+            .toDF("cid", "cv").coalesce(1)))
+      // RELOAD through the ONE registry load path: codes stay
+      // distributed; model tables come back as driver-side state (the
+      // same shape the in-memory build uses)
+      val rCodes = reg.load("ivfadc", 1, "codes")
+      val rCbs: Seq[Seq[Array[Double]]] = reg.load("ivfadc", 1, "codebooks")
+        .orderBy("m", "code").collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq)
-      val rCents: Seq[Array[Float]] = spark.read
-        .parquet(s"$lake/centroids").orderBy("cid").collect()
+      val rCents: Seq[Array[Float]] = reg.load("ivfadc", 1, "centroids")
+        .orderBy("cid").collect()
         .map(_.getSeq[Float](1).toArray).toSeq
       val probes = graft.engine.Tables.embeddings(spark, dir)
         .filter(col("vec_id") >= 100 && col("vec_id") < 105)
@@ -813,23 +821,28 @@ object TrainData3 {
         .select(col("vec_id"), col("embedding"))
       val cents = TrainData.trainedCentroids(spark, dir)
       val codebooks = TrainData2.frozenCodebooks(spark, dir)
-      // GENERATION 1: the q168 layout (codes + the two model tables)
-      PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks, TrainData2.PqSub)
-        .select("vec_id", "embedding", "cluster", "codes")
-        .write.parquet(s"$lake/gen1/codes")
-      codebooks.zipWithIndex.flatMap { case (cb, m) =>
-        cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
-      }.toDF("m", "code", "cv").coalesce(1).write.parquet(s"$lake/gen1/codebooks")
-      cents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }
-        .toDF("cid", "cv").coalesce(1).write.parquet(s"$lake/gen1/centroids")
+      // GENERATION 1: the q168 layout (codes + the two model tables),
+      // published as registry generation 1
+      val reg = new ModelRegistry(spark, lake)
+      val fp = FrozenModels.fingerprint(s"$dir/embeddings.parquet")
+      reg.publish("ivfadc", 1, fp, Map(
+        "codes" -> PqAdc.encode(IvfFlat.assign(corpus, cents), codebooks,
+            TrainData2.PqSub)
+          .select("vec_id", "embedding", "cluster", "codes"),
+        "codebooks" -> codebooks.zipWithIndex.flatMap { case (cb, m) =>
+          cb.zipWithIndex.map { case (cw, k) => (m, k + 1, cw.toSeq) }
+        }.toDF("m", "code", "cv").coalesce(1),
+        "centroids" -> cents.zipWithIndex
+          .map { case (cv, i) => (i + 1, cv.toSeq) }
+          .toDF("cid", "cv").coalesce(1)))
       // RELOAD: from here on only the persisted artifacts are consumed —
       // model tables back as bounded driver state, codes stay distributed
-      val rCbs: Seq[Seq[Array[Double]]] = spark.read
-        .parquet(s"$lake/gen1/codebooks").orderBy("m", "code").collect()
+      val rCbs: Seq[Seq[Array[Double]]] = reg.load("ivfadc", 1, "codebooks")
+        .orderBy("m", "code").collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq)
-      val rCents: Seq[Array[Float]] = spark.read
-        .parquet(s"$lake/gen1/centroids").orderBy("cid").collect()
+      val rCents: Seq[Array[Float]] = reg.load("ivfadc", 1, "centroids")
+        .orderBy("cid").collect()
         .map(_.getSeq[Float](1).toArray).toSeq
       // APPEND: q162's deterministic delta, encoded under the RELOADED
       // frozen model and persisted as generation 2 (id offset = the
@@ -841,12 +854,14 @@ object TrainData3 {
         transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
           .as("embedding"))
         .localCheckpoint() // materialized delta batch (q162's rule)
-      PqAdc.encode(IvfFlat.assign(delta, rCents), rCbs, TrainData2.PqSub)
-        .select("vec_id", "embedding", "cluster", "codes")
-        .write.parquet(s"$lake/gen2/codes")
+      reg.publish("ivfadc", 2, fp, Map(
+        "codes" -> PqAdc.encode(IvfFlat.assign(delta, rCents), rCbs,
+            TrainData2.PqSub)
+          .select("vec_id", "embedding", "cluster", "codes")))
       // SERVE: the merged generations are just the union of code legs —
-      // counter-free, no rewrite of gen 1 (the append contract)
-      val merged = spark.read.parquet(s"$lake/gen1/codes", s"$lake/gen2/codes")
+      // counter-free, no rewrite of gen 1 (the registry's append
+      // contract; ModelRegistrySpec pins gen-1 file immutability)
+      val merged = reg.loadAll("ivfadc", "codes")
       val probes = Tables.embeddings(spark, dir)
         .filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
@@ -1169,13 +1184,15 @@ object TrainData3 {
       val sp = spark
       import sp.implicits._
       // TRAIN + PERSIST (train memoized like every frozen model)
-      TrainData2.trainedMerges(spark, dir).zipWithIndex.flatMap {
-        case (round, k) => round.map { case (l, r) => (k + 1, l, r) }
-      }.toDF("round", "left_sym", "right_sym")
-        .coalesce(1).write.parquet(s"$lake/merges")
+      val reg = new ModelRegistry(spark, lake)
+      reg.publish("bpe", 1,
+        FrozenModels.fingerprint(s"$dir/documents.parquet"), Map(
+          "merges" -> TrainData2.trainedMerges(spark, dir).zipWithIndex.flatMap {
+            case (round, k) => round.map { case (l, r) => (k + 1, l, r) }
+          }.toDF("round", "left_sym", "right_sym").coalesce(1)))
       // RELOAD ordered by the persisted round index
-      val reloaded: Seq[Seq[(String, String)]] = spark.read
-        .parquet(s"$lake/merges").orderBy("round").collect()
+      val reloaded: Seq[Seq[(String, String)]] = reg.load("bpe", 1, "merges")
+        .orderBy("round").collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map(_._2.map(r => (r.getString(1), r.getString(2))).toSeq)
       // SERVE q163's output: per-word lengths under the reloaded model
@@ -1199,12 +1216,14 @@ object TrainData3 {
       val sp = spark
       import sp.implicits._
       val (vocab, oov) = uniModel(spark, dir)
-      vocab.toSeq.toDF("piece", "cost")
-        .coalesce(1).write.parquet(s"$lake/vocab")
-      Seq(oov).toDF("oov_cost").coalesce(1).write.parquet(s"$lake/oov")
-      val rVocab = spark.read.parquet(s"$lake/vocab").collect()
+      val reg = new ModelRegistry(spark, lake)
+      reg.publish("unigram", 1,
+        FrozenModels.fingerprint(s"$dir/documents.parquet"), Map(
+          "vocab" -> vocab.toSeq.toDF("piece", "cost").coalesce(1),
+          "oov" -> Seq(oov).toDF("oov_cost").coalesce(1)))
+      val rVocab = reg.load("unigram", 1, "vocab").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val rOov = spark.read.parquet(s"$lake/oov").collect()(0).getLong(0)
+      val rOov = reg.load("unigram", 1, "oov").collect()(0).getLong(0)
       // q165's body under the RELOADED model
       val vlen = uniWords(spark, dir)
         .withColumn("n_p", size(uniSegCol(col("w"), rVocab, rOov)).cast("long"))

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted-model registry — ONE layout and ONE load path for every
+  * trained-model artifact the engine ships (reference capability:
+  * the train-once / serve-many lifecycle behind similarity search and
+  * tokenization; the reference's analog is its model-table DDL flow,
+  * `models/` + model_executor.py, which versions SQL models on disk —
+  * here the versioned artifact is a trained model's parquet tables).
+  *
+  * Before round 14, four queries each invented a private parquet
+  * layout + reload convention (q168 ANN index, q172 two-generation
+  * lifecycle, q173 BPE merges, q174 unigram costs). The registry turns
+  * that convention into an engine capability:
+  *
+  *   - `$root/_manifest`: a tiny append-only parquet table — one row
+  *     per published (family, generation, table): the storage path and
+  *     the CONTENT FINGERPRINT of the source data the model was trained
+  *     on ([[graft.queries.FrozenModels.fingerprint]] is the producer —
+  *     the same key the in-process cache uses, so a serving process can
+  *     detect that the data a persisted model was trained on has been
+  *     rewritten without retraining).
+  *   - `$root/$family/gen=$N/$table/`: the model tables themselves.
+  *
+  * Contracts (spec-pinned in ModelRegistrySpec, oracle-gated through
+  * q168/q172/q173/q174 whose gated outputs must equal a from-scratch
+  * retrain after flowing through this path):
+  *   - Generations are IMMUTABLE: publishing generation N+1 never
+  *     rewrites generation N's files (the append contract an index
+  *     serving fleet relies on — readers of gen N are never invalidated
+  *     mid-flight); republishing an existing generation fails loudly.
+  *   - A generation may publish any table set (an append generation
+  *     ships only the delta `codes` leg; the model tables it was
+  *     encoded under stay in the generation that trained them).
+  *   - [[loadAll]] serves a family's merged append-log legs (all
+  *     generations of one table) as a single relation.
+  *
+  * Scale: the manifest is O(models) rows — driver-readable by
+  * construction. Model TABLES are whatever they are: bounded model
+  * state (centroids, codebooks, vocab) collects to the driver at load,
+  * while data-sized legs (PQ codes + re-rank vectors) stay distributed
+  * parquet — the registry hands back a DataFrame and never collects
+  * them. At rest the layout is partition-pruning-friendly: a family's
+  * generation directories are independent, so serving the latest
+  * generation or one leg reads exactly those files.
+  */
+final class ModelRegistry(spark: SparkSession, root: String) {
+
+  private val manifestPath = s"$root/_manifest"
+  private def tablePath(family: String, gen: Int, table: String) =
+    s"$root/$family/gen=$gen/$table"
+  private def manifestExists: Boolean =
+    new java.io.File(manifestPath).exists()
+
+  /** The manifest relation: (family, generation, table_name,
+    * fingerprint, path). Empty-but-schema'd when nothing is published. */
+  def manifest: DataFrame =
+    if (manifestExists) spark.read.parquet(manifestPath)
+    else {
+      val sp = spark
+      import sp.implicits._
+      Seq.empty[(String, Int, String, String, String)]
+        .toDF("family", "generation", "table_name", "fingerprint", "path")
+    }
+
+  /** Publish one generation of a model family: write every table, then
+    * append the manifest rows. `fingerprint` is the content fingerprint
+    * of the SOURCE DATA the model was trained on, not of the model
+    * files — it answers "is this model stale?" at serve time. */
+  def publish(family: String, generation: Int, fingerprint: String,
+              tables: Map[String, DataFrame]): Unit = {
+    require(tables.nonEmpty, "model_registry: publish with no tables")
+    require(!generations(family).contains(generation),
+      s"model_registry: $family gen=$generation already published — " +
+        "generations are immutable, publish the next one")
+    val rows = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val p = tablePath(family, generation, name)
+      // default SaveMode.ErrorIfExists: a half-published generation
+      // (manifest write crashed after table writes) fails loudly on
+      // republish instead of silently mixing file sets
+      df.write.parquet(p)
+      (family, generation, name, fingerprint, p)
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("family", "generation", "table_name", "fingerprint", "path")
+      .coalesce(1).write.mode("append").parquet(manifestPath)
+  }
+
+  /** Published generations of a family, ascending. */
+  def generations(family: String): Seq[Int] =
+    if (!manifestExists) Seq.empty
+    else manifest.filter(col("family") === family)
+      .select("generation").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** The newest generation of a family (fails loudly on none). */
+  def latest(family: String): Int = {
+    val gens = generations(family)
+    require(gens.nonEmpty, s"model_registry: no generations for $family")
+    gens.max
+  }
+
+  /** One table of one generation. */
+  def load(family: String, generation: Int, table: String): DataFrame = {
+    val paths = manifest
+      .filter(col("family") === family && col("generation") === generation &&
+        col("table_name") === table)
+      .select("path").collect().map(_.getString(0))
+    require(paths.length == 1,
+      s"model_registry: ${paths.length} manifest rows for " +
+        s"$family gen=$generation table=$table (want exactly 1)")
+    spark.read.parquet(paths(0))
+  }
+
+  /** A family's append-log legs merged: the named table across ALL
+    * generations as one relation (generation order is irrelevant —
+    * the append contract makes the union the whole index). */
+  def loadAll(family: String, table: String): DataFrame = {
+    val paths = manifest
+      .filter(col("family") === family && col("table_name") === table)
+      .orderBy("generation").select("path")
+      .collect().map(_.getString(0))
+    require(paths.nonEmpty,
+      s"model_registry: no published table $table for $family")
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** The source-data fingerprint a generation was trained on. */
+  def fingerprintOf(family: String, generation: Int): String = {
+    val fps = manifest
+      .filter(col("family") === family && col("generation") === generation)
+      .select("fingerprint").distinct().collect().map(_.getString(0))
+    require(fps.length == 1,
+      s"model_registry: ${fps.length} fingerprints for $family gen=$generation")
+    fps(0)
+  }
+}

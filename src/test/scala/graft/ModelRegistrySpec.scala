@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ModelRegistry
+
+/** The persisted-model registry's contracts: publish/load round-trip,
+  * generation immutability (the append contract), the merged-leg view,
+  * and loud failure on every misuse path. The four model families'
+  * END-TO-END correctness through this path is oracle-gated by
+  * q168/q172/q173/q174 (serve-from-reload ≡ train-from-scratch). */
+class ModelRegistrySpec extends SparkSpec {
+
+  private def withDir[T](body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg_")
+    try body(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def df(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("publish/load round-trips every table; manifest carries the fingerprint") {
+    withDir { root =>
+      val reg = new ModelRegistry(spark, root)
+      reg.publish("fam", 1, "fp-abc",
+        Map("a" -> df(1 -> "x", 2 -> "y"), "b" -> df(3 -> "z")))
+      assert(reg.load("fam", 1, "a").orderBy("k").collect().map(_.getString(1)).toSeq
+        == Seq("x", "y"))
+      assert(reg.load("fam", 1, "b").collect().map(_.getString(1)).toSeq == Seq("z"))
+      assert(reg.fingerprintOf("fam", 1) == "fp-abc")
+      assert(reg.generations("fam") == Seq(1) && reg.latest("fam") == 1)
+      // manifest shape: one row per (family, generation, table)
+      assert(reg.manifest.count() == 2)
+    }
+  }
+
+  test("generations are immutable: republish fails, gen-2 never touches gen-1 files") {
+    withDir { root =>
+      val reg = new ModelRegistry(spark, root)
+      reg.publish("fam", 1, "fp1", Map("codes" -> df(1 -> "a")))
+      // capture gen-1's exact file set + sizes + mtimes
+      def snapshot(): Seq[(String, Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        val base = java.nio.file.Paths.get(s"$root/fam/gen=1")
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toSeq.sortBy(_._1)
+        finally walk.close()
+      }
+      val before = snapshot()
+      intercept[IllegalArgumentException] {
+        reg.publish("fam", 1, "fp1", Map("codes" -> df(9 -> "z")))
+      }
+      reg.publish("fam", 2, "fp1", Map("codes" -> df(2 -> "b")))
+      assert(snapshot() == before, "gen-2 publish disturbed gen-1 files")
+      assert(reg.generations("fam") == Seq(1, 2) && reg.latest("fam") == 2)
+    }
+  }
+
+  test("loadAll merges the append-log legs across generations") {
+    withDir { root =>
+      val reg = new ModelRegistry(spark, root)
+      reg.publish("fam", 1, "fp1",
+        Map("codes" -> df(1 -> "a"), "centroids" -> df(0 -> "c")))
+      reg.publish("fam", 2, "fp1", Map("codes" -> df(2 -> "b")))
+      val merged = reg.loadAll("fam", "codes").orderBy("k")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(merged == Seq(1 -> "a", 2 -> "b"))
+      // tables absent from a generation are simply not part of its leg
+      assert(reg.loadAll("fam", "centroids").count() == 1)
+    }
+  }
+
+  test("misuse fails loudly: unknown family/generation/table, empty publish") {
+    withDir { root =>
+      val reg = new ModelRegistry(spark, root)
+      intercept[IllegalArgumentException] { reg.latest("nope") }
+      intercept[IllegalArgumentException] { reg.loadAll("nope", "codes") }
+      intercept[IllegalArgumentException] { reg.publish("fam", 1, "fp", Map.empty) }
+      reg.publish("fam", 1, "fp", Map("a" -> df(1 -> "x")))
+      intercept[IllegalArgumentException] { reg.load("fam", 1, "missing") }
+      intercept[IllegalArgumentException] { reg.load("fam", 2, "a") }
+      // distinct families never collide
+      reg.publish("other", 1, "fp2", Map("a" -> df(5 -> "q")))
+      assert(reg.load("fam", 1, "a").collect()(0).getString(1) == "x")
+      assert(reg.load("other", 1, "a").collect()(0).getString(1) == "q")
+    }
+  }
+}
