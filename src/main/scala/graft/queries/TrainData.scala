@@ -888,7 +888,7 @@ object TrainData {
   // (codegen'd word_ngrams kernel) → groupBy(gram) doc-frequency —
   // linear, one shuffle keyed by gram; a mega-frequent span only
   // aggregates (map-side partials), it never fans out into pairs. ──
-  private val SpanN = 8
+  private[graft] val SpanN = 8
 
   /** Spark-side distinct SpanN-gram set of `text` — shared by the
     * boilerplate (q56), decontamination (q57) and funnel (q75) stages;
@@ -1351,7 +1351,7 @@ object TrainData {
     * float boundary) shared by q66 keeper selection and q67 sampling:
     * the two stages must agree on what "quality" means, so there is one
     * definition. [[qualityScoreSql]] is its DuckDB mirror. */
-  private val qualityScore: Column = expr(
+  private[graft] val qualityScore: Column = expr(
     "cast(size(array_distinct(split(text, ' '))) as bigint) * 1000" +
       " div cast(size(split(text, ' ')) as bigint)")
 
@@ -1895,7 +1895,7 @@ object TrainData {
   /** Shared staged-funnel core (q75 totals, q107 per-source attribution):
     * every train-slice doc with its first-firing drop stage —
     * `(doc_id, source, n_tok, stage)`. */
-  private def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     val train = d.filter(col("doc_id") % 10 =!= 7)
     // exact-dup keeper via groupBy-and-join-back, NOT a window over

@@ -402,6 +402,170 @@ object Streams {
       .select("doc_id", "ts")
       .dropDuplicatesWithinWatermark("doc_id")
 
+  final case class FunnelProbe(doc_id: Long, ts: Timestamp, kind: String,
+                               key: String, sig: Seq[String])
+  final case class FunnelMember(doc_id: Long, sig: Seq[String])
+  final case class FunnelBucketState(members: List[FunnelMember],
+                                     closed: Boolean)
+  final case class FunnelEvidence(doc_id: Long, kind: String,
+                                  matched_doc: Long)
+
+  /** The COMPOSED streaming curation funnel — one stream through exact
+    * dedup → near-dup → quality → decontamination, the online form of
+    * the batch capstone q75/q107 (`TrainData.funnelStages`). Each
+    * individual stage already had a pinned streaming twin; this is the
+    * composition with per-stage drop ATTRIBUTION, emitting a verdict
+    * LOG: evidence rows (`kind` = `exact_dup` / `near_dup`, with the
+    * matched doc) from the stateful stages plus one `scored` row per
+    * doc carrying the row-local quality/contamination flags.
+    * [[funnelAttribution]] is the batch rollup over that log — stage =
+    * FIRST firing, q75's rule — which is exactly the shape of the
+    * production report job a pipeline runs over its streamed-out
+    * verdict log.
+    *
+    * One stateful operator serves BOTH stateful stages: exact-hash
+    * keeper state and LSH band-bucket state live in a single
+    * flatMapGroupsWithState keyed by (kind, key) — chaining two
+    * flatMapGroupsWithState operators in one query is unsupported, and
+    * one keyed store is also one shuffle. Exact state is O(1) per
+    * distinct text (the keeper id); bucket state stores (id, signature)
+    * members so strong-match (≥ `strongMatch` of 4 signature components
+    * agreeing — the batch `LshStrongMatch` rule) evaluates in-operator.
+    *
+    * Quality and contamination are ROW-LOCAL: the quality score is the
+    * shared batch expression (`TrainData.qualityScore`), and the eval
+    * gram set rides as ONE array cell in a 1-row broadcast (benchmarks
+    * are MBs; the smallest-faithful-model rule) probed with
+    * `arrays_overlap` — no explode, no dedup state.
+    *
+    * Prefix-vs-closure caveat (the ONLY divergences from the batch
+    * funnel, both inherent to online processing, both spec-guarded):
+    * (a) the batch near-dup stage drops every non-root member of a
+    * strong-pair CONNECTED COMPONENT — a doc whose only strong
+    * neighbors arrive later is kept by the stream (the stream cannot
+    * see the future) but dropped by the batch closure when that later
+    * neighbor links it to an earlier root; (b) the batch bucket cap
+    * retroactively drops ALL pairs of an oversized bucket, while the
+    * stream closes a bucket only from the (maxBucket+1)-th arrival on.
+    * Docs dropped by the stream are dropped by the batch funnel; the
+    * spec pins exact per-doc stage equality on the gated corpus (where
+    * neither corner fires) and the subset property in general. */
+  def curationFunnel(docs: DataFrame, evalGrams: DataFrame,
+                     qualityMin: Long = 400L,
+                     n: Int = graft.queries.TrainData.SpanN,
+                     strongMatch: Int = 3, maxBucket: Int = 64,
+                     watermarkDelay: String = "10 minutes",
+                     bucketTtlMs: Long = 60 * 60 * 1000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // row-local leg: quality + contamination flags, one `scored` row/doc
+    val evalRow = evalGrams.agg(collect_set(col("g")).as("__eval"))
+      .select(pmod(hash(col("__eval")), lit(1)).as("__k"), col("__eval"))
+      .localCheckpoint() // materialize the gram rollup once, not per batch
+    val scored = docs
+      .withColumn("__k", pmod(hash(col("doc_id")), lit(1)))
+      .join(broadcast(evalRow), Seq("__k"))
+      .select(col("doc_id"), lit("scored").as("kind"),
+        lit(null).cast("long").as("matched_doc"),
+        coalesce(graft.queries.TrainData.qualityScore < qualityMin,
+          lit(false)).as("lowq"),
+        coalesce(arrays_overlap(
+          array_distinct(graft.functions.WordNgrams(col("text"), n)),
+          col("__eval")), lit(false)).as("contam"))
+    // stateful leg: one probe row per state cell a doc touches — its
+    // exact-hash cell (NULL text shares one sentinel cell, the batch
+    // rule) and, when it has a signature, its two band buckets
+    val sigCol = graft.functions.MinHashSig(col("text"))
+    val h = coalesce(sha2(col("text"), 256), lit("__null_text__"))
+    val probes = docs
+      .withColumn("__sig", sigCol)
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("__sig"), typedLit(Seq.empty[String])).as("sig"),
+        explode(array_compact(array(
+          struct(lit("exact").as("kind"), h.as("key")),
+          when(col("__sig").isNotNull,
+            struct(lit("band").as("kind"),
+              concat(lit("1:"), element_at(col("__sig"), 1),
+                element_at(col("__sig"), 2)).as("key"))),
+          when(col("__sig").isNotNull,
+            struct(lit("band").as("kind"),
+              concat(lit("2:"), element_at(col("__sig"), 3),
+                element_at(col("__sig"), 4)).as("key")))))).as("p"))
+      .select(col("doc_id"), col("ts"), col("p.kind"), col("p.key"), col("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelProbe]
+    val evidence = probes.groupByKey(p => (p.kind, p.key))
+      .flatMapGroupsWithState[FunnelBucketState, FunnelEvidence](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((kind, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic arrival order within the micro-batch
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
+            var st = state.getOption
+              .getOrElse(FunnelBucketState(Nil, closed = false))
+            val out = Seq.newBuilder[FunnelEvidence]
+            var maxTs = Long.MinValue
+            sorted.foreach { p =>
+              maxTs = math.max(maxTs, p.ts.getTime)
+              kind match {
+                case "exact" =>
+                  st.members match {
+                    case keeper :: _ =>
+                      if (keeper.doc_id != p.doc_id)
+                        out += FunnelEvidence(p.doc_id, "exact_dup", keeper.doc_id)
+                    case Nil =>
+                      st = st.copy(members = List(FunnelMember(p.doc_id, Nil)))
+                  }
+                case "band" =>
+                  if (!st.closed) {
+                    st.members.find(m => m.doc_id != p.doc_id &&
+                        m.sig.zip(p.sig).count { case (a, b) => a == b }
+                          >= strongMatch)
+                      .foreach(m =>
+                        out += FunnelEvidence(p.doc_id, "near_dup", m.doc_id))
+                    if (!st.members.exists(_.doc_id == p.doc_id)) {
+                      if (st.members.size < maxBucket)
+                        st = st.copy(members =
+                          st.members :+ FunnelMember(p.doc_id, p.sig))
+                      else
+                        // boilerplate bucket: the batch cap's online
+                        // form — stop flagging AND drop the stored
+                        // members (state stays bounded)
+                        st = FunnelBucketState(Nil, closed = true)
+                    }
+                  }
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(maxTs + bucketTtlMs)
+            out.result().iterator
+          }
+      }
+    scored.unionByName(evidence.toDF()
+      .select(col("doc_id"), col("kind"), col("matched_doc"),
+        lit(null).cast("boolean").as("lowq"),
+        lit(null).cast("boolean").as("contam")))
+  }
+
+  /** Batch rollup of a [[curationFunnel]] verdict log into q75's
+    * first-firing stage attribution — the report job a pipeline runs
+    * over the streamed-out log. One partial-aggregated groupBy. */
+  def funnelAttribution(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id").agg(
+      max(when(col("kind") === "exact_dup", 1).otherwise(0)).as("__ex"),
+      max(when(col("kind") === "near_dup", 1).otherwise(0)).as("__nd"),
+      max(when(col("kind") === "scored" && col("lowq"), 1).otherwise(0))
+        .as("__lq"),
+      max(when(col("kind") === "scored" && col("contam"), 1).otherwise(0))
+        .as("__ct"))
+    .select(col("doc_id"),
+      when(col("__ex") === 1, "1_exact_dup")
+        .when(col("__nd") === 1, "2_near_dup")
+        .when(col("__lq") === 1, "3_low_quality")
+        .when(col("__ct") === 1, "4_contaminated")
+        .otherwise("5_kept").as("stage"))
+
   /** A vocab at or under this size may ride the plan as a `typedLit`
     * map literal; above it the LM ships as BROADCAST DATA instead (see
     * [[surprisalFilter]]) — a plan tree is re-serialized per micro-batch

@@ -1008,4 +1008,55 @@ class StreamsSpec extends SparkSpec {
       assert(replayed == labels(), "replaying a committed batch must not move labels")
     } finally q.stop()
   }
+  test("curationFunnel: the composed stream reproduces q75's staged attribution on the gated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the exact per-doc first-firing stage q75/q107 gate
+    val batch = graft.queries.TrainData.funnelStages(spark, dir)
+      .select("doc_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // guard the two documented prefix-vs-closure corners: on this
+    // corpus no band bucket may exceed the cap (the batch retro-cap
+    // and the stream's online close would diverge there)
+    val d = graft.engine.Tables.documents(spark, dir)
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val maxBucketSize = graft.operators.MinHashLsh
+      .signatures(train.select("doc_id", "text"))
+      .select(explode(array(
+        concat(lit("1:"), col("mh1"), col("mh2")),
+        concat(lit("2:"), col("mh3"), col("mh4")))).as("bk"))
+      .groupBy("bk").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucketSize <= 64, s"spec corpus has a capped bucket ($maxBucketSize)")
+    val evalGrams = d.filter(col("doc_id") % 10 === 7)
+      .select(explode(array_distinct(
+        graft.functions.WordNgrams(col("text"), graft.queries.TrainData.SpanN))).as("g"))
+      .distinct()
+    // stream the train slice in doc_id order (batch keeper = min id, so
+    // arrival order must equal id order for the keeper sets to agree);
+    // constant ts keeps every bucket live (no event-time eviction)
+    val rows = train.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.curationFunnel(
+        in.toDF().toDF("doc_id", "ts", "text"), evalGrams)
+      .writeStream.format("memory").queryName("cfun").outputMode("append").start()
+    try {
+      // multiple micro-batches so state genuinely carries across them
+      rows.grouped(100).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = Streams.funnelAttribution(spark.table("cfun"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"row sets differ: ${(streamed.keySet diff batch.keySet).take(5)} / ${(batch.keySet diff streamed.keySet).take(5)}")
+      val diffs = batch.keys.toSeq.sorted
+        .filter(k => streamed(k) != batch(k))
+        .map(k => s"$k: stream=${streamed(k)} batch=${batch(k)}")
+      assert(diffs.isEmpty, s"${diffs.size} attribution diffs, first: ${diffs.take(5)}")
+      // and the funnel invariant: stage counts sum to the train slice
+      assert(streamed.size == rows.length)
+    } finally q.stop()
+  }
 }
