@@ -1128,7 +1128,7 @@ object TrainData {
   // double summation order across partitions would not be reproducible.
   // Scale: one per-source agg (tiny output) + a scalar window — the
   // corpus-side pass is a single shuffle-free partial-agg scan. ──
-  private val MixBudgetTok = 1000000L
+  private[graft] val MixBudgetTok = 1000000L
 
   private def q61(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1112,11 +1112,14 @@ object TrainData3 {
   private def q170(spark: SparkSession, dir: String): DataFrame =
     dsirCensus(spark, dir, force = Some("threshold"))
 
-  private val q169Sql = {
+  /** The q169 CTE chain through `dslogit(doc_id, lang, logit)` — the
+    * trained-model scoring front shared by the q169/q170/q175 census
+    * tail and q178's per-source mixture composition (TrainData4). */
+  private[queries] val dsirLogitCtesSql = {
     val compose = (0 until 8).map(n =>
       s"(instr('0123456789abcdef', substr(__h, ${n + 1}, 1)) - 1)" +
         s" * ${1L << (4 * n)}").mkString(" + ")
-    s"""WITH dsbg AS MATERIALIZED (
+    s"""dsbg AS MATERIALIZED (
       |  SELECT doc_id, lang, ($compose) % $DsBuckets AS b,
       |    CAST(COUNT(*) AS BIGINT) AS n FROM (
       |    SELECT doc_id, lang, md5('ds:' || g) AS __h FROM (
@@ -1151,7 +1154,11 @@ object TrainData3 {
       |      CAST(SUM(f.n * w.w) AS BIGINT) AS wsum,
       |      CAST(SUM(f.n) AS BIGINT) AS nd
       |    FROM dsbg f JOIN dsw w ON f.b = w.b GROUP BY 1) g
-      |  ON d.doc_id = g.doc_id),
+      |  ON d.doc_id = g.doc_id)""".stripMargin
+  }
+
+  private val q169Sql =
+    s"""WITH $dsirLogitCtesSql,
       |dssel AS (
       |  SELECT lang, logit,
       |    ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) <=
@@ -1162,7 +1169,6 @@ object TrainData3 {
       |  CAST(SUM(CASE WHEN sel THEN logit ELSE 0 END) AS BIGINT)
       |    AS sel_logit_sum
       |FROM dssel GROUP BY 1 ORDER BY lang""".stripMargin
-  }
 
   // ── q173/q174: TOKENIZER model persistence — the q168 Writers
   // discipline applied to the two trained tokenizer families (the ANN

@@ -159,6 +159,89 @@ object TrainData4 {
       |ORDER BY c.nprobe""".stripMargin
   }
 
+  // ── q178: MULTI-TARGET DSIR mixture weights — the composition q169
+  // (distribution-matching selection) and q61 (temperature mixing) each
+  // exercise half of: score every doc under the frozen DSIR importance
+  // model, select the top quarter (q169's rule — the 100 TB plan swaps
+  // the rank for q170's histogram threshold, census unchanged), roll
+  // the SELECTED corpus up per SOURCE, and turn each source's selected
+  // token mass into a temperature-flattened training-mixture allocation
+  // (Xie et al. 2023 §3.3 / DoReMi-style domain reweighting at τ=2:
+  // w_s ∝ share_s^(1/2)). The flattening is deliberate policy: a
+  // minority domain that survives importance selection gets MORE than
+  // its proportional share (√p/Σ√ > p for p < 1/2), which is what keeps
+  // rare-but-matching domains represented in the final mixture.
+  //
+  // Determinism: selected token/logit masses are exact integers; share
+  // is one IEEE division; the τ=2 weight uses sqrt (correctly rounded
+  // by IEEE-754, unlike pow/exp — why τ is pinned to 2 rather than a
+  // free parameter) and lands in fixed point via floor(·×1e6); the
+  // allocation replays q61's floor(share × budget) in the w_fp space.
+  // Both engines execute the identical op sequence, so the doubles are
+  // bit-equal and the gate hashes them directly.
+  //
+  // Scale: ONE scoring scan (row-local logits under the plan-literal
+  // model), the q169/q170 selection, then a source-grain census —
+  // sources are few, the final windows run over a handful of rows. ──
+  private[graft] def mixtureAllocation(
+      docs: DataFrame, budget: Long,
+      model: Option[(IndexedSeq[Long], Long)] = None): DataFrame = {
+    val (weights, shift) = model.getOrElse(
+      TrainData3.dsModel(docs.select(col("lang"), col("text"))))
+    val selN = (docs.count() + 3) / 4
+    val scored = docs.select(col("doc_id"), col("source"),
+      coalesce(size(TrainData.tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tok"),
+      coalesce(TrainData3.dsLogitCol(col("text"), weights, shift), lit(0L))
+        .as("logit"))
+    val tot = Window.partitionBy()
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("logit").desc, col("doc_id"))))
+      .filter(col("__rn") <= selN)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_sel"),
+        sum("n_tok").as("sel_tok"),
+        sum("logit").as("sel_logit_sum"))
+      .withColumn("share", col("sel_tok").cast("double") /
+        sum("sel_tok").over(tot).cast("double"))
+      .withColumn("w_fp", floor(sqrt(col("share")) * 1e6).cast("long"))
+      .withColumn("alloc_tok",
+        floor(col("w_fp").cast("double") / sum("w_fp").over(tot).cast("double")
+          * lit(budget).cast("double")).cast("long"))
+      .orderBy("source")
+  }
+
+  private def q178(spark: SparkSession, dir: String): DataFrame =
+    mixtureAllocation(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text")),
+      TrainData.MixBudgetTok,
+      model = Some(TrainData3.dsModelDir(spark, dir)))
+
+  private val q178Sql =
+    s"""WITH ${TrainData3.dsirLogitCtesSql},
+      |sel AS (
+      |  SELECT doc_id, logit FROM dslogit
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) <=
+      |    ((SELECT COUNT(*) FROM documents) + 3) // 4),
+      |cen AS (
+      |  SELECT d.source, COUNT(*) AS n_sel,
+      |    CAST(SUM(COALESCE(len(string_split(d.text, ' ')), 0)) AS BIGINT)
+      |      AS sel_tok,
+      |    CAST(SUM(s.logit) AS BIGINT) AS sel_logit_sum
+      |  FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+      |  GROUP BY 1),
+      |sh AS (SELECT *, CAST(sel_tok AS DOUBLE) /
+      |    CAST(SUM(sel_tok) OVER () AS DOUBLE) AS share FROM cen),
+      |w AS (SELECT *,
+      |    CAST(floor(sqrt(share) * 1e6) AS BIGINT) AS w_fp FROM sh)
+      |SELECT source, n_sel, sel_tok, sel_logit_sum, share, w_fp,
+      |  CAST(floor(CAST(w_fp AS DOUBLE) / CAST(SUM(w_fp) OVER () AS DOUBLE)
+      |    * ${TrainData.MixBudgetTok}) AS BIGINT) AS alloc_tok
+      |FROM w ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q177_nprobe_pareto", q177, Some(q177Sql)))
+    QueryDef("q177_nprobe_pareto", q177, Some(q177Sql)),
+    QueryDef("q178_dsir_mixture", q178, Some(q178Sql)))
 }

@@ -1,7 +1,8 @@
 package graft
 
-/** Semantic pins for the q177 nprobe↔recall Pareto sweep — the
-  * invariants the DuckDB hash gate can't state directly. */
+/** Semantic pins for the round-14 frontier queries (q177 nprobe↔recall
+  * Pareto sweep, q178 DSIR mixture allocation) — the invariants the
+  * DuckDB hash gate can't state directly. */
 class TrainData4Spec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -33,6 +34,59 @@ class TrainData4Spec extends SparkSpec {
     // is exactly the tradeoff the gated table exists to measure
     val byNp = rows.map(t => t._1 -> t._3).toMap
     assert(byNp(2) < byNp(12), s"sweep shows no recall/cost tradeoff: $byNp")
+  }
+
+  test("q178: a planted domain-skewed corpus reallocates as the DSIR temperature formula prescribes") {
+    import spark.implicits._
+    import graft.queries.{TrainData, TrainData4}
+    // 32 docs, 3 strata: 6 'web' docs that ARE the target distribution
+    // (lang=en — DSIR's target slice), 2 'forum' docs whose bigrams are
+    // MOSTLY the target's (positive importance), 24 junk docs over a
+    // disjoint vocabulary (negative importance).
+    // selN = ceil(32/4) = 8 => the selected set must be exactly the 6
+    // web + 2 forum docs, giving a two-domain census whose temperature
+    // math the test re-derives from first principles.
+    // junk docs SHARE one junk vocabulary: every junk bigram occurs 24
+    // times, so its bucket weight L(1)−L(25+) is strongly negative per
+    // occurrence and dominates the positive normalizer shift — the
+    // selection margin survives any 64-bucket hash collisions (a
+    // per-doc-unique junk vocabulary measured flaky here: sb=1 buckets
+    // can net positive under the Laplace shift)
+    val target = "the cat sat on the mat and then some"                // 9 tok
+    val mostly = "the cat sat on the mat and then some yy1 yy2"       // 11 tok
+    val junk = (1 to 10).map(j => s"j$j").mkString(" ")                // 10 tok
+    val docs = (
+      (0L until 6L).map(i => (i, "web", "en", target)) ++
+      (10L until 12L).map(i => (i, "forum", "xx", mostly)) ++
+      (20L until 44L).map(i => (i, "junk", "xx", junk))
+    ).toDF("doc_id", "source", "lang", "text")
+    val rows = TrainData4.mixtureAllocation(docs, TrainData.MixBudgetTok)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (a) selection routed exactly the planted 8: junk never surfaces
+    assert(rows.keySet == Set("web", "forum"), s"census sources: ${rows.keySet}")
+    val (nWeb, tokWeb, shareWeb, wWeb, allocWeb) = rows("web")
+    val (nForum, tokForum, shareForum, wForum, allocForum) = rows("forum")
+    assert(nWeb == 6 && nForum == 2, s"selected ($nWeb web, $nForum forum)")
+    assert(tokWeb == 54 && tokForum == 22, s"token masses ($tokWeb, $tokForum)")
+    // (b) the τ=2 weights equal the hand-derived fixed-point formula
+    val sW = 54.0 / 76.0
+    val sF = 22.0 / 76.0
+    assert(shareWeb == sW && shareForum == sF)
+    assert(wWeb == math.floor(math.sqrt(sW) * 1e6).toLong, s"w_fp web $wWeb")
+    assert(wForum == math.floor(math.sqrt(sF) * 1e6).toLong, s"w_fp forum $wForum")
+    // (c) Xie et al.'s flattening: the minority domain's ALLOCATION
+    // share strictly exceeds its selected-token share (√p/Σ√ > p for
+    // p < 1/2) — rare-but-matching domains stay represented
+    val allocShareForum = allocForum.toDouble / (allocWeb + allocForum)
+    assert(allocShareForum > shareForum,
+      s"no flattening: alloc $allocShareForum <= share $shareForum")
+    // and the majority is correspondingly compressed, never inverted
+    assert(allocWeb > allocForum, "flattening must not invert the order")
+    // (d) budget conservation within the two floors
+    assert(allocWeb + allocForum <= TrainData.MixBudgetTok &&
+      allocWeb + allocForum >= TrainData.MixBudgetTok - 2)
   }
 
   test("q177: candidate cost never exceeds the full-corpus bound") {
