@@ -189,9 +189,62 @@ object Writers {
       |FROM orders GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ── q179: BUCKETED co-located join round-trip — the 100 TB big-join
+  // layout as a GATED query, not just a spec: fact (orders) and dim
+  // (customer) are bucketBy-written on the join key with equal bucket
+  // counts, read back through the catalog, and joined. Bucketing is how
+  // a lake co-locates the two biggest relations so their recurring join
+  // never shuffles either side — the exchange was paid ONCE at write
+  // time. The query SELF-ENFORCES the plan contract: it raises unless
+  // the executed join is a SortMergeJoin with ZERO shuffle exchanges
+  // (both children read bucketed scans directly), so the CORRECTNESS
+  // row certifies the plan shape and the result together; ScaleSpec
+  // carries the standalone pin. The gated output is the per-segment
+  // join rollup, which DuckDB derives from the immutable parquet alone
+  // — any row loss/duplication in the bucketed write/read/join path
+  // breaks the hash. ──
+  private def q179(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q179_") { wh =>
+      // db name from the (unique) temp dir so concurrent invocations
+      // (parallel suites sharing one session) never collide
+      val db = "graft_q179_" + wh.filter(_.isLetterOrDigit).toLowerCase.takeRight(12)
+      spark.sql(s"CREATE DATABASE $db LOCATION '$wh/warehouse'")
+      try {
+        Tables.orders(spark, dir)
+          .select(col("o_custkey").as("custkey"), expr(cents).as("cents"))
+          .write.format("parquet").bucketBy(8, "custkey").sortBy("custkey")
+          .saveAsTable(s"$db.fact_orders")
+        Tables.customer(spark, dir)
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("mktsegment"))
+          .write.format("parquet").bucketBy(8, "custkey").sortBy("custkey")
+          .saveAsTable(s"$db.dim_customer")
+        // hint("merge") pins SortMergeJoin without touching the session's
+        // broadcast threshold (a session-level SET would leak into
+        // whatever query runs next)
+        val joined = spark.table(s"$db.fact_orders")
+          .join(spark.table(s"$db.dim_customer").hint("merge"), "custkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"q179: bucketed join did not plan as SortMergeJoin:\n${plan.take(600)}")
+        require(!plan.contains("Exchange"),
+          s"q179: bucketed join shuffled — co-location contract broken:\n${plan.take(800)}")
+        joined.groupBy("mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+          .orderBy("mktsegment").localCheckpoint()
+      } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+
+  private val q179Sql =
+    s"""SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM($cents) AS BIGINT) AS total_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q146_upsert_roundtrip", q146, Some(q146Sql)),
     QueryDef("q147_csv_roundtrip", q147, Some(q147Sql)),
     QueryDef("q149_append_replace", q149, Some(q149Sql)),
-    QueryDef("q150_ddl_roundtrip", q150, Some(q150Sql)))
+    QueryDef("q150_ddl_roundtrip", q150, Some(q150Sql)),
+    QueryDef("q179_bucketed_join", q179, Some(q179Sql)))
 }

@@ -25,6 +25,9 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  // the oracle-gated twin is q179_bucketed_join (Writers.scala), which
+  // additionally SELF-enforces the SortMergeJoin/no-Exchange contract
+  // inside the gated query over the driver tables
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val db = "graft_bucket_test"
