@@ -36,6 +36,53 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_PROBE=truthjoin: q98's exact-truth side under BOTH
+    // selectable plans (raw shingle equi-join vs the τ=1/2 df-prefix
+    // pigeonhole) — same audit output by construction (HygieneSpec pins
+    // row equality), so the leg measures pure plan cost: the raw join
+    // pays Σ_s df_probe(s)·df_corpus(s) intermediate rows, the prefix
+    // plan pays the df census + prefix join + row-local verify.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "truthjoin") {
+      // corpus shapes: "dense" = the driver documents table (constant
+      // shingle vocabulary — every shingle common, NO rare tail: the
+      // raw join's partial-agg count wins); "skew" = mult×2000 docs of
+      // unique 24-token tails PLUS one 13-token boilerplate block in
+      // every doc — the df distribution real crawls show (one hot key,
+      // long df=1 tail): the raw join pays hot_df_probe×hot_df_corpus
+      // rows per boilerplate shingle while every prefix is pure df=1
+      // tail and the prefix join emits (almost) nothing.
+      val corpus =
+        if (sys.env.getOrElse("SPARK_GRAFT_TRUTH_CORPUS", "dense") == "skew") {
+          val boiler = (1 to 13).map(j => s"bp$j").mkString(" ")
+          spark.range(mult * 2000L).select(col("id").as("doc_id"),
+            concat_ws(" ", (1 to 24).map(j =>
+              concat(lit(s"u${j}_"), col("id").cast("string"))) :+ lit(boiler): _*)
+              .as("text"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(true)
+        } else graft.engine.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      val nd = corpus.count()
+      // two reps, min: the first leg otherwise pays whole-JVM warmup
+      def leg(force: String) = {
+        val rs = (1 to 2).map(_ => timed {
+          graft.queries.Hygiene.q98Docs(corpus, Some(force)).count()
+        })
+        (rs.head._1, rs.map(_._2).min)
+      }
+      val (nE, tE) = leg("exact")
+      val (nP, tP) = leg("prefix")
+      println(s"""{"probe":"truthjoin","sf":"$sfDir",""" +
+        s""""corpus":"${sys.env.getOrElse("SPARK_GRAFT_TRUTH_CORPUS", "dense")}",""" +
+        s""""docs":$nd,"rows_exact":$nE,""" +
+        s""""rows_prefix":$nP,"exact_sec":${f"$tE%.2f"},""" +
+        s""""prefix_sec":${f"$tP%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=ann: the round-9 similarity-search family —
     // IVF train (fixed model work on the BASE corpus), assign+PQ-encode
     // (map-side, corpus-linear), IVFADC search (per-probe cost tracks

@@ -349,30 +349,97 @@ object Hygiene {
   // shingle table on the shingle key (the q57 decontam shape — an
   // equi-join, never per-pair scans); the LSH side reuses the capped
   // banded candidates unchanged. ──
-  private def q98(spark: SparkSession, dir: String): DataFrame = {
+  private def q98(spark: SparkSession, dir: String): DataFrame =
+    q98Impl(spark, dir, force = None)
+
+  /** q98 with a selectable truth-join plan. Default (None) = the raw
+    * shingle equi-join the oracle mirrors literally. `Some("prefix")` =
+    * the df-ascending PPJoin prefix pigeonhole at τ=1/2 — the SAME
+    * truth set (HygieneSpec pins row equality; recall preserved by the
+    * prefix theorem), different cost shape: the raw join pays
+    * Σ_s df_probe(s)·df_corpus(s) intermediate rows (a boilerplate hot
+    * shingle couples every probe to the whole corpus — quadratic in the
+    * hot key), the prefix plan pays a df census + a join on each doc's
+    * RAREST ⌊n/2⌋+1 shingles + a row-local verify. Which wins is a
+    * CORPUS-SHAPE question, not a size question (measured, SCALE.md
+    * truthjoin leg): with a rare-shingle tail + boilerplate skew the
+    * prefix plan collapses the hot key to nothing; on a corpus whose
+    * every shingle is common (the dense synthetic here — no rare tail
+    * for prefixes to pick) the raw join's partial-aggregated count is
+    * cheaper than shipping candidate pairs with full sets. Hence a
+    * `force` lever rather than an auto-census: the operator reads the
+    * df distribution (q56's census) and picks. */
+  private[graft] def q98Impl(spark: SparkSession, dir: String,
+                             force: Option[String]): DataFrame =
+    q98Docs(TrainData.docsParallel(spark, dir).select("doc_id", "text"), force)
+
+  /** [[q98Impl]] over an arbitrary (doc_id, text) corpus — the
+    * ScaleProbe truthjoin leg feeds synthetic corpus shapes through the
+    * exact code path the gated query ships. */
+  private[graft] def q98Docs(d: DataFrame,
+                             force: Option[String]): DataFrame = {
     import graft.operators.MinHashLsh
-    val d = Tables.documents(spark, dir)
+    require(force.forall(Set("exact", "prefix")),
+      s"q98: force must be exact|prefix, got $force")
     val isProbe = (c: Column) => c % 10 === 7
     // exact ground truth over the audit slice
-    val sh = TrainData.docsParallel(spark, dir)
+    val sh = d
       .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
       .localCheckpoint() // consumed by probe slice, corpus explode, sizes
     val sizes = sh.select(col("doc_id"), size(col("sg")).as("n_sg"))
-    val pex = sh.filter(isProbe(col("doc_id")))
-      .select(col("doc_id").as("p_id"), explode(col("sg")).as("s"))
-    val cex = sh.select(col("doc_id").as("c_id"), explode(col("sg")).as("s"))
-    val inter = pex.join(cex, Seq("s"))
-      .filter(col("c_id") =!= col("p_id"))
-      .groupBy("p_id", "c_id").agg(count(lit(1)).as("n_inter"))
-    val truth = inter
-      .join(sizes.select(col("doc_id").as("p_id"), col("n_sg").as("n_p")), "p_id")
-      .join(sizes.select(col("doc_id").as("c_id"), col("n_sg").as("n_c")), "c_id")
-      .filter(col("n_inter") * 2 > col("n_p") + col("n_c") - col("n_inter"))
-      .select("p_id", "c_id")
-      .localCheckpoint() // tiny; consumed by the truth count AND the semi-join
+    val usePrefix = force.contains("prefix")
+    val truth = (if (!usePrefix) {
+      // raw shingle equi-join: every co-occurrence shuffles — fine at
+      // audit scale, and the shape the oracle replays literally
+      val pex = sh.filter(isProbe(col("doc_id")))
+        .select(col("doc_id").as("p_id"), explode(col("sg")).as("s"))
+      val cex = sh.select(col("doc_id").as("c_id"), explode(col("sg")).as("s"))
+      val inter = pex.join(cex, Seq("s"))
+        .filter(col("c_id") =!= col("p_id"))
+        .groupBy("p_id", "c_id").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("p_id"), col("n_sg").as("n_p")), "p_id")
+        .join(sizes.select(col("doc_id").as("c_id"), col("n_sg").as("n_c")), "c_id")
+        .filter(col("n_inter") * 2 > col("n_p") + col("n_c") - col("n_inter"))
+        .select("p_id", "c_id")
+    } else {
+      // the 100 TB plan — q157's df-ascending prefix pigeonhole at
+      // τ=1/2: each doc keeps only its n − ⌈n/2⌉ + 1 RAREST shingles
+      // (global df ascending, shingle tie-break), and a pair with
+      // Jaccard > 1/2 must share a token in BOTH prefixes (miss A's
+      // prefix ⇒ inter ≤ ⌈n_a/2⌉ − 1 ⇒ jac < 1/2) — so joining
+      // prefixes loses NO truth pair while the boilerplate hot key
+      // (max-df shingle) sorts to the END of every order and falls out
+      // of almost every prefix. Survivors verify row-locally on the
+      // full sets (array_intersect), giving the identical truth set —
+      // spec-pinned equal, HygieneSpec.
+      val tokAll = sh.select(col("doc_id"), size(col("sg")).as("n"),
+        explode(col("sg")).as("s"))
+      val dfS = tokAll.groupBy("s").agg(count(lit(1)).as("df"))
+      val pref = tokAll.join(dfS, Seq("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "s")))
+        .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
+        .select("doc_id", "s", "n")
+      val cand = pref.filter(isProbe(col("doc_id")))
+        .select(col("doc_id").as("p_id"), col("s"), col("n").as("n_p"))
+        .join(pref.select(col("doc_id").as("c_id"), col("s"),
+          col("n").as("n_c")), Seq("s"))
+        // jac > 1/2 ⇒ max < 2·min (jac ≤ min/max) — exact-recall cut
+        .filter(col("c_id") =!= col("p_id") &&
+          col("n_p") < col("n_c") * 2 && col("n_c") < col("n_p") * 2)
+        .select("p_id", "c_id").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("p_id"), col("sg").as("sgp")), "p_id")
+        .join(sh.select(col("doc_id").as("c_id"), col("sg").as("sgc")), "c_id")
+        .withColumn("n_inter",
+          size(array_intersect(col("sgp"), col("sgc"))).cast("long"))
+        .filter(col("n_inter") * 2 >
+          size(col("sgp")) + size(col("sgc")) - col("n_inter"))
+        .select("p_id", "c_id")
+    }).localCheckpoint() // tiny; consumed by the truth count AND the semi-join
     // what the production filter caught
-    val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
-      .localCheckpoint()
+    val sigs = MinHashLsh.signatures(d).localCheckpoint()
     val strong = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
       .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
     val candP = strong

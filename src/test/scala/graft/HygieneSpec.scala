@@ -162,4 +162,18 @@ class HygieneSpec extends SparkSpec {
           s"$name: ${s.take(400)}")
       }
   }
+  test("q98: the df-prefix truth plan yields the identical audit to the raw shingle join") {
+    // the 100 TB selectable plan (PPJoin prefix pigeonhole at τ=1/2)
+    // must be output-indistinguishable from the raw equi-join the
+    // oracle replays — full row-for-row equality, not just set size
+    val exact = graft.queries.Hygiene
+      .q98Impl(spark, "/root/testdata/sf0.001", Some("exact"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val prefix = graft.queries.Hygiene
+      .q98Impl(spark, "/root/testdata/sf0.001", Some("prefix"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(exact.nonEmpty, "audit produced no signal rows — corpus drifted?")
+    assert(exact.toSeq == prefix.toSeq,
+      s"plans diverge: ${exact.toSet.diff(prefix.toSet).take(3)} / ${prefix.toSet.diff(exact.toSet).take(3)}")
+  }
 }
