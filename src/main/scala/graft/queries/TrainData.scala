@@ -978,7 +978,7 @@ object TrainData {
   // each source partition — one shuffle keyed by source, parallel
   // across shards, and a skewed giant shard would be sub-split by
   // re-sharding on (source, doc_id range) upstream. ──
-  private val SeqCap = 512
+  private[graft] val SeqCap = 512
 
   private def q58(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -705,8 +705,11 @@ object TrainData2 {
       .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
       .orderBy(col("bpe_tok").desc, col("doc_id")).limit(20)
 
-  private[queries] val q163Sql =
-    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  /** The q163 CTE chain through `per(doc_id, ws_tok, bpe_tok)` —
+    * trained-BPE per-doc token counts, shared by q163's fertility tail
+    * and q180's trained-length packing (TrainData4). */
+  private[queries] val bpeDocCtesSql =
+    s"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  GROUP BY 1),
       |s1 AS (SELECT w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
@@ -721,7 +724,10 @@ object TrainData2 {
       |per AS (
       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tok,
       |    CAST(SUM(v.n_sym) AS BIGINT) AS bpe_tok
-      |  FROM dtok d JOIN vlen v ON d.w = v.w GROUP BY 1)
+      |  FROM dtok d JOIN vlen v ON d.w = v.w GROUP BY 1)""".stripMargin
+
+  private[queries] val q163Sql =
+    s"""WITH $bpeDocCtesSql
       |SELECT doc_id, ws_tok, bpe_tok, bpe_tok * 1000 // ws_tok AS fertility_pm
       |FROM per ORDER BY bpe_tok DESC, doc_id LIMIT 20""".stripMargin
 

@@ -1255,7 +1255,8 @@ object TrainData3 {
   // Both gate against the FULL-RETRAIN oracles (q169Sql / q167Sql):
   // the refresh path must be indistinguishable from training on the
   // union from scratch, across engines, through a real parquet
-  // round-trip of the stored census. Scale: refresh cost = one DELTA
+  // round-trip of the stored census (via the ModelRegistry — the
+  // census is model state like any other, round-14). Scale: refresh cost = one DELTA
   // scan + a 65-row read + driver log math — the model-refresh loop a
   // 100 TB ingest pipeline runs on a schedule. ──
   private def q175(spark: SparkSession, dir: String): DataFrame =
@@ -1264,10 +1265,16 @@ object TrainData3 {
         .select(col("doc_id"), col("lang"), col("text"))
       val base = docs.filter(col("doc_id") % 10 =!= 3)
       val delta = docs.filter(col("doc_id") % 10 === 3)
-      // generation 1: the base census at rest
-      dsCensus(base).write.parquet(s"$lake/census")
+      // generation 1: the base census at rest — published through the
+      // model registry like every persisted model (the census IS the
+      // trainer's model state; the manifest fingerprint records which
+      // corpus generation it was counted from)
+      val reg = new ModelRegistry(spark, lake)
+      reg.publish("dsir-census", 1,
+        FrozenModels.fingerprint(s"$dir/documents.parquet"),
+        Map("census" -> dsCensus(base)))
       // REFRESH: stored + delta-batch census, merged by counter addition
-      val merged = spark.read.parquet(s"$lake/census")
+      val merged = reg.load("dsir-census", 1, "census")
         .unionByName(dsCensus(delta))
         .groupBy("b").agg(sum("tb").as("tb"), sum("sb").as("sb"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -1286,8 +1293,11 @@ object TrainData3 {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val base = docs.filter(col("doc_id") % 10 =!= 3)
       val delta = docs.filter(col("doc_id") % 10 === 3)
-      nbCensus(base).write.parquet(s"$lake/census")
-      val merged = spark.read.parquet(s"$lake/census")
+      val reg = new ModelRegistry(spark, lake)
+      reg.publish("nb-census", 1,
+        FrozenModels.fingerprint(s"$dir/documents.parquet"),
+        Map("census" -> nbCensus(base)))
+      val merged = reg.load("nb-census", 1, "census")
         .unionByName(nbCensus(delta))
         .groupBy("b").agg(
           sum("df_keep").as("df_keep"), sum("df_drop").as("df_drop"))

@@ -241,7 +241,71 @@ object TrainData4 {
       |    * ${TrainData.MixBudgetTok}) AS BIGINT) AS alloc_tok
       |FROM w ORDER BY source""".stripMargin
 
+  // ── q180: sequence packing under the TRAINED tokenizer — the
+  // composition q58 (concat-and-split packing) and q163 (trained-BPE
+  // per-doc counts) each exercise half of: real pipelines size training
+  // sequences by TOKENIZER length, not whitespace words (the two differ
+  // by the fertility ratio, so whitespace packing over- or under-fills
+  // every sequence). Per source shard: docs laid end-to-end in doc_id
+  // order, offsets by running sum of the trained-BPE doc length, cut at
+  // SeqCap — sequences produced + boundary-crossing docs, q58's exact
+  // integer shapes. Docs whose words never tokenize (NULL/empty text)
+  // have no trained length and drop from the layout in BOTH engines
+  // (q163's join semantics).
+  //
+  // Scale: the per-word trained lengths ride a vocab-sized broadcast
+  // onto ONE tokenize scan (q163's transport, the BpeTokLen codegen'd
+  // kernel); packing stays per-shard (one shuffle keyed by source) —
+  // composition adds nothing beyond the two parents' shapes. ──
+  private def q180(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    val merges = TrainData2.trainedMerges(spark, dir)
+    val vlen = docs
+      .select(explode(TrainData.tokens(col("text"))).as("w")).distinct()
+      .select(col("w"), TrainData2.bpeTokLenCol(col("w"), merges).as("n_sym"))
+    val perDoc = docs
+      .select(col("source"), col("doc_id"),
+        explode(TrainData.tokens(col("text"))).as("w"))
+      .join(broadcast(vlen), "w")
+      .groupBy("source", "doc_id").agg(sum("n_sym").as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cap = TrainData.SeqCap
+    perDoc
+      .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        (max(expr(s"(start_off + n_tok - 1) div $cap")) + 1).as("n_seqs"),
+        sum(when(
+          expr(s"(start_off + n_tok - 1) div $cap > start_off div $cap"),
+          1L).otherwise(0L)).as("n_crossing"))
+      .orderBy("source")
+  }
+
+  private val q180Sql = {
+    val cap = TrainData.SeqCap
+    s"""WITH ${TrainData2.bpeDocCtesSql},
+      |src AS (
+      |  SELECT d.source, p.doc_id, p.bpe_tok AS n_tok
+      |  FROM per p JOIN documents d ON p.doc_id = d.doc_id),
+      |laid AS (
+      |  SELECT source, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+      |  FROM src)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  MAX((start_off + n_tok - 1) // $cap) + 1 AS n_seqs,
+      |  CAST(SUM(CASE WHEN (start_off + n_tok - 1) // $cap
+      |                     > start_off // $cap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_crossing
+      |FROM laid GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q177_nprobe_pareto", q177, Some(q177Sql)),
-    QueryDef("q178_dsir_mixture", q178, Some(q178Sql)))
+    QueryDef("q178_dsir_mixture", q178, Some(q178Sql)),
+    QueryDef("q180_bpe_packing", q180, Some(q180Sql)))
 }

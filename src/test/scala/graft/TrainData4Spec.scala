@@ -89,6 +89,29 @@ class TrainData4Spec extends SparkSpec {
       allocWeb + allocForum >= TrainData.MixBudgetTok - 2)
   }
 
+  test("q180: trained-length packing is internally consistent and dominates whitespace packing") {
+    import graft.queries.TrainData
+    val cap = TrainData.SeqCap
+    val packed = SparkEntry.queries("q180_bpe_packing")(spark, dir).collect()
+    val ws = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val (src, nDocs, tot, nSeqs, nCross) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      // contiguous concat-and-split fills every sequence: the count is
+      // EXACTLY ceil(total/cap), never a fragmented layout's overshoot
+      assert(nSeqs == (tot + cap - 1) / cap, s"$src: $nSeqs vs ceil($tot/$cap)")
+      assert(nCross <= nDocs, s"$src: more crossers than docs")
+      // a word is >= 1 trained token, so the BPE token mass dominates
+      // the whitespace mass and so does the sequence count — packing by
+      // whitespace UNDERESTIMATES the shard's training sequences
+      val (wsTot, wsSeqs) = ws(src)
+      assert(tot >= wsTot && nSeqs >= wsSeqs,
+        s"$src: bpe ($tot tok, $nSeqs seqs) vs ws ($wsTot, $wsSeqs)")
+    }
+  }
+
   test("q177: candidate cost never exceeds the full-corpus bound") {
     // candidates at the widest point are at most probes × (corpus − 1)
     val corpus = graft.engine.Tables.embeddings(spark, dir).count()
