@@ -205,13 +205,23 @@ object Bench {
     // "uncertified" — clean_coverage says how much of the suite the
     // certified number covers.
     val cleanMins = results.map { case (k, ts, _) =>
-      val clean = ts.filter(r => !dirtyRep(r._2)).map(_._1)
+      // a FAILED query's reps are exception latencies, not runtimes —
+      // certifying them would let a crash understate the certified
+      // total, so failures are always uncertified (and loud via errors)
+      val clean =
+        if (failed.contains(k)) Nil
+        else ts.filter(r => !dirtyRep(r._2)).map(_._1)
       (k, if (clean.isEmpty) None else Some(clean.min))
     }
     val cleanCovered = cleanMins.count(_._2.isDefined)
     val cleanTotal = cleanMins.flatMap(_._2).sum
     val cleanExtraReps = results.map(_._3).sum
-    val uncertifiedJson = cleanMins.filter(_._2.isEmpty).map(_._1).take(10)
+    // full count first, then a bounded name list: on a persistently
+    // stolen host most of the suite can be uncertified, and a silently
+    // clipped list would under-report exactly then
+    val uncertifiedAll = cleanMins.filter(_._2.isEmpty).map(_._1)
+    val uncertifiedN = uncertifiedAll.size
+    val uncertifiedJson = uncertifiedAll.take(10)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val host1 = hostCpuTicks()
@@ -333,7 +343,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified_n":$uncertifiedN,"uncertified_first10":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)

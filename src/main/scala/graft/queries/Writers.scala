@@ -29,8 +29,10 @@ import graft.sources.Landing
 object Writers {
 
   /** Fresh scratch dir per invocation; deleted after `body` materializes
-    * everything it returns (callers localCheckpoint before returning). */
-  private[queries] def withTempDir(prefix: String)(body: String => DataFrame): DataFrame = {
+    * everything it returns (callers localCheckpoint before returning).
+    * Generic so the specs share THIS cleanup (walk-reverse-delete) —
+    * four inline copies had accumulated before round 14. */
+  private[graft] def withTempDir[T](prefix: String)(body: String => T): T = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     try body(dir.toString)
     finally {

@@ -51,8 +51,14 @@ final class ModelRegistry(spark: SparkSession, root: String) {
   private val manifestPath = s"$root/_manifest"
   private def tablePath(family: String, gen: Int, table: String) =
     s"$root/$family/gen=$gen/$table"
-  private def manifestExists: Boolean =
-    new java.io.File(manifestPath).exists()
+  private def manifestExists: Boolean = {
+    // Hadoop FS, not java.io.File: the registry's whole point is a
+    // LAKE-resident model store, and a java.io probe of an hdfs:// or
+    // s3a:// root is always false — load() would see an empty manifest
+    // and publish() would silently bypass the immutability check
+    val path = new org.apache.hadoop.fs.Path(manifestPath)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
 
   /** Driver-side manifest rows, read ONCE per registry instance and
     * invalidated by [[publish]] — the manifest is O(models) rows by

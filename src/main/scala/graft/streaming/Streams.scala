@@ -438,18 +438,29 @@ object Streams {
     * are MBs; the smallest-faithful-model rule) probed with
     * `arrays_overlap` — no explode, no dedup state.
     *
-    * Prefix-vs-closure caveat (the ONLY divergences from the batch
-    * funnel, both inherent to online processing, both spec-guarded):
-    * (a) the batch near-dup stage drops every non-root member of a
-    * strong-pair CONNECTED COMPONENT — a doc whose only strong
-    * neighbors arrive later is kept by the stream (the stream cannot
-    * see the future) but dropped by the batch closure when that later
-    * neighbor links it to an earlier root; (b) the batch bucket cap
+    * Divergences from the batch funnel — all inherent to online
+    * processing, all spec-guarded on the pinned corpus:
+    * (a) CLOSURE: the batch near-dup stage drops every non-root member
+    * of a strong-pair CONNECTED COMPONENT — a doc whose only strong
+    * neighbors arrive later is kept by the stream (it cannot see the
+    * future) but dropped by the batch closure when a later neighbor
+    * links it to an earlier root; (b) CAP: the batch bucket cap
     * retroactively drops ALL pairs of an oversized bucket, while the
-    * stream closes a bucket only from the (maxBucket+1)-th arrival on.
-    * Docs dropped by the stream are dropped by the batch funnel; the
-    * spec pins exact per-doc stage equality on the gated corpus (where
-    * neither corner fires) and the subset property in general. */
+    * stream closes a bucket only from the (maxBucket+1)-th arrival on;
+    * (c) KEEPER ORDER: the stream's keeper (exact and near-dup) is
+    * FIRST ARRIVAL while the batch keeper/component root is MIN doc_id
+    * — under out-of-order arrival the stream can flag the very doc the
+    * batch keeps and vice versa; (d) TTL: keeper/bucket state is
+    * evicted `bucketTtlMs` past its last event-time sighting, so an
+    * exact duplicate arriving later than that becomes a fresh keeper
+    * where the unbounded batch join still flags it (the
+    * dropDuplicatesWithinWatermark semantics every watermarked dedup
+    * has). Feeding docs in doc_id order with live state collapses (c)
+    * and (d), which is exactly what the spec pins: EXACT per-doc stage
+    * equality with q75 on the gated corpus (where (a)/(b) don't fire
+    * either). There is no in-general subset guarantee — attribution
+    * under reordering is first-arrival semantics, the natural online
+    * policy. */
   def curationFunnel(docs: DataFrame, evalGrams: DataFrame,
                      qualityMin: Long = 400L,
                      n: Int = graft.queries.TrainData.SpanN,

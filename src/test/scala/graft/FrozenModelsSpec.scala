@@ -48,8 +48,8 @@ class FrozenModelsSpec extends AnyFunSuite {
   }
 
   test("fingerprint catches a same-length same-mtime in-place rewrite (content sample)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_fp2_")
-    try {
+    graft.queries.Writers.withTempDir("graft_fp2_") { d =>
+      val dir = java.nio.file.Paths.get(d)
       val f = dir.resolve("part-0.parquet")
       java.nio.file.Files.write(f, "generation-A".getBytes)
       val t0 = java.nio.file.Files.getLastModifiedTime(f)
@@ -60,17 +60,12 @@ class FrozenModelsSpec extends AnyFunSuite {
       java.nio.file.Files.setLastModifiedTime(f, t0)
       assert(FrozenModels.fingerprint(dir.toString) != fp1,
         "metadata-identical rewrite not detected")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
   test("fingerprint catches a file moved between sibling subdirectories") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_fp3_")
-    try {
+    graft.queries.Writers.withTempDir("graft_fp3_") { d =>
+      val dir = java.nio.file.Paths.get(d)
       val a = java.nio.file.Files.createDirectory(dir.resolve("a"))
       val b = java.nio.file.Files.createDirectory(dir.resolve("b"))
       val f = a.resolve("part-0.parquet")
@@ -83,11 +78,7 @@ class FrozenModelsSpec extends AnyFunSuite {
       java.nio.file.Files.setLastModifiedTime(b.resolve("part-0.parquet"), t0)
       assert(FrozenModels.fingerprint(dir.toString) != fp1,
         "sibling-subdirectory move not detected")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      assert(b.toFile.exists) // keep `b` referenced for clarity
     }
   }
 

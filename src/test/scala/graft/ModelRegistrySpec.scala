@@ -11,16 +11,8 @@ import graft.sources.ModelRegistry
   * q168/q172/q173/q174 (serve-from-reload ≡ train-from-scratch). */
 class ModelRegistrySpec extends SparkSpec {
 
-  private def withDir[T](body: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_reg_")
-    try body(dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
+  private def withDir[T](body: String => T): T =
+    graft.queries.Writers.withTempDir("graft_reg_")(body)
 
   private def df(rows: (Int, String)*) = {
     import spark.implicits._

@@ -134,8 +134,8 @@ def render(b, src):
         headline = (f"**total {ct:.1f} s across {n} queries (certified clean "
                     f"reps; raw min-total {b['value']:.1f} s)**")
         cert = ("\nEvery rep contributing to the certified total ran with "
-                "clean host ticks (steal <5%, iowait <25% of one core, "
-                "system within the saturation profile).")
+                "clean host ticks (steal \u22645% and iowait \u226425% of the "
+                "host's busy ticks, system within the saturation profile).")
     else:
         headline = f"**total {b['value']:.1f} s across {n} queries**"
         if ct is not None:
