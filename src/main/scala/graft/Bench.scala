@@ -122,43 +122,84 @@ object Bench {
     // Failed names land in an "errors" key inside the tail window and the
     // process exits nonzero.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // Per rep: (wall seconds, (user, system, iowait, steal) host-tick
-    // deltas) — see repTicks for why all four.
+    // Per rep: wall seconds, (user, system, iowait, steal) host-tick
+    // deltas (see repTicks for why all four), and the JVM's own
+    // process-CPU seconds over the same bracket — the host-independent
+    // signal round 14 lacked (its predicate certified under persistent
+    // moderate contention: two same-policy artifacts on one tree
+    // differed 1.4× because /proc/stat alone cannot see "each wall
+    // second delivered fewer JVM cycles" when the host sits just under
+    // every threshold).
     val noTicks = (-1L, -1L, -1L, -1L)
-    def oneRep(name: String, fn: (SparkSession, String) => DataFrame)
-        : (Double, (Long, Long, Long, Long)) = {
+    case class Rep(sec: Double, ticks: (Long, Long, Long, Long), cpu: Double)
+    def oneRep(name: String, fn: (SparkSession, String) => DataFrame): Rep = {
       val h0 = repTicks()
+      val c0 = processCpuSec()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val sec = (System.nanoTime() - t0) / 1e9
+      val c1 = processCpuSec()
       val h1 = repTicks()
       val d = (h0, h1) match {
         case (Some((u0, s0, w0, st0)), Some((u1, s1, w1, st1))) =>
           (u1 - u0, s1 - s0, w1 - w0, st1 - st0)
         case _ => noTicks
       }
-      (sec, d)
+      Rep(sec, d, if (c0 < 0 || c1 < 0) -1.0 else c1 - c0)
     }
-    // A rep is CLEAN when its own host-tick bracket certifies it:
-    // readable ticks, hypervisor steal ≤5% of the host's BUSY ticks
-    // (steal/busy is the fraction of runnable time the hypervisor took,
-    // i.e. a direct bound on wall inflation — a per-core or per-second
-    // threshold misfires on short reps where one tick is a huge rate),
-    // iowait ≤25% of busy, and host system time within this VM class's
-    // normal saturation profile (system can legitimately reach ~2× user
-    // at full 32-thread load — see hostCpuTicks — so 3× user is the
-    // foreign-contention line). The +1/+2 tick tolerances absorb
-    // USER_HZ=100 granularity on sub-second reps. This predicate is the
-    // rep-grain form of tools/bench_report.py's whole-run adjudication.
-    def dirtyRep(t: (Long, Long, Long, Long)): Boolean = {
+    // A rep is CLEAN when BOTH channels certify it:
+    //
+    // (1) Host-tick bracket: readable ticks, hypervisor steal ≤5% of
+    //     the host's BUSY ticks (steal/busy is the fraction of runnable
+    //     time the hypervisor took, i.e. a direct bound on wall
+    //     inflation — a per-core or per-second threshold misfires on
+    //     short reps where one tick is a huge rate), iowait ≤25% of
+    //     busy, and host system time within this VM class's normal
+    //     saturation profile (system can reach ~2× user at full
+    //     32-thread load — see hostCpuTicks — so 3× user is the
+    //     foreign-contention line) UNLESS the JVM's own CPU accounts
+    //     for ≥80% of the host's (user+system) ticks in the bracket:
+    //     a checkpoint- or shuffle-heavy query (q92's per-round
+    //     localCheckpoints, q06's mode shuffle) legitimately runs
+    //     system-heavy ON ITS OWN — when the busy host IS this process
+    //     there is no foreign contender to adjudicate, and r14 left
+    //     exactly those two queries permanently uncertifiable. The
+    //     +1/+2 tick tolerances absorb USER_HZ=100 granularity on
+    //     sub-second reps.
+    // (2) JVM cpu/wall vs the query's own best rep: same query, same
+    //     data, same plan ⇒ process-CPU per rep is near-constant, so
+    //     cpu/wall is a throughput gauge calibrated by the query
+    //     itself. A rep whose cpu/wall falls below 70% of the query's
+    //     best observed is wall-inflated REGARDLESS of what /proc/stat
+    //     says — this is the channel that closes round 14's leak
+    //     (persistent moderate contention passing every host
+    //     threshold). Reps under 0.2 s are exempt from this leg only
+    //     (JIT/GC variance dominates the ratio there, and a sub-0.2 s
+    //     rep cannot meaningfully inflate a total).
+    //     Residual disclosed limit: if EVERY rep of a query is equally
+    //     inflated, its best ratio is depressed and leg (2) cannot see
+    //     it — which is why the artifact now carries per-query
+    //     cpu_wall_best: two artifacts on the same tree expose uniform
+    //     inflation by direct ratio comparison, no prose needed.
+    def hostDirty(t: (Long, Long, Long, Long), cpu: Double): Boolean = {
       val (u, s, w, st) = t
       val busy = u + s + w + st
+      // USER_HZ = 100 ticks/s: the JVM's own CPU seconds expressed in
+      // the same currency as the host bracket
+      val ownHost = cpu >= 0 && u + s > 0 && cpu * 100.0 >= 0.8 * (u + s)
       u < 0 || // unreadable ticks cannot certify cleanliness
         st > 1 + 0.05 * busy ||
         w > 1 + 0.25 * busy ||
-        s > 3 * u + 2
+        (s > 3 * u + 2 && !ownHost)
     }
+    def bestCpuWall(ts: Vector[Rep]): Double = {
+      val rs = ts.filter(r => r.cpu >= 0 && r.sec > 0).map(r => r.cpu / r.sec)
+      if (rs.isEmpty) -1.0 else rs.max
+    }
+    def dirtyRep(r: Rep, best: Double): Boolean =
+      hostDirty(r.ticks, r.cpu) ||
+        (best > 0 && r.cpu >= 0 && r.sec >= 0.2 && r.cpu / r.sec < 0.7 * best)
     // Clean-rep policy (round-13 lesson): the driver's official r13
     // artifact was contention-polluted — its adjudication columns could
     // DIAGNOSE that (minrep steal 6.9/s, q09 at 46 s vs 1.35 s clean)
@@ -180,10 +221,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_BUDGET", "60").toInt
     val results = selected.map { case (name, fn) =>
       var times = (1 to reps).map(_ => oneRep(name, fn)).toVector
-      val canCertify = times.exists(_._2._1 >= 0) // /proc/stat readable
+      val canCertify = times.exists(_.ticks._1 >= 0) // /proc/stat readable
       var extra = 0
+      // best cpu/wall is recomputed over ALL accumulated reps: a retry
+      // that posts a better ratio raises the bar for every earlier rep
       while (extra < cleanRetries && cleanBudget > 0 && canCertify &&
-             !failed.contains(name) && !times.exists(r => !dirtyRep(r._2))) {
+             !failed.contains(name) &&
+             !times.exists(r => !dirtyRep(r, bestCpuWall(times)))) {
         times = times :+ oneRep(name, fn)
         extra += 1
         cleanBudget -= 1
@@ -210,7 +254,7 @@ object Bench {
       // total, so failures are always uncertified (and loud via errors)
       val clean =
         if (failed.contains(k)) Nil
-        else ts.filter(r => !dirtyRep(r._2)).map(_._1)
+        else { val b = bestCpuWall(ts); ts.filter(r => !dirtyRep(r, b)).map(_.sec) }
       (k, if (clean.isEmpty) None else Some(clean.min))
     }
     val cleanCovered = cleanMins.count(_._2.isDefined)
@@ -234,38 +278,53 @@ object Bench {
     // (round ≤4) couldn't distinguish the two — that ambiguity is what
     // this block removes.
     val resultTimes = results.map { case (k, ts, _) => (k, ts) }
+    // RAW-headline window: the first `reps` reps ONLY. Clean-rep
+    // retries exist to feed clean_total; letting them also lower the
+    // raw min gave contended queries up to 3 extra chances while clean
+    // queries kept the fixed count, so raw totals stopped being
+    // rep-count-comparable with r13-and-earlier artifacts (r14 ADVICE).
+    // reps_sec / rep_* keep ALL reps (the retry tail is the diagnostic).
+    val rawTimes = results.map { case (k, ts, _) => (k, ts.take(reps)) }
     val repsJson = resultTimes.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t => fmt(t._1, 2)).mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(t => fmt(t.sec, 2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Host ticks per rep (user/system/iowait/steal), parallel to
     // reps_sec (sacrificial zone — the committed bench_local file keeps
     // them; the tail window keeps the minrep summaries below).
     def repTickJson(pick: ((Long, Long, Long, Long)) => Long) =
       resultTimes.map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(t => pick(t._2)).mkString(",") + "]"
+        "\"" + k + "\":[" + ts.map(t => pick(t.ticks)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val repUserJson = repTickJson(_._1)
     val repSysJson = repTickJson(_._2)
     val repIowaitJson = repTickJson(_._3)
     val repStealJson = repTickJson(_._4)
+    // Per-rep JVM cpu/wall, parallel to reps_sec — the certification
+    // channel itself, kept at full grain so any single rep's
+    // certification can be re-derived from the committed file.
+    val repCpuwJson = resultTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t =>
+        fmt(if (t.cpu >= 0 && t.sec > 0) t.cpu / t.sec else -1.0, 2))
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // 2 dp: the artifact is captured as the LAST 2000 chars of stdout
     // (sbt's [success] epilogue included). At 87+ queries the full map
     // (~2.2 KB) no longer fits whole — it sits BEFORE the diag/contract
     // keys so its HEAD is what truncates; whatever survives is still
     // per-query data, and the committed bench_local file has all of it.
-    val qs = resultTimes.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
+    val qs = rawTimes.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_.sec).min, 2) }
       .mkString("{", ",", "}")
-    val total = resultTimes.map(_._2.map(_._1).min).sum
+    val total = rawTimes.map(_._2.map(_.sec).min).sum
     // The adjudication summary that SURVIVES the tail window: total steal
     // ticks observed during exactly the reps the "queries" map reports
     // (each query's fastest), plus that total normalized per wall second
     // (USER_HZ=100: 100 ticks/s ≈ one continuously stolen core). A prior
     // round's whole-run steal of 14,585 could not say whether the MIN
     // reps were the contended ones — this can.
-    val minReps = resultTimes.map { case (k, ts) => (k, ts.minBy(_._1)) }
+    val minReps = rawTimes.map { case (k, ts) => (k, ts.minBy(_.sec)) }
     def minTickStats(pick: ((Long, Long, Long, Long)) => Long): (Long, Double) = {
-      val tot = if (minReps.exists(t => pick(t._2._2) < 0)) -1L
-                else minReps.map(t => pick(t._2._2)).sum
+      val tot = if (minReps.exists(t => pick(t._2.ticks) < 0)) -1L
+                else minReps.map(t => pick(t._2.ticks)).sum
       (tot, if (tot < 0 || total <= 0) -1.0 else tot / total)
     }
     val (minStealTotal, minStealRate) = minTickStats(_._4)
@@ -276,11 +335,27 @@ object Bench {
     val (minUserTotal, minUserRate) = minTickStats(_._1)
     val (minSysTotal, minSysRate) = minTickStats(_._2)
     val (minIowaitTotal, minIowaitRate) = minTickStats(_._3)
+    // Whole-suite JVM cpu/wall over exactly the min reps: the
+    // host-independent one-number gauge. Two same-policy artifacts on
+    // one tree MUST agree on per-query cpu (same work); if artifact A's
+    // minrep_cpuw is far below artifact B's, A's walls are inflated —
+    // the 1.4× r14 driver-vs-local gap becomes arithmetic, not prose.
+    val minCpuSec = if (minReps.exists(_._2.cpu < 0)) -1.0
+                    else minReps.map(_._2.cpu).sum
+    val minCpuw = if (minCpuSec < 0 || total <= 0) -1.0 else minCpuSec / total
     // the five dirtiest min-reps by steal rate (ticks/s), for pinpointing
     val dirtyJson = minReps
-      .filter { case (_, (sec, t)) => t._4 > 0 && sec > 0.2 }
-      .sortBy { case (_, (sec, t)) => -(t._4 / sec) }.take(5)
-      .map { case (k, (sec, t)) => "\"" + k + "\":" + fmt(t._4 / sec, 0) }
+      .filter { case (_, r) => r.ticks._4 > 0 && r.sec > 0.2 }
+      .sortBy { case (_, r) => -(r.ticks._4 / r.sec) }.take(5)
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r.ticks._4 / r.sec, 0) }
+      .mkString("{", ",", "}")
+    // Per-query BEST cpu/wall for the top-20 slowest (the only ones
+    // whose inflation can move a total), inside the survival window:
+    // cross-artifact uniform-inflation adjudication needs exactly
+    // these twenty ratios (see dirtyRep's residual-limit note).
+    val cpuwTopJson = resultTimes
+      .sortBy { case (_, ts) => -ts.map(_.sec).min }.take(20)
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(bestCpuWall(ts), 2) }
       .mkString("{", ",", "}")
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
@@ -303,7 +378,8 @@ object Bench {
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries; """ +
       s"""FrozenModels trained-model cache shared across queries+reps",""" +
-      s""""clean_retries":$cleanRetries,""" +
+      s""""clean_retries":$cleanRetries,"raw_policy":"min over first $reps reps; """ +
+      s"""retry reps feed clean_total only",""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""aqe_size_first":$sizeFirstCoalesce,"aqe_advisory":"$advisoryBytes""""
     // Outlier forensics that SURVIVES the tail capture: a query whose
@@ -314,8 +390,8 @@ object Bench {
     // window); this is the only per-rep detail inside the window — the
     // full reps_sec up front can never fit (the 87-entry queries map
     // alone is ~2 KB).
-    val outJson = resultTimes
-      .map { case (k, ts) => (k, ts.map(_._1)) }
+    val outJson = rawTimes
+      .map { case (k, ts) => (k, ts.map(_.sec)) }
       .filter { case (_, ss) => ss.min > 0.3 && ss.max > 2 * ss.min }
       .sortBy { case (_, ss) => -ss.min }.take(5) // bound the window cost
       .map { case (k, ss) => "\"" + k + "\":[" + ss.map(fmt(_, 2)).mkString(",") + "]" }
@@ -329,8 +405,8 @@ object Bench {
     // rep_outliers (which carries its own rep arrays) every number a
     // drift adjudication needs is in the captured artifact, no local
     // file required.
-    val topJson = resultTimes.sortBy { case (_, ts) => -ts.map(_._1).min }.take(20)
-      .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_._1).min, 2) }
+    val topJson = rawTimes.sortBy { case (_, ts) => -ts.map(_.sec).min }.take(20)
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.map(_.sec).min, 2) }
       .mkString("{", ",", "}")
     // Key order is survival priority under a `tail` capture (the HEAD of
     // an over-long line is what gets cut): sacrificial per-rep detail
@@ -343,7 +419,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"queries":$qs,"top20":$topJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified_n":$uncertifiedN,"uncertified_first10":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"rep_cpuw":$repCpuwJson,"queries":$qs,"top20":$topJson,"cpuw_best_top20":$cpuwTopJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"minrep_cpu_sec":${fmt(minCpuSec, 1)},"minrep_cpuw":${fmt(minCpuw, 2)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified_n":$uncertifiedN,"uncertified_first10":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)
