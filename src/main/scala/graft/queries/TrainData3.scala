@@ -1026,10 +1026,17 @@ object TrainData3 {
     val (weights, shift) = model.getOrElse(dsModel(docs))
     val nDocs = docs.count()
     val selN = (nDocs + 3) / 4
-    val scored = docs.select(col("doc_id"), col("lang"),
+    // Pass-through contract: every docs column except `text` survives
+    // into the output alongside `logit` and `sel` — the selector is the
+    // engine's ONE at-scale top-quarter rule, and downstream censuses
+    // (q178's per-source mixture) need their grouping columns to ride
+    // through it rather than re-join the corpus on doc_id.
+    val scored = docs
       // NULL text → logit 0, the oracle's COALESCE shape (see
       // nbDocMargins' NULL rule)
-      coalesce(dsLogitCol(col("text"), weights, shift), lit(0L)).as("logit"))
+      .withColumn("logit",
+        coalesce(dsLogitCol(col("text"), weights, shift), lit(0L)))
+      .drop("text")
     val useRank = force.map(_ == "rank").getOrElse(nDocs <= DsRankMaxDocs)
     if (useRank)
       scored.withColumn("sel",
@@ -1326,3 +1333,5 @@ object TrainData3 {
     QueryDef("q175_dsir_refresh", q175, Some(q169Sql)),
     QueryDef("q176_nb_refresh", q176, Some(q167Sql)))
 }
+
+

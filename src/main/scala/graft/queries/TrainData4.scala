@@ -181,24 +181,26 @@ object TrainData4 {
   // bit-equal and the gate hashes them directly.
   //
   // Scale: ONE scoring scan (row-local logits under the plan-literal
-  // model), the q169/q170 selection, then a source-grain census —
-  // sources are few, the final windows run over a handful of rows. ──
+  // model), then the SELECTION runs through [[TrainData3.dsirSelect]] —
+  // the engine's one top-quarter rule, whose doc census swaps the
+  // global rank for the histogram-threshold plan past DsRankMaxDocs
+  // (q170's gated contract: identical selected set by construction).
+  // Round 14 hard-coded a global single-partition row_number here —
+  // correct at every gated SF, one-task at corpus grain; `force` pins
+  // a plan for tests exactly as q169/q170 do. The tail is a
+  // source-grain census — sources are few, the share/allocation
+  // windows run over a handful of post-aggregation rows. ──
   private[graft] def mixtureAllocation(
       docs: DataFrame, budget: Long,
-      model: Option[(IndexedSeq[Long], Long)] = None): DataFrame = {
-    val (weights, shift) = model.getOrElse(
-      TrainData3.dsModel(docs.select(col("lang"), col("text"))))
-    val selN = (docs.count() + 3) / 4
-    val scored = docs.select(col("doc_id"), col("source"),
-      coalesce(size(TrainData.tokens(col("text"))).cast("long"), lit(0L))
-        .as("n_tok"),
-      coalesce(TrainData3.dsLogitCol(col("text"), weights, shift), lit(0L))
-        .as("logit"))
+      model: Option[(IndexedSeq[Long], Long)] = None,
+      force: Option[String] = None): DataFrame = {
+    // n_tok rides dsirSelect's pass-through (text itself is consumed
+    // by the selector's scoring column and dropped)
+    val withTok = docs.withColumn("n_tok",
+      coalesce(size(TrainData.tokens(col("text"))).cast("long"), lit(0L)))
     val tot = Window.partitionBy()
-    scored
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("logit").desc, col("doc_id"))))
-      .filter(col("__rn") <= selN)
+    TrainData3.dsirSelect(withTok, force = force, model = model)
+      .filter(col("sel"))
       .groupBy("source").agg(
         count(lit(1)).as("n_sel"),
         sum("n_tok").as("sel_tok"),
@@ -309,3 +311,4 @@ object TrainData4 {
     QueryDef("q178_dsir_mixture", q178, Some(q178Sql)),
     QueryDef("q180_bpe_packing", q180, Some(q180Sql)))
 }
+

@@ -89,6 +89,26 @@ class TrainData4Spec extends SparkSpec {
       allocWeb + allocForum >= TrainData.MixBudgetTok - 2)
   }
 
+  test("q178: both forced selection plans produce the identical allocation") {
+    import spark.implicits._
+    import graft.queries.{TrainData, TrainData4}
+    // the mixture census rides TrainData3.dsirSelect (round-15 fix:
+    // round 14 hard-coded a global row_number here), so q170's
+    // contract — rank and threshold select the SAME set — must carry
+    // through the per-source rollup verbatim. 600 docs across 40
+    // logit-distinct strata gives the threshold plan real bin
+    // refinement work (not one degenerate tie group).
+    val docs = (0L until 600L).map { i =>
+      val rep = (i % 40L + 1L).toInt
+      (i, s"src${i % 5}", if (i % 3 == 0) "en" else "xx",
+        Seq.fill(rep)(s"w${i % 7} v${i % 11}").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    def run(p: String) = TrainData4
+      .mixtureAllocation(docs, TrainData.MixBudgetTok, force = Some(p))
+      .collect().map(_.toSeq).toSeq
+    assert(run("rank") == run("threshold"))
+  }
+
   test("q180: trained-length packing is internally consistent and dominates whitespace packing") {
     import graft.queries.TrainData
     val cap = TrainData.SeqCap
