@@ -79,41 +79,57 @@ private[graft] object FrozenModels {
     * regular file, its path RELATIVE to `path` (a file moved between
     * sibling subdirectories with identical metadata must not fingerprint
     * identically), length, modification time at the filesystem's finest
-    * granularity (nanoseconds where supported — `File.lastModified`'s
-    * millisecond floor can alias a same-instant rewrite), and a tail
-    * content sample (last ≤16 bytes — for parquet that region holds the
-    * footer length + magic, which any footer rewrite perturbs; it is
-    * what catches a same-length same-timestamp in-place rewrite). One
-    * directory walk + one bounded pread per file, no data-sized reads —
-    * cheap enough to run on every model lookup. */
+    * granularity (nanoseconds on local paths — `lastModified`'s
+    * millisecond floor can alias a same-instant rewrite; lake
+    * filesystems expose millis, where the tail sample carries the
+    * aliasing case), and a tail content sample (last ≤16 bytes — for
+    * parquet that region holds the footer length + magic, which any
+    * footer rewrite perturbs; it is what catches a same-length
+    * same-timestamp in-place rewrite). One directory listing walk + one
+    * bounded positioned read per file, no data-sized reads — cheap
+    * enough to run on every model lookup.
+    *
+    * Resolved through Hadoop [[org.apache.hadoop.fs.FileSystem]], NOT
+    * java.io (r14 ADVICE): ModelRegistry sells this fingerprint as the
+    * lake-resident staleness signal, and a java.io walk of an hdfs://
+    * or s3a:// path silently returned the shared 'absent' sentinel —
+    * every remote generation published as 'absent' and staleness
+    * detection no-op'd. Scheme-less paths resolve to the local FS, so
+    * the in-process cache behavior is unchanged. */
   private[graft] def fingerprint(path: String): String = {
-    def mtimeNanos(f: java.io.File): Long =
-      try java.nio.file.Files.getLastModifiedTime(f.toPath)
-        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-      catch { case _: java.io.IOException => f.lastModified }
-    def tail(f: java.io.File): String = {
-      val n = f.length
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def mtime(st: FileStatus): Long = {
+      val ms = st.getModificationTime
+      if (fs.getScheme == "file")
+        try java.nio.file.Files
+          .getLastModifiedTime(java.nio.file.Paths.get(st.getPath.toUri))
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => ms }
+      else ms
+    }
+    def tail(st: FileStatus): String = {
+      val n = st.getLen
       if (n <= 0) "-"
       else try {
-        val raf = new java.io.RandomAccessFile(f, "r")
+        val in = fs.open(st.getPath)
         try {
           val take = math.min(16L, n).toInt
-          raf.seek(n - take)
           val buf = new Array[Byte](take)
-          raf.readFully(buf)
+          in.readFully(n - take, buf) // positioned read, no seek state
           java.util.Base64.getEncoder.encodeToString(buf)
-        } finally raf.close()
+        } finally in.close()
       } catch { case _: java.io.IOException => "?" } // unreadable ≠ crash
     }
-    def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-          .toSeq.flatMap(c => walk(c, s"$rel/${c.getName}"))
-      else Seq(s"$rel:${f.length}:${mtimeNanos(f)}:${tail(f)}")
-    val root = new java.io.File(path)
-    if (!root.exists()) s"absent"
+    def walk(st: FileStatus, rel: String): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .toSeq.flatMap(c => walk(c, s"$rel/${c.getPath.getName}"))
+      else Seq(s"$rel:${st.getLen}:${mtime(st)}:${tail(st)}")
+    if (!fs.exists(root)) s"absent"
     else Integer.toHexString(
-      scala.util.hashing.MurmurHash3.orderedHash(walk(root, "")))
+      scala.util.hashing.MurmurHash3.orderedHash(walk(fs.getFileStatus(root), "")))
   }
 
   private[graft] def clear(): Unit = cache.clear()

@@ -71,7 +71,12 @@ final class ModelRegistry(spark: SparkSession, root: String) {
     cachedRows.getOrElse {
       val r: Seq[(String, Int, String, String, String)] =
         if (!manifestExists) Seq.empty
-        else spark.read.parquet(manifestPath).collect().toIndexedSeq
+        // parse by NAME, not ordinal (r14 ADVICE): an appended or
+        // reordered manifest column must fail loudly at select, never
+        // silently shift every field one position over
+        else spark.read.parquet(manifestPath)
+          .select("family", "generation", "table_name", "fingerprint", "path")
+          .collect().toIndexedSeq
           .map(r => (r.getString(0), r.getInt(1), r.getString(2),
             r.getString(3), r.getString(4)))
       cachedRows = Some(r)
@@ -92,7 +97,19 @@ final class ModelRegistry(spark: SparkSession, root: String) {
   /** Publish one generation of a model family: write every table, then
     * append the manifest rows. `fingerprint` is the content fingerprint
     * of the SOURCE DATA the model was trained on, not of the model
-    * files — it answers "is this model stale?" at serve time. */
+    * files — it answers "is this model stale?" at serve time.
+    *
+    * Crash window (documented contract): table parquet lands BEFORE the
+    * manifest append, so a crash in between leaves generation
+    * directories no manifest row points to — invisible to readers
+    * (loads go through the manifest), but a naive republish of the same
+    * generation number then fails on SaveMode.ErrorIfExists. Recovery
+    * is [[orphans]] (the fsck census — every on-disk generation the
+    * manifest doesn't know) followed by [[repair]] (drop them), after
+    * which the publish retries cleanly. Ordering the manifest append
+    * LAST is deliberate: the failure mode is an invisible orphan plus a
+    * loud retry, never a manifest row pointing at a half-written
+    * table. */
   def publish(family: String, generation: Int, fingerprint: String,
               tables: Map[String, DataFrame]): Unit = {
     require(tables.nonEmpty, "model_registry: publish with no tables")
@@ -155,5 +172,42 @@ final class ModelRegistry(spark: SparkSession, root: String) {
     require(fps.length == 1,
       s"model_registry: ${fps.length} fingerprints for $family gen=$generation")
     fps.head
+  }
+
+  /** fsck census: every on-disk (family, generation) directory the
+    * manifest has no row for — the residue of a publish that crashed
+    * between the table writes and the manifest append (see [[publish]]).
+    * One bounded listing walk (families × generations directories, the
+    * same O(models) grain as the manifest); never reads table data. */
+  def orphans(): Seq[(String, Int)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    val known = rows().map(r => (r._1, r._2)).toSet
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != "_manifest")
+      .flatMap { fam =>
+        fs.listStatus(fam.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+          .flatMap(st => st.getPath.getName.stripPrefix("gen=").toIntOption
+            .map((fam.getPath.getName, _)))
+      }
+      .filterNot(known)
+      .sorted
+  }
+
+  /** Drop every orphaned generation directory (the documented recovery
+    * for a crashed publish) and return what was removed, so the caller
+    * can log it and retry the publish. Manifest-known generations are
+    * untouchable by construction — the census excludes them — so this
+    * can never invalidate a reader. */
+  def repair(): Seq[(String, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dropped = orphans()
+    dropped.foreach { case (family, gen) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$family/gen=$gen"), true)
+    }
+    dropped
   }
 }

@@ -73,6 +73,33 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("crashed publish: orphan census finds the half-published generation; repair unblocks the retry") {
+    withDir { root =>
+      val reg = new ModelRegistry(spark, root)
+      reg.publish("fam", 1, "fp1", Map("codes" -> df(1 -> "a")))
+      // simulate the documented crash window: gen-2's table parquet
+      // lands, the process dies before the manifest append
+      df(2 -> "b").write.parquet(s"$root/fam/gen=2/codes")
+      // invisible to readers (loads go through the manifest)...
+      assert(reg.generations("fam") == Seq(1))
+      assert(reg.loadAll("fam", "codes").count() == 1)
+      // ...but a naive retry of the same generation number fails on the
+      // already-existing table directory
+      intercept[Exception] {
+        reg.publish("fam", 2, "fp2", Map("codes" -> df(2 -> "b")))
+      }
+      // fsck: exactly the orphan, never a manifest-known generation
+      assert(reg.orphans() == Seq(("fam", 2)))
+      assert(reg.repair() == Seq(("fam", 2)))
+      assert(reg.orphans().isEmpty)
+      // gen-1 untouched, and the retried publish now lands cleanly
+      assert(reg.load("fam", 1, "codes").collect()(0).getString(1) == "a")
+      reg.publish("fam", 2, "fp2", Map("codes" -> df(2 -> "b")))
+      assert(reg.generations("fam") == Seq(1, 2))
+      assert(reg.loadAll("fam", "codes").count() == 2)
+    }
+  }
+
   test("misuse fails loudly: unknown family/generation/table, empty publish") {
     withDir { root =>
       val reg = new ModelRegistry(spark, root)
