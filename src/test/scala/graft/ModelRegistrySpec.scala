@@ -100,6 +100,41 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("census family: the manifest fingerprint is the staleness signal the refresh loop reads") {
+    // q175/q176 publish their DSIR/NB training censuses as registry
+    // generations; the serve-side staleness probe is exactly this:
+    // compare the manifest fingerprint of the latest generation against
+    // the CURRENT source-data fingerprint, republish on mismatch.
+    withDir { root =>
+      graft.queries.Writers.withTempDir("graft_reg_src_") { src =>
+        import spark.implicits._
+        val reg = new ModelRegistry(spark, root)
+        Seq((1L, 5L, 7L)).toDF("b", "tb", "sb").write.mode("overwrite")
+          .parquet(s"$src/docs")
+        val fp1 = graft.queries.FrozenModels.fingerprint(s"$src/docs")
+        reg.publish("dsir-census", 1, fp1,
+          Map("census" -> Seq((1L, 5L, 7L)).toDF("b", "tb", "sb")))
+        assert(reg.fingerprintOf("dsir-census", reg.latest("dsir-census")) == fp1,
+          "fresh model must read as non-stale")
+        // the source corpus is rewritten in place → fingerprint moves →
+        // the stored census is detectably stale without any data read
+        Seq((1L, 6L, 7L), (2L, 1L, 1L)).toDF("b", "tb", "sb")
+          .write.mode("overwrite").parquet(s"$src/docs")
+        val fp2 = graft.queries.FrozenModels.fingerprint(s"$src/docs")
+        assert(fp2 != fp1, "source rewrite must move the fingerprint")
+        assert(reg.fingerprintOf("dsir-census", reg.latest("dsir-census")) != fp2)
+        // the refresh publishes the NEXT generation; gen-1 stays served
+        // to in-flight readers and the new latest carries the new print
+        reg.publish("dsir-census", 2, fp2,
+          Map("census" -> Seq((1L, 6L, 7L), (2L, 1L, 1L)).toDF("b", "tb", "sb")))
+        assert(reg.latest("dsir-census") == 2)
+        assert(reg.fingerprintOf("dsir-census", 2) == fp2)
+        assert(reg.load("dsir-census", 1, "census").count() == 1)
+        assert(reg.load("dsir-census", 2, "census").count() == 2)
+      }
+    }
+  }
+
   test("misuse fails loudly: unknown family/generation/table, empty publish") {
     withDir { root =>
       val reg = new ModelRegistry(spark, root)
