@@ -1122,7 +1122,7 @@ object TrainData2 {
   // runs and gated recall@10 plateaued at 35/50 vs the 38/50 IVF-prune
   // ceiling. M=8/K=8 gives 8^8 distinct words — ties effectively gone;
   // the full sweep and the adopted Pareto point live at AdcShortlist.
-  private val PqKT = 8
+  private[queries] val PqKT = 8
 
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     val seeds: Array[Array[Float]] = Tables.embeddings(spark, dir)
@@ -1201,7 +1201,7 @@ object TrainData2 {
   // at production cell sizes the same 320 rows are a rounding error),
   // and the ADC scan stays M integer lookups per candidate.
   private[graft] val AdcShortlist = 32 * TrainData.IvfTopK
-  private val PqIters = 3 // Lloyd rounds for the fine codebooks
+  private[queries] val PqIters = 3 // Lloyd rounds for the fine codebooks
 
   /** The PQ-codebook Lloyd-training unroll over a subvector CTE
     * `src(vec_id, m, sv)` (sv a DOUBLE list): seeds = the sub-slices of
@@ -1211,7 +1211,7 @@ object TrainData2 {
     * kmTrainCtesSql recipe transposed to (m, code) grain, mirroring
     * [[graft.operators.PqAdc.trainCodebooks]] step for step. Emits
     * `${p}cb$PqIters` as the trained-codebook CTE (m, code, cv). */
-  private def pqTrainCtes(src: String, p: String): String = {
+  private[queries] def pqTrainCtes(src: String, p: String): String = {
     def assign(cbs: String): String =
       s"""SELECT vec_id, m, sv, code FROM (
         |    SELECT s.vec_id, s.m, s.sv, c.code,
@@ -1265,9 +1265,21 @@ object TrainData2 {
   /** Frozen RESIDUAL PQ codebooks (q153's model), memoized like
     * [[frozenCodebooks]]. The coarse centroids are resolved BEFORE the
     * memo body (FrozenModels' reentrancy rule). */
-  private def frozenCodebooksResidual(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] = {
-    val cents = TrainData.trainedCentroids(spark, dir)
-    FrozenModels.memoGen(s"pq-codebooks-residual|$dir",
+  private def frozenCodebooksResidual(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    frozenCodebooksResidualAgainst(spark, dir,
+      TrainData.trainedCentroids(spark, dir), "")
+
+  /** Residual codebooks against a caller-chosen quantizer size (q181
+    * trains them at the k=16 operating-point quantizer); distinct memo
+    * prefixes let the k=4 and k=16 residual models coexist. */
+  private[queries] def frozenCodebooksResidualK(spark: SparkSession, dir: String,
+                                                kc: Int): Seq[Seq[Array[Double]]] =
+    frozenCodebooksResidualAgainst(spark, dir,
+      TrainData.trainedCentroidsK(spark, dir, kc), s"-k$kc")
+
+  private def frozenCodebooksResidualAgainst(spark: SparkSession, dir: String,
+      cents: Seq[Array[Float]], tag: String): Seq[Seq[Array[Double]]] = {
+    FrozenModels.memoGen(s"pq-codebooks-residual$tag|$dir",
         FrozenModels.fingerprint(s"$dir/embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val corpus = TrainData.embParallel(spark, dir)

@@ -109,6 +109,28 @@ class TrainData4Spec extends SparkSpec {
     assert(run("rank") == run("threshold"))
   }
 
+  test("q181: the ADC operating point gates above 0.9 with a rerank budget below the candidate cost") {
+    // the production-index family's recall≥0.9 gate (the in-query
+    // require re-checks it on every execution; this pin additionally
+    // states what the artifact must SHOW): both code variants clear
+    // 45/50, the shared coarse prune gives both variants the same
+    // candidate cost, and the ADC scan buys a rerank budget strictly
+    // below that cost — the saving the codes exist to provide.
+    val rows = SparkEntry.queries("q181_adc_operating_point")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    Seq("direct", "residual").foreach { v =>
+      assert(rows.filter(_._1 == v).map(_._4).sum >= 45, s"$v below the 0.9 gate")
+    }
+    val n = graft.engine.Tables.embeddings(spark, dir).count()
+    rows.foreach { case (v, nCand, nRerank, _) =>
+      assert(nRerank == math.max(320L, (84L * n + 159L) / 160L),
+        s"$v rerank budget broke the integer rule: $nRerank")
+      assert(nRerank < nCand || nCand <= 320,
+        s"$v reranks more than it scanned: $nRerank vs $nCand")
+    }
+  }
+
   test("q180: trained-length packing is internally consistent and dominates whitespace packing") {
     import graft.queries.TrainData
     val cap = TrainData.SeqCap
