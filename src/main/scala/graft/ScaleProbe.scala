@@ -268,6 +268,43 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE=packing: the q58/q68/q180 layout rule under
+    // BOTH packedOffsets plans (TrainData4Spec pins offset equality, so
+    // the leg measures pure plan cost): the window plan prefix-sums
+    // each source shard in ONE task — its wall tracks the largest
+    // shard, not the cluster — while the two-pass plan pays a bounded
+    // (source, bucket) census + broadcast + within-bucket windows that
+    // parallelize across buckets. The probe replicates WITHOUT salting
+    // (ids offset per replica, source kept) so shard sizes scale with
+    // mult, and reads out an offset checksum both plans must share.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "packing") {
+      import graft.queries.TrainData
+      val perDoc = (0 until mult).map { k =>
+        graft.engine.Tables.documents(spark, sfDir)
+          .select(col("source"), (col("doc_id") + lit(k * n0)).as("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nDocs = perDoc.count()
+      def sum(p: String): (Long, Long) = {
+        val r = TrainData.packedOffsets(perDoc, Some(p))
+          .agg(count(lit(1)), coalesce(
+            org.apache.spark.sql.functions.sum(
+              col("start_off") % lit(1000003L)), lit(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val ((nW, ckW), tWin) = timed(sum("window"))
+      val ((nT, ckT), tTwo) = timed(sum("twopass"))
+      require(nW == nT && ckW == ckT,
+        s"packing probe: plans diverged ($nW/$ckW vs $nT/$ckT)")
+      println(s"""{"probe":"packing","sf":"$sfDir","mult":$mult,"docs":$nDocs,""" +
+        s""""offset_checksum":$ckW,"window_sec":${f"$tWin%.2f"},""" +
+        s""""twopass_sec":${f"$tTwo%.2f"}}""")
+      spark.stop()
+      return
+    }
+
     // replica k: ids offset by k*n0, text salted with a replica token so
     // copies stay NEAR-dups (high Jaccard) instead of exact dups
     val corpus = (0 until mult).map { k =>

@@ -974,20 +974,80 @@ object TrainData {
   // stats: sequences produced, docs crossing a boundary. All integer
   // arithmetic (offsets via running sum, seq ids via integer div) — no
   // float boundary. Scale: packing is per-shard BY DESIGN (a global
-  // concat order is meaningless and unscalable); the window runs inside
-  // each source partition — one shuffle keyed by source, parallel
-  // across shards, and a skewed giant shard would be sub-split by
-  // re-sharding on (source, doc_id range) upstream. ──
+  // concat order is meaningless and unscalable); offsets come from
+  // [[packedOffsets]], whose doc census swaps the per-source window for
+  // the bucketed two-pass plan past PackWindowMaxDocs — no single task
+  // ever prefix-sums a whole shard at corpus grain. ──
   private[graft] val SeqCap = 512
 
-  private def q58(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc-count line above which [[packedOffsets]] swaps the per-source
+    * running-sum window for the bucketed two-pass plan (the q156/q169
+    * selectable-fallback convention). Generous for local[32]; a cluster
+    * deployment tunes it to what one task prefix-sums comfortably. */
+  private[graft] val PackWindowMaxDocs = 100000L
+  /** Bucket budget of the two-pass plan — bounds the base-offset census
+    * at sources × (PackBuckets+1) rows regardless of corpus size. */
+  private val PackBuckets = 4096L
+
+  /** Packing start offsets: per (source, doc_id-ordered) running token
+    * sum minus the row's own tokens — the layout rule every packing
+    * consumer (q58/q68 whitespace grain, q180 trained-tokenizer grain)
+    * shares. Two plans behind the doc-count census (`force` pins one
+    * for tests, which pin offset equality through BOTH):
+    *   - `window` (≤ [[PackWindowMaxDocs]]): one running-sum window per
+    *     source — fine while a single task can prefix-sum a shard.
+    *   - `twopass` (the 100 TB plan): bucket docs by doc_id range
+    *     (fixed-width bins from a 2-scalar extent census, monotone in
+    *     doc_id so bucket order IS doc order), per-(source, bucket)
+    *     token sums → cumulative BASE offsets over that bounded census
+    *     (≤ sources × PackBuckets rows — driver-sized, broadcast back),
+    *     then a running sum WITHIN each (source, bucket) — every window
+    *     input is bounded by a bucket's doc mass, never a shard.
+    *     Offsets are identical to the window plan's by construction
+    *     (integer sums regrouped associatively; NULL token counts skip
+    *     both plans' sums the same way). */
+  private[graft] def packedOffsets(perDoc: DataFrame,
+                                   force: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = Tables.documents(spark, dir)
+    require(force.forall(Set("window", "twopass")),
+      s"packed_offsets: force must be window|twopass, got $force")
+    val useWindow = force.map(_ == "window")
+      .getOrElse(perDoc.count() <= PackWindowMaxDocs)
+    if (useWindow) {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+    } else {
+      val pd = perDoc.localCheckpoint() // consumers: extent, census, layout
+      val ext = pd.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
+      if (ext.isNullAt(0)) pd.withColumn("start_off", lit(null).cast("long"))
+      else {
+        val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+        val width = math.max((hi - lo) / PackBuckets + 1, 1L)
+        val bkt = expr(s"(doc_id - ${lo}L) div ${width}L")
+        val withB = pd.withColumn("__bkt", bkt)
+        val base = withB.groupBy("source", "__bkt")
+          .agg(sum("n_tok").as("__btok"))
+          .withColumn("__base", coalesce(sum("__btok").over(
+            Window.partitionBy("source").orderBy("__bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source").as("__bsrc"), col("__bkt").as("__bb"),
+            col("__base"))
+        val wIn = Window.partitionBy("source", "__bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withB.join(broadcast(base),
+            withB("source") === base("__bsrc") && withB("__bkt") === base("__bb"))
+          .withColumn("start_off",
+            col("__base") + sum("n_tok").over(wIn) - col("n_tok"))
+          .drop("__bkt", "__bsrc", "__bb", "__base")
+      }
+    }
+  }
+
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val d = packedOffsets(Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+        size(tokens(col("text"))).cast("long").as("n_tok")))
     d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("total_tok"),
@@ -1464,13 +1524,11 @@ object TrainData {
   // partitioned by output sequence, which is exactly the final writer's
   // partitionBy key. ──
   private def q68(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = Tables.documents(spark, dir)
+    // offsets via the shared selectable-plan layout rule (the token
+    // array rides packedOffsets' pass-through)
+    val off = packedOffsets(Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("start_off",
-        sum(size(col("t")).cast("long")).over(w) - size(col("t")))
+      .withColumn("n_tok", size(col("t")).cast("long")))
     off.select(col("source"), col("doc_id"), col("start_off"),
         posexplode(col("t")))
       .withColumn("goff", col("start_off") + col("pos"))

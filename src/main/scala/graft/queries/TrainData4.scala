@@ -257,8 +257,9 @@ object TrainData4 {
   //
   // Scale: the per-word trained lengths ride a vocab-sized broadcast
   // onto ONE tokenize scan (q163's transport, the BpeTokLen codegen'd
-  // kernel); packing stays per-shard (one shuffle keyed by source) —
-  // composition adds nothing beyond the two parents' shapes. ──
+  // kernel); offsets come from [[TrainData.packedOffsets]] (census-
+  // selected window vs bucketed two-pass) — composition adds nothing
+  // beyond the two parents' shapes. ──
   private def q180(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("text"))
@@ -271,11 +272,8 @@ object TrainData4 {
         explode(TrainData.tokens(col("text"))).as("w"))
       .join(broadcast(vlen), "w")
       .groupBy("source", "doc_id").agg(sum("n_sym").as("n_tok"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cap = TrainData.SeqCap
-    perDoc
-      .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+    TrainData.packedOffsets(perDoc)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("total_tok"),

@@ -257,6 +257,33 @@ class PlanSpec extends SparkSpec {
       "rank plan lost its global window — update this pin")
   }
 
+  test("packing: the forced two-pass plan never prefix-sums a whole shard in one window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    // the two-pass plan exists so no single task prefix-sums a source
+    // shard at corpus grain: its windows must be either the bounded
+    // per-(source, bucket) running sum (≥2 partition expressions) or
+    // the base-offset window over the bucket CENSUS (whose input
+    // subtree aggregates first). A window partitioned by source alone
+    // over the raw rows is exactly the shape being displaced.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val perDoc = graft.engine.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        org.apache.spark.sql.functions.lit(1L).as("n_tok"))
+    val plan = graft.queries.TrainData.packedOffsets(perDoc, Some("twopass"))
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "two-pass plan lost its windows — update this pin")
+    wins.foreach { w =>
+      val bucketed = w.partitionSpec.size >= 2
+      val censusGrain = w.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+      }.isDefined
+      assert(bucketed || censusGrain,
+        s"shard-wide window in the two-pass packing plan:\n${w.toString.take(800)}")
+    }
+  }
+
   test("q178: no window in the forced-threshold mixture plan runs over the scored corpus") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.FilterExec

@@ -131,6 +131,25 @@ class TrainData4Spec extends SparkSpec {
     }
   }
 
+  test("packing: the window and two-pass offset plans lay out the identical corpus") {
+    import spark.implicits._
+    import graft.queries.TrainData
+    // 900 docs over 4 sources with sparse, gappy doc_ids (stride 7 plus
+    // a jump) so the two-pass plan's fixed-width doc_id buckets are
+    // uneven — the case where a regrouped prefix sum could drift if the
+    // bucket order were not the doc order; plus NULL token counts,
+    // which must skip both plans' sums identically.
+    val perDoc = (0L until 900L).map { i =>
+      val id = i * 7L + (if (i > 600) 100000L else 0L)
+      (s"s${i % 4}", id, if (i % 97 == 0) null
+        else java.lang.Long.valueOf(i % 23 + 1))
+    }.toDF("source", "doc_id", "n_tok")
+    def run(p: String) = TrainData.packedOffsets(perDoc, Some(p))
+      .select("source", "doc_id", "n_tok", "start_off")
+      .orderBy("source", "doc_id").collect().map(_.toSeq).toSeq
+    assert(run("window") == run("twopass"))
+  }
+
   test("q180: trained-length packing is internally consistent and dominates whitespace packing") {
     import graft.queries.TrainData
     val cap = TrainData.SeqCap
