@@ -473,6 +473,12 @@ object Streams {
     val evalRow = evalGrams.agg(collect_set(col("g")).as("__eval"))
       .select(pmod(hash(col("__eval")), lit(1)).as("__k"), col("__eval"))
       .localCheckpoint() // materialize the gram rollup once, not per batch
+    // source + token mass ride the scored row so the verdict log is
+    // self-sufficient for the q107-shaped (source, stage) report
+    // ([[funnelSourceAttribution]]); a source-less stream still runs —
+    // its report just lands under one NULL source.
+    val srcCol = if (docs.columns.contains("source")) col("source")
+                 else lit(null).cast("string")
     val scored = docs
       .withColumn("__k", pmod(hash(col("doc_id")), lit(1)))
       .join(broadcast(evalRow), Seq("__k"))
@@ -482,7 +488,10 @@ object Streams {
           lit(false)).as("lowq"),
         coalesce(arrays_overlap(
           array_distinct(graft.functions.WordNgrams(col("text"), n)),
-          col("__eval")), lit(false)).as("contam"))
+          col("__eval")), lit(false)).as("contam"),
+        srcCol.as("source"),
+        // q107's token grain: whitespace split, NULL text stays NULL
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
     // stateful leg: one probe row per state cell a doc touches — its
     // exact-hash cell (NULL text shares one sentinel cell, the batch
     // rule) and, when it has a signature, its two band buckets
@@ -556,7 +565,9 @@ object Streams {
     scored.unionByName(evidence.toDF()
       .select(col("doc_id"), col("kind"), col("matched_doc"),
         lit(null).cast("boolean").as("lowq"),
-        lit(null).cast("boolean").as("contam")))
+        lit(null).cast("boolean").as("contam"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_tok")))
   }
 
   /** Batch rollup of a [[curationFunnel]] verdict log into q75's
@@ -576,6 +587,25 @@ object Streams {
         .when(col("__lq") === 1, "3_low_quality")
         .when(col("__ct") === 1, "4_contaminated")
         .otherwise("5_kept").as("stage"))
+
+  /** The (source, stage) rollup of a [[curationFunnel]] verdict log —
+    * q107's sourcing report (doc AND token mass per cell) produced from
+    * the streamed-out log alone: per-doc first-firing stage
+    * ([[funnelAttribution]]) joined back to the doc's own `scored` row,
+    * which carries source and token mass precisely so this report
+    * needs no second look at the corpus. Two partial-aggregated
+    * groupBys plus one equi-join on doc_id — the same shapes as the
+    * batch q107 it is spec-pinned equal to on the gated corpus. */
+  def funnelSourceAttribution(verdicts: DataFrame): DataFrame = {
+    // both join branches descend from `verdicts` — re-key the scored
+    // side so the self-join's attributes never collide
+    val meta = verdicts.filter(col("kind") === "scored")
+      .select(col("doc_id").as("__sid"), col("source"), col("n_tok"))
+    val staged = funnelAttribution(verdicts)
+    staged.join(meta, staged("doc_id") === meta("__sid"))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+  }
 
   /** A vocab at or under this size may ride the plan as a `typedLit`
     * map literal; above it the LM ships as BROADCAST DATA instead (see

@@ -1033,13 +1033,14 @@ class StreamsSpec extends SparkSpec {
       .distinct()
     // stream the train slice in doc_id order (batch keeper = min id, so
     // arrival order must equal id order for the keeper sets to agree);
-    // constant ts keeps every bucket live (no event-time eviction)
-    val rows = train.select("doc_id", "text").orderBy("doc_id").collect()
+    // constant ts keeps every bucket live (no event-time eviction);
+    // source rides along for the q107-shaped report below
+    val rows = train.select("doc_id", "text", "source").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"),
-        if (r.isNullAt(1)) null else r.getString(1)))
-    val in = MemoryStream[(Long, Timestamp, String)]
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, Timestamp, String, String)]
     val q = Streams.curationFunnel(
-        in.toDF().toDF("doc_id", "ts", "text"), evalGrams)
+        in.toDF().toDF("doc_id", "ts", "text", "source"), evalGrams)
       .writeStream.format("memory").queryName("cfun").outputMode("append").start()
     try {
       // multiple micro-batches so state genuinely carries across them
@@ -1057,6 +1058,20 @@ class StreamsSpec extends SparkSpec {
       assert(diffs.isEmpty, s"${diffs.size} attribution diffs, first: ${diffs.take(5)}")
       // and the funnel invariant: stage counts sum to the train slice
       assert(streamed.size == rows.length)
+      // the (source, stage) sourcing report off the verdict log alone
+      // must equal batch q107 cell-for-cell (doc AND token mass) — the
+      // report production actually reads, produced without a second
+      // look at the corpus
+      val srcReport = Streams.funnelSourceAttribution(spark.table("cfun"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val q107 = SparkEntry.queries("q107_funnel_by_source")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(srcReport == q107,
+        s"(source, stage) report diverged: ${(srcReport.toSet diff q107.toSet).take(3)} / ${(q107.toSet diff srcReport.toSet).take(3)}")
     } finally q.stop()
   }
 }
