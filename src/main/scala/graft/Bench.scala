@@ -167,20 +167,25 @@ object Bench {
     //     exactly those two queries permanently uncertifiable. The
     //     +1/+2 tick tolerances absorb USER_HZ=100 granularity on
     //     sub-second reps.
-    // (2) JVM cpu/wall vs the query's own best rep: same query, same
-    //     data, same plan ⇒ process-CPU per rep is near-constant, so
-    //     cpu/wall is a throughput gauge calibrated by the query
-    //     itself. A rep whose cpu/wall falls below 70% of the query's
-    //     best observed is wall-inflated REGARDLESS of what /proc/stat
-    //     says — this is the channel that closes round 14's leak
-    //     (persistent moderate contention passing every host
-    //     threshold). Reps under 0.2 s are exempt from this leg only
+    // (2) JVM cpu/wall vs the query's own cross-rep MEDIAN: same
+    //     query, same data, same plan ⇒ cpu/wall is a throughput gauge
+    //     calibrated by the query itself. A rep whose cpu/wall falls
+    //     below 70% of the query's median is wall-inflated REGARDLESS
+    //     of what /proc/stat says — this is the channel that closes
+    //     round 14's leak (persistent moderate contention passing
+    //     every host threshold). The reference is the MEDIAN, not the
+    //     max, because reps are legitimately heterogeneous in one
+    //     case: the first consumer of a FrozenModels family pays
+    //     training in rep 1 at full Lloyd parallelism (cpu/wall can
+    //     run ~2× the serve reps' ratio) — a max reference would
+    //     reject every steady-state rep and certify only the slow
+    //     training rep. Reps under 0.2 s are exempt from this leg only
     //     (JIT/GC variance dominates the ratio there, and a sub-0.2 s
     //     rep cannot meaningfully inflate a total).
     //     Residual disclosed limit: if EVERY rep of a query is equally
-    //     inflated, its best ratio is depressed and leg (2) cannot see
-    //     it — which is why the artifact now carries per-query
-    //     cpu_wall_best: two artifacts on the same tree expose uniform
+    //     inflated, its median ratio is depressed and leg (2) cannot
+    //     see it — which is why the artifact now carries per-query
+    //     cpuw_med: two artifacts on the same tree expose uniform
     //     inflation by direct ratio comparison, no prose needed.
     def hostDirty(t: (Long, Long, Long, Long), cpu: Double): Boolean = {
       val (u, s, w, st) = t
@@ -193,13 +198,16 @@ object Bench {
         w > 1 + 0.25 * busy ||
         (s > 3 * u + 2 && !ownHost)
     }
-    def bestCpuWall(ts: Vector[Rep]): Double = {
+    // lower median (sorted((n-1)/2)) — slightly lenient on even counts,
+    // and always an OBSERVED ratio, never an interpolated one
+    def medCpuWall(ts: Vector[Rep]): Double = {
       val rs = ts.filter(r => r.cpu >= 0 && r.sec > 0).map(r => r.cpu / r.sec)
-      if (rs.isEmpty) -1.0 else rs.max
+        .sorted
+      if (rs.isEmpty) -1.0 else rs((rs.size - 1) / 2)
     }
-    def dirtyRep(r: Rep, best: Double): Boolean =
+    def dirtyRep(r: Rep, med: Double): Boolean =
       hostDirty(r.ticks, r.cpu) ||
-        (best > 0 && r.cpu >= 0 && r.sec >= 0.2 && r.cpu / r.sec < 0.7 * best)
+        (med > 0 && r.cpu >= 0 && r.sec >= 0.2 && r.cpu / r.sec < 0.7 * med)
     // Clean-rep policy (round-13 lesson): the driver's official r13
     // artifact was contention-polluted — its adjudication columns could
     // DIAGNOSE that (minrep steal 6.9/s, q09 at 46 s vs 1.35 s clean)
@@ -227,7 +235,7 @@ object Bench {
       // that posts a better ratio raises the bar for every earlier rep
       while (extra < cleanRetries && cleanBudget > 0 && canCertify &&
              !failed.contains(name) &&
-             !times.exists(r => !dirtyRep(r, bestCpuWall(times)))) {
+             !times.exists(r => !dirtyRep(r, medCpuWall(times)))) {
         times = times :+ oneRep(name, fn)
         extra += 1
         cleanBudget -= 1
@@ -254,7 +262,7 @@ object Bench {
       // total, so failures are always uncertified (and loud via errors)
       val clean =
         if (failed.contains(k)) Nil
-        else { val b = bestCpuWall(ts); ts.filter(r => !dirtyRep(r, b)).map(_.sec) }
+        else { val m = medCpuWall(ts); ts.filter(r => !dirtyRep(r, m)).map(_.sec) }
       (k, if (clean.isEmpty) None else Some(clean.min))
     }
     val cleanCovered = cleanMins.count(_._2.isDefined)
@@ -355,7 +363,7 @@ object Bench {
     // these twenty ratios (see dirtyRep's residual-limit note).
     val cpuwTopJson = resultTimes
       .sortBy { case (_, ts) => -ts.map(_.sec).min }.take(20)
-      .map { case (k, ts) => "\"" + k + "\":" + fmt(bestCpuWall(ts), 2) }
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(medCpuWall(ts), 2) }
       .mkString("{", ",", "}")
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.
@@ -419,7 +427,7 @@ object Bench {
     // contention), then "errors", then the contract keys
     // ("metric":"total","value") at the very END so they survive ANY
     // window.
-    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"rep_cpuw":$repCpuwJson,"queries":$qs,"top20":$topJson,"cpuw_best_top20":$cpuwTopJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"minrep_cpu_sec":${fmt(minCpuSec, 1)},"minrep_cpuw":${fmt(minCpuw, 2)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified_n":$uncertifiedN,"uncertified_first10":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir",$env,"reps_sec":$repsJson,"rep_user":$repUserJson,"rep_sys":$repSysJson,"rep_iowait":$repIowaitJson,"rep_steal":$repStealJson,"rep_cpuw":$repCpuwJson,"queries":$qs,"top20":$topJson,"cpuw_med_top20":$cpuwTopJson,"rep_outliers":$outJson,"minrep_steal_ticks":$minStealTotal,"minrep_steal_per_sec":${fmt(minStealRate, 1)},"minrep_user_ticks":$minUserTotal,"minrep_user_per_sec":${fmt(minUserRate, 1)},"minrep_sys_ticks":$minSysTotal,"minrep_sys_per_sec":${fmt(minSysRate, 1)},"minrep_iowait_ticks":$minIowaitTotal,"minrep_iowait_per_sec":${fmt(minIowaitRate, 1)},"minrep_cpu_sec":${fmt(minCpuSec, 1)},"minrep_cpuw":${fmt(minCpuw, 2)},"dirty_minreps":$dirtyJson,$diag,"errors":$errJson,"clean_total":${fmt(cleanTotal, 2)},"clean_coverage":"$cleanCovered/${results.size}","clean_extra_reps":$cleanExtraReps,"uncertified_n":$uncertifiedN,"uncertified_first10":$uncertifiedJson,"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
     spark.stop()
     // Broken queries must fail the run visibly, not just textually.
     if (failed.nonEmpty) sys.exit(1)

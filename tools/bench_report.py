@@ -121,6 +121,17 @@ def render(b, src):
         adj += (f"\nKernel/I-O adjudication (generated): min-reps ran at "
                 f"{rs:.0f} system / {ru:.0f} user / {io_txt} "
                 f"(host-wide): {kv}.")
+    # JVM cpu/wall gauge (round-15 policy): the host-independent number.
+    # Per-query process CPU is a constant of the plan, so two artifacts
+    # on one tree that disagree on minrep_cpuw disagree on WALL only —
+    # the one with the lower ratio is the inflated one, no host model
+    # needed. Printed, not thresholded: it is a cross-artifact
+    # comparator, not a same-run verdict.
+    cpuw = b.get("minrep_cpuw", -1)
+    if cpuw is not None and cpuw >= 0:
+        adj += (f"\nJVM cpu/wall over the reported min-reps: {cpuw:.2f} "
+                f"(compare across artifacts on the same tree — lower ratio "
+                f"= inflated walls).")
     # Prefer the certified clean_total when present (round-14 policy:
     # Bench retries dirty min-reps and emits a total whose every
     # contributing rep ran with clean host ticks). Full coverage makes
