@@ -225,8 +225,9 @@ object Bench {
     // queries × 3 extras). The budget bounds total retry wall-cost; when
     // it runs out remaining dirty queries simply stay uncertified and
     // clean_coverage says so.
-    var cleanBudget =
+    val cleanBudget0 =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_BUDGET", "60").toInt
+    var cleanBudget = cleanBudget0
     val results = selected.map { case (name, fn) =>
       var times = (1 to reps).map(_ => oneRep(name, fn)).toVector
       val canCertify = times.exists(_.ticks._1 >= 0) // /proc/stat readable
@@ -386,7 +387,8 @@ object Bench {
       s""""shuffle_partitions":$cpus,"max_partition_bytes":"$maxPartitionBytes",""" +
       s""""cache_policy":"localCheckpoint per query, clearCache between queries; """ +
       s"""FrozenModels trained-model cache shared across queries+reps",""" +
-      s""""clean_retries":$cleanRetries,"raw_policy":"min over first $reps reps; """ +
+      s""""clean_retries":$cleanRetries,"clean_budget":$cleanBudget0,""" +
+      s""""raw_policy":"min over first $reps reps; """ +
       s"""retry reps feed clean_total only",""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""aqe_size_first":$sizeFirstCoalesce,"aqe_advisory":"$advisoryBytes""""
