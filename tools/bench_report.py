@@ -144,9 +144,11 @@ def render(b, src):
     if ct is not None and cc_full:
         headline = (f"**total {ct:.1f} s across {n} queries (certified clean "
                     f"reps; raw min-total {b['value']:.1f} s)**")
-        cert = ("\nEvery rep contributing to the certified total ran with "
-                "clean host ticks (steal \u22645% and iowait \u226425% of the "
-                "host's busy ticks, system within the saturation profile).")
+        cert = ("\nEvery rep contributing to the certified total passed BOTH "
+                "certification channels: clean host ticks (steal \u22645% and "
+                "iowait \u226425% of the host's busy ticks, system within the "
+                "saturation profile or the JVM's own) AND a JVM cpu/wall "
+                "within 70% of the query's cross-rep median.")
     else:
         headline = f"**total {b['value']:.1f} s across {n} queries**"
         if ct is not None:
