@@ -235,17 +235,7 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[
       (String, Vector[Rep], Int)]
     selected.foreach { case (name, fn) =>
-      var times = (1 to reps).map(_ => oneRep(name, fn)).toVector
-      val canCertify = times.exists(_.ticks._1 >= 0) // /proc/stat readable
-      var extra = 0
-      // median cpu/wall is recomputed over ALL accumulated reps: a retry
-      // can move the reference for every earlier rep
-      while (extra < cleanRetries && cleanBudget > 0 && canCertify &&
-             !failed.contains(name) && !hasClean(name, times)) {
-        times = times :+ oneRep(name, fn)
-        extra += 1
-        cleanBudget -= 1
-      }
+      val times = (1 to reps).map(_ => oneRep(name, fn)).toVector
       // Isolation: no query may ride on (or pay for) another query's
       // cached DATA. Queries themselves use GC-scoped localCheckpoint,
       // not persist, so this is insurance against future persist use.
@@ -256,16 +246,20 @@ object Bench {
       // first pays training for the family. clearCache() does not (and
       // must not) reset it; cache_policy in the artifact records this.
       spark.catalog.clearCache()
-      results += ((name, times, extra))
+      results += ((name, times, 0))
     }
-    // SECOND-CHANCE SWEEP (r15 measurement: contention arrives in
-    // ~60 s steal WAVES — three same-tree runs certified 161/175/172
-    // of 179 with a DIFFERENT contiguous victim block each time).
-    // Immediate retries run inside the very wave that dirtied the
-    // fixed reps, so they mostly burn budget; re-visiting the
-    // still-uncertified queries AFTER the suite decorrelates the
-    // retry from the wave. Same per-query retry cap, same global
-    // budget — this changes WHEN the budgeted reps run, not how many.
+    // DECORRELATED RETRY SWEEPS (r15 measurement: contention on this VM
+    // class arrives in ~60 s steal WAVES — same-tree runs certified
+    // 156–175 of 179 with a DIFFERENT contiguous victim block each
+    // time). A retry fired immediately after a dirty rep lands inside
+    // the very wave that dirtied it and mostly burns budget, so ALL
+    // retries run as end-of-suite sweeps: each sweep revisits every
+    // still-uncertified query once (full-suite spacing between a
+    // query's retries), up to `cleanRetries` sweeps, bounded by the
+    // global budget. Per-query extras ≤ cleanRetries TOTAL — the sweep
+    // is when retries run, not extra allowance. Failed queries are
+    // never re-run: their reps are exception latencies and no retry
+    // can certify them (they stay loud in "errors").
     val fnByName = selected.toMap
     var sweep = 0
     var sweepProgress = true
@@ -273,7 +267,8 @@ object Bench {
       sweepProgress = false
       results.indices.foreach { i =>
         val (name, ts, extra) = results(i)
-        if (cleanBudget > 0 && ts.exists(_.ticks._1 >= 0) &&
+        if (cleanBudget > 0 && extra < cleanRetries &&
+            !failed.contains(name) && ts.exists(_.ticks._1 >= 0) &&
             !hasClean(name, ts)) {
           results(i) = (name, ts :+ oneRep(name, fnByName(name)), extra + 1)
           cleanBudget -= 1
@@ -392,9 +387,13 @@ object Bench {
     // whose inflation can move a total), inside the survival window:
     // cross-artifact uniform-inflation adjudication needs exactly
     // these twenty ratios (see dirtyRep's residual-limit note).
-    val cpuwTopJson = resultTimes
+    // ranked by the SAME raw window as top20 so the two lists cover the
+    // same query set; the VALUE is the all-reps median (the reference
+    // the certification actually used)
+    val cpuwByName = resultTimes.toMap
+    val cpuwTopJson = rawTimes
       .sortBy { case (_, ts) => -ts.map(_.sec).min }.take(20)
-      .map { case (k, ts) => "\"" + k + "\":" + fmt(medCpuWall(ts), 2) }
+      .map { case (k, _) => "\"" + k + "\":" + fmt(medCpuWall(cpuwByName(k)), 2) }
       .mkString("{", ",", "}")
     // cpu/wall near the live core count ⇒ the JVM really ran; cpu/wall
     // far below it with inflated walls ⇒ the host was contended.

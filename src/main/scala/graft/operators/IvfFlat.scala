@@ -160,23 +160,47 @@ object IvfFlat {
     * [[assign]]); `probes` carries `probeIdCol` + `probeVecCol`. Probes
     * present in the corpus are excluded from their own results.
     */
-  def probe(assigned: DataFrame, probes: DataFrame,
-            centroids: Seq[Array[Float]], nprobe: Int, k: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding",
-            probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.size, s"ivf_flat: nprobe=$nprobe out of range")
-    // probe → nprobe nearest centroids; P×k rows, broadcast-sized
+  /** Probe → centroid rank: every centroid with its cosine rank `__cr`
+    * (1 = nearest; argmax cosine, ties → lowest centroid id), kept to
+    * `maxRank`. THE coarse-prune contract of the IVF family, stated
+    * once: [[probe]] consumes it directly, q177's Pareto sweep fans out
+    * over `__cr`, and q181's candidate-cost census joins it against the
+    * assignment — so the COST those queries report is derived from the
+    * same ranking the search executes, by construction.
+    * [[graft.operators.PqAdc.search]]/`searchResidual` fuse the
+    * identical ranking with their per-probe LUT projection (kept fused
+    * — the LUT must ride the same tiny P×K projection); any change to
+    * this ordering must change those two in lockstep, which the
+    * q151/q153/q181 oracles would catch. P×maxRank rows,
+    * broadcast-sized. */
+  def probedClusters(probes: DataFrame, centroids: Seq[Array[Float]],
+                     maxRank: Int,
+                     probeIdCol: String = "probe_id",
+                     probeVecCol: String = "pv"): DataFrame = {
+    require(maxRank >= 1 && maxRank <= centroids.size,
+      s"ivf_flat: maxRank=$maxRank out of range")
     val centRank = Window.partitionBy(probeIdCol)
       .orderBy(col("__pc_cos").desc, col("__cent_id"))
-    val probeClusters = probes
+    probes
       .select(col(probeIdCol), col(probeVecCol),
         posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv")))
       .select(col(probeIdCol), col(probeVecCol),
         (col("__pos") + 1).cast("int").as("__cent_id"),
         CosineSimilarity(col(probeVecCol), col("__cv")).as("__pc_cos"))
       .withColumn("__cr", row_number().over(centRank))
-      .filter(col("__cr") <= nprobe)
-      .select(col(probeIdCol), col(probeVecCol), col("__cent_id"))
+      .filter(col("__cr") <= maxRank)
+      .select(col(probeIdCol), col(probeVecCol), col("__cent_id"), col("__cr"))
+  }
+
+  def probe(assigned: DataFrame, probes: DataFrame,
+            centroids: Seq[Array[Float]], nprobe: Int, k: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            probeIdCol: String = "probe_id", probeVecCol: String = "pv"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size, s"ivf_flat: nprobe=$nprobe out of range")
+    // probe → nprobe nearest centroids; P×k rows, broadcast-sized
+    val probeClusters =
+      probedClusters(probes, centroids, nprobe, probeIdCol, probeVecCol)
+        .drop("__cr")
     // candidate fetch: broadcast the (probe, cluster) list into the
     // corpus side — with a cluster-partitioned corpus this is partition
     // pruning + a map-side join, zero corpus shuffle

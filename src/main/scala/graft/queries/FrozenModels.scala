@@ -94,12 +94,29 @@ private[graft] object FrozenModels {
     * lake-resident staleness signal, and a java.io walk of an hdfs://
     * or s3a:// path silently returned the shared 'absent' sentinel —
     * every remote generation published as 'absent' and staleness
-    * detection no-op'd. Scheme-less paths resolve to the local FS, so
-    * the in-process cache behavior is unchanged. */
+    * detection no-op'd. The FileSystem resolves against the ACTIVE
+    * Spark session's Hadoop conf when one exists (s3a credentials /
+    * endpoints configured the normal way, via spark.hadoop.*, must
+    * reach the walk — a bare `new Configuration()` would not see
+    * them), falling back to a default conf off-session. Scheme-less
+    * paths are PINNED to the local FS explicitly: every existing
+    * caller passes a plain local dir, and on a cluster whose
+    * core-site sets fs.defaultFS=hdfs:// those keys must not silently
+    * start resolving remotely. An unreadable subdirectory contributes
+    * a marker instead of aborting the walk (the java.io behavior). */
   private[graft] def fingerprint(path: String): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}
-    val root = new Path(path)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val hasScheme =
+      try new java.net.URI(path).getScheme != null
+      catch { case _: Exception => false } // unparsable URI = a local path
+    val root =
+      if (hasScheme) new Path(path)
+      else new Path(new java.io.File(path).toURI)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
     def mtime(st: FileStatus): Long = {
       val ms = st.getModificationTime
       if (fs.getScheme == "file")
@@ -123,10 +140,17 @@ private[graft] object FrozenModels {
       } catch { case _: java.io.IOException => "?" } // unreadable ≠ crash
     }
     def walk(st: FileStatus, rel: String): Seq[String] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
-          .toSeq.flatMap(c => walk(c, s"$rel/${c.getPath.getName}"))
-      else Seq(s"$rel:${st.getLen}:${mtime(st)}:${tail(st)}")
+      if (st.isDirectory) {
+        // an unreadable dir contributes a marker (it may hide changed
+        // files, so it must perturb the hash) but never crashes the
+        // lookup — the java.io walk's tolerance, kept
+        (try Right(fs.listStatus(st.getPath))
+         catch { case _: java.io.IOException => Left(()) }) match {
+          case Left(_) => Seq(s"$rel:?dir")
+          case Right(cs) => cs.sortBy(_.getPath.getName)
+            .toSeq.flatMap(c => walk(c, s"$rel/${c.getPath.getName}"))
+        }
+      } else Seq(s"$rel:${st.getLen}:${mtime(st)}:${tail(st)}")
     if (!fs.exists(root)) s"absent"
     else Integer.toHexString(
       scala.util.hashing.MurmurHash3.orderedHash(walk(fs.getFileStatus(root), "")))

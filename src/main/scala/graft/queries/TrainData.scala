@@ -1020,10 +1020,19 @@ object TrainData {
     } else {
       val pd = perDoc.localCheckpoint() // consumers: extent, census, layout
       val ext = pd.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
-      if (ext.isNullAt(0)) pd.withColumn("start_off", lit(null).cast("long"))
-      else {
+      if (ext.isNullAt(0)) {
+        // every doc_id NULL: no extent to bucket by — one degenerate
+        // "bucket" IS the corpus, so the window plan's shape is the
+        // only shape; fall back to it rather than invent offsets
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pd.withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+      } else {
         val (lo, hi) = (ext.getLong(0), ext.getLong(1))
         val width = math.max((hi - lo) / PackBuckets + 1, 1L)
+        // NULL doc_id → NULL bucket: its own census group, ordered
+        // FIRST by the base window (nulls-first) exactly where the
+        // window plan's nulls-first doc order puts those rows
         val bkt = expr(s"(doc_id - ${lo}L) div ${width}L")
         val withB = pd.withColumn("__bkt", bkt)
         val base = withB.groupBy("source", "__bkt")
@@ -1035,8 +1044,12 @@ object TrainData {
             col("__base"))
         val wIn = Window.partitionBy("source", "__bkt").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // null-SAFE keys: the window plan keeps NULL-source / NULL-id
+        // rows (they form window partitions like any value), so the
+        // join back must too — a plain === would silently drop every
+        // such group past the census line
         withB.join(broadcast(base),
-            withB("source") === base("__bsrc") && withB("__bkt") === base("__bb"))
+            withB("source") <=> base("__bsrc") && withB("__bkt") <=> base("__bb"))
           .withColumn("start_off",
             col("__base") + sum("n_tok").over(wIn) - col("n_tok"))
           .drop("__bkt", "__bsrc", "__bb", "__base")

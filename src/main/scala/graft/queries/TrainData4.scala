@@ -54,18 +54,11 @@ object TrainData4 {
     val assigned = IvfFlat.assign(corpus, cents)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    // probe → centroid rank cr (1..K), kept to the widest sweep point
-    val centRank = Window.partitionBy("probe_id")
-      .orderBy(col("__pc_cos").desc, col("__cent_id"))
-    val probeClusters = probes
-      .select(col("probe_id"), col("pv"),
-        posexplode(typedLit(cents.toArray)).as(Seq("__pos", "__cv")))
-      .select(col("probe_id"), col("pv"),
-        (col("__pos") + 1).cast("int").as("__cent_id"),
-        CosineSimilarity(col("pv"), col("__cv")).as("__pc_cos"))
-      .withColumn("cr", row_number().over(centRank))
-      .filter(col("cr") <= ParetoNps.max)
-      .select(col("probe_id"), col("pv"), col("__cent_id"), col("cr"))
+    // probe → centroid rank cr (1..K), kept to the widest sweep point —
+    // the family's ONE coarse-prune contract (IvfFlat.probedClusters)
+    val probeClusters = IvfFlat
+      .probedClusters(probes, cents, maxRank = ParetoNps.max)
+      .withColumnRenamed("__cr", "cr")
     // one candidate fetch + one exact cosine per candidate, then a
     // row-local fan-out to every sweep point that includes the row
     val scored = assigned
@@ -362,18 +355,9 @@ object TrainData4 {
     val topR = PqAdc.searchResidual(encR, probes, cents, cbR, TrainData2.PqSub,
         nprobe = OpNprobe, shortlist = sl, k = TrainData.IvfTopK)
       .select(col("probe_id"), col("cand_id"))
-    // candidate cost, shared by both variants (same coarse prune)
-    val centRank = Window.partitionBy("probe_id")
-      .orderBy(col("__pc_cos").desc, col("__cent_id"))
-    val probed = probes
-      .select(col("probe_id"),
-        posexplode(typedLit(cents.toArray)).as(Seq("__pos", "__cv")),
-        col("pv"))
-      .select(col("probe_id"),
-        (col("__pos") + 1).cast("int").as("__cent_id"),
-        CosineSimilarity(col("pv"), col("__cv")).as("__pc_cos"))
-      .withColumn("cr", row_number().over(centRank))
-      .filter(col("cr") <= OpNprobe)
+    // candidate cost, shared by both variants — derived from the SAME
+    // coarse-prune contract the searches execute (IvfFlat.probedClusters)
+    val probed = IvfFlat.probedClusters(probes, cents, maxRank = OpNprobe)
       .select(col("probe_id"), col("__cent_id"))
     val cost = assigned
       .join(broadcast(probed), col("cluster") === col("__cent_id"))
