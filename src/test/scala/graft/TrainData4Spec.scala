@@ -150,6 +150,57 @@ class TrainData4Spec extends SparkSpec {
     assert(run("window") == run("twopass"))
   }
 
+  test("packing: skewed doc_id spaces stay bounded — overfull buckets re-split to the cap") {
+    import spark.implicits._
+    import graft.queries.TrainData
+    // r15 VERDICT #1 fixture: 99% of docs crowd 1% of the id range,
+    // the rest are far outliers — fixed-width bins alone put ~the
+    // whole corpus in ONE bucket, whose within-bucket running sum is
+    // then corpus-sized (the very shape the two-pass plan displaces).
+    val n = 4000L
+    val perDoc = (0L until n).map { i =>
+      val id = if (i < n * 99 / 100) i * 2 else 1000000000L + i * 977
+      (s"s${i % 3}", id, java.lang.Long.valueOf(i % 17 + 1))
+    }.toDF("source", "doc_id", "n_tok")
+    val cap = 100L
+    // boundedness BY CONSTRUCTION: no (source, bucket) census count
+    // may exceed the cap after refinement
+    val (_, census) =
+      TrainData.packBuckets(perDoc.localCheckpoint(), Some(cap))
+    assert(census.nonEmpty)
+    census.foreach(r =>
+      assert(r.getLong(2) <= cap, s"bucket over the cap: $r"))
+    // and the layout is unchanged: offsets equal the window plan's
+    def run(p: String) =
+      TrainData.packedOffsets(perDoc, Some(p), bucketCap = Some(cap))
+        .select("source", "doc_id", "n_tok", "start_off")
+        .orderBy("source", "doc_id", "n_tok", "start_off")
+        .collect().map(_.toSeq).toSeq
+    assert(run("window") == run("twopass"))
+  }
+
+  test("packing: duplicate (source, doc_id) rows lay out identically in both plans") {
+    import spark.implicits._
+    import graft.queries.TrainData
+    // r15 ADVICE: both plans ran rows-frame running sums over a
+    // NONDETERMINISTIC (source, doc_id) tie order, so duplicate ids
+    // with differing n_tok could get different per-row offsets in each
+    // plan. Both windows now tie-break by n_tok; rows identical in all
+    // three columns stay interchangeable (their offset multiset is
+    // order-invariant), so sorted-row equality must hold exactly.
+    val perDoc = (0L until 600L).map { i =>
+      val tok: java.lang.Long =
+        if (i % 11 == 0) null else java.lang.Long.valueOf(i % 7 + 1)
+      (s"s${i % 2}", (i / 3) * 5, tok)
+    }.toDF("source", "doc_id", "n_tok")
+    def run(p: String) =
+      TrainData.packedOffsets(perDoc, Some(p), bucketCap = Some(40L))
+        .select("source", "doc_id", "n_tok", "start_off")
+        .orderBy("source", "doc_id", "n_tok", "start_off")
+        .collect().map(_.toSeq).toSeq
+    assert(run("window") == run("twopass"))
+  }
+
   test("q180: trained-length packing is internally consistent and dominates whitespace packing") {
     import graft.queries.TrainData
     val cap = TrainData.SeqCap
