@@ -94,36 +94,58 @@ final class ModelRegistry(spark: SparkSession, root: String) {
         .toDF("family", "generation", "table_name", "fingerprint", "path")
     }
 
-  /** Publish one generation of a model family: write every table, then
-    * append the manifest rows. `fingerprint` is the content fingerprint
-    * of the SOURCE DATA the model was trained on, not of the model
-    * files — it answers "is this model stale?" at serve time.
+  /** Publish one generation of a model family: write every table to a
+    * STAGING directory, atomically rename the staged generation into
+    * place, then append the manifest rows. `fingerprint` is the content
+    * fingerprint of the SOURCE DATA the model was trained on, not of
+    * the model files — it answers "is this model stale?" at serve time.
     *
-    * Crash window (documented contract): table parquet lands BEFORE the
-    * manifest append, so a crash in between leaves generation
-    * directories no manifest row points to — invisible to readers
-    * (loads go through the manifest), but a naive republish of the same
-    * generation number then fails on SaveMode.ErrorIfExists. Recovery
-    * is [[orphans]] (the fsck census — every on-disk generation the
-    * manifest doesn't know) followed by [[repair]] (drop them), after
-    * which the publish retries cleanly. Ordering the manifest append
-    * LAST is deliberate: the failure mode is an invisible orphan plus a
-    * loud retry, never a manifest row pointing at a half-written
-    * table. */
+    * Crash windows (documented contract, r15 ADVICE's first-choice
+    * shape): table parquet lands under `$root/_staging/` first, so a
+    * crash mid-write leaves only staging residue — never a visible
+    * half-written generation — and a fresh publish of the same
+    * generation clears its own residue and retries with no manual
+    * step. The ONE Hadoop-FS `rename` then publishes every table of
+    * the generation together (atomic on HDFS and local FS; object
+    * stores without atomic dir rename inherit their FileSystem
+    * contract), shrinking the orphan window to the gap between the
+    * rename and the manifest append. A crash THERE leaves a complete,
+    * manifest-invisible generation: a republish of the same number
+    * fails loudly at the rename (destination exists), and recovery
+    * stays [[orphans]] → [[repair]] → retry. Ordering the manifest
+    * append LAST is deliberate: the failure mode is an invisible
+    * orphan plus a loud retry, never a manifest row pointing at a
+    * half-written table. */
   def publish(family: String, generation: Int, fingerprint: String,
               tables: Map[String, DataFrame]): Unit = {
     require(tables.nonEmpty, "model_registry: publish with no tables")
     require(!generations(family).contains(generation),
       s"model_registry: $family gen=$generation already published — " +
         "generations are immutable, publish the next one")
+    import org.apache.hadoop.fs.Path
+    val finalPath = new Path(s"$root/$family/gen=$generation")
+    val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stagePath = new Path(s"$root/_staging/$family/gen=$generation")
+    // a prior crashed attempt's staging residue is abandoned by
+    // definition (no reader ever sees staging) — start clean
+    fs.delete(stagePath, true)
     val newRows = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      val p = tablePath(family, generation, name)
-      // default SaveMode.ErrorIfExists: a half-published generation
-      // (manifest write crashed after table writes) fails loudly on
-      // republish instead of silently mixing file sets
-      df.write.parquet(p)
-      (family, generation, name, fingerprint, p)
+      df.write.parquet(s"$stagePath/$name")
+      // manifest rows point at the FINAL path the rename installs
+      (family, generation, name, fingerprint,
+        tablePath(family, generation, name))
     }
+    fs.mkdirs(finalPath.getParent)
+    // explicit destination probe: Hadoop rename onto an EXISTING
+    // directory nests the source inside it (POSIX mv semantics) —
+    // an orphan from a rename-then-crash publish would silently
+    // swallow the retry's files while the manifest pointed beside them
+    require(!fs.exists(finalPath),
+      s"model_registry: $family gen=$generation directory already " +
+        "exists without a manifest row (crashed publish) — run " +
+        "repair() and retry")
+    require(fs.rename(stagePath, finalPath),
+      s"model_registry: publish rename failed for $family gen=$generation")
     val sp = spark
     import sp.implicits._
     newRows.toDF("family", "generation", "table_name", "fingerprint", "path")
@@ -185,7 +207,8 @@ final class ModelRegistry(spark: SparkSession, root: String) {
     if (!fs.exists(rootPath)) return Seq.empty
     val known = rows().map(r => (r._1, r._2)).toSet
     fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName != "_manifest")
+      .filter(st => st.isDirectory && st.getPath.getName != "_manifest" &&
+        st.getPath.getName != "_staging")
       .flatMap { fam =>
         fs.listStatus(fam.getPath).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
@@ -198,9 +221,12 @@ final class ModelRegistry(spark: SparkSession, root: String) {
 
   /** Drop every orphaned generation directory (the documented recovery
     * for a crashed publish) and return what was removed, so the caller
-    * can log it and retry the publish. Manifest-known generations are
-    * untouchable by construction — the census excludes them — so this
-    * can never invalidate a reader. */
+    * can log it and retry the publish. Also purges `$root/_staging`
+    * wholesale: staging residue is a publish that crashed mid-write —
+    * abandoned by definition, since a live publish clears and rewrites
+    * its own staging dir before the rename. Manifest-known generations
+    * are untouchable by construction — the census excludes them — so
+    * this can never invalidate a reader. */
   def repair(): Seq[(String, Int)] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -208,6 +234,7 @@ final class ModelRegistry(spark: SparkSession, root: String) {
     dropped.foreach { case (family, gen) =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$family/gen=$gen"), true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_staging"), true)
     dropped
   }
 }

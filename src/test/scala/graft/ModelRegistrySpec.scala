@@ -100,6 +100,41 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("staged publish: a mid-write crash leaves only staging residue — self-healing, invisible to fsck") {
+    withDir { root =>
+      def stagedFiles(): Long = {
+        val st = java.nio.file.Paths.get(s"$root/_staging")
+        if (!java.nio.file.Files.exists(st)) 0L
+        else {
+          val walk = java.nio.file.Files.walk(st)
+          try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+          finally walk.close()
+        }
+      }
+      val reg = new ModelRegistry(spark, root)
+      reg.publish("fam", 1, "fp1", Map("codes" -> df(1 -> "a")))
+      // a completed publish renames its staged generation away whole —
+      // no file is ever left behind in staging
+      assert(stagedFiles() == 0L, "completed publish left staging files")
+      // simulate a crash DURING the table writes: parquet lands under
+      // _staging, the process dies before the rename
+      df(9 -> "x").write.parquet(s"$root/_staging/fam/gen=2/codes")
+      // invisible everywhere: readers, generations, and the fsck
+      // census (staging is not a published location)
+      assert(reg.generations("fam") == Seq(1))
+      assert(reg.orphans().isEmpty)
+      // the retry needs NO manual step: a fresh publish of the same
+      // generation clears its own residue first
+      reg.publish("fam", 2, "fp2", Map("codes" -> df(2 -> "b")))
+      assert(reg.loadAll("fam", "codes").count() == 2)
+      assert(stagedFiles() == 0L)
+      // residue from some OTHER long-dead publish is purged by repair
+      df(7 -> "y").write.parquet(s"$root/_staging/oldfam/gen=1/codes")
+      assert(reg.repair().isEmpty, "staging residue is not a final-dir orphan")
+      assert(stagedFiles() == 0L, "repair left staging files behind")
+    }
+  }
+
   test("census family: the manifest fingerprint is the staleness signal the refresh loop reads") {
     // q175/q176 publish their DSIR/NB training censuses as registry
     // generations; the serve-side staleness probe is exactly this:
