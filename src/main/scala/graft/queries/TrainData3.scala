@@ -1146,6 +1146,35 @@ object TrainData3 {
       bRow.getLong(1))
   }
 
+  /** The deployable STREAM cut for [[dsirSelect]]'s selection rule —
+    * the one source of truth for the threshold
+    * `streaming.Streams.dsirScoreFilter` gates on (SCALE.md's 100 TB
+    * shape: read the cut once from the scored corpus, then gate every
+    * arriving row locally). Returns (T, exact): T is the boundary
+    * logit both batch plans select at — derived from the SAME scoring
+    * column ([[dsLogitCol]]) and the SAME two-step [[orderCut]]
+    * refinement the batch threshold plan uses, so the constants cannot
+    * drift apart — and `exact` says whether `logit >= T` reproduces
+    * the batch set EXACTLY: true iff the at-T tie group is taken whole
+    * (selN lands on the tie boundary). When false, a pure threshold
+    * admits the REST of that one tie group too (it can never drop a
+    * batch-selected doc, and never admit below T) — the disclosed
+    * stream/batch gap, bounded by the boundary tie mass. */
+  private[graft] def dsirCut(docs: DataFrame,
+      model: Option[(IndexedSeq[Long], Long)] = None): (Long, Boolean) = {
+    val (weights, shift) = model.getOrElse(dsModel(docs))
+    val scored = docs.withColumn("logit",
+        coalesce(dsLogitCol(col("text"), weights, shift), lit(0L)))
+      .select("logit").localCheckpoint() // consumers: count + orderCut
+    val n = scored.count()
+    if (n == 0) (Long.MinValue, true)
+    else {
+      val selN = (n + 3) / 4
+      val (t, aboveT, tieMass) = orderCut(scored, "logit", selN, desc = true)
+      (t, selN - aboveT == tieMass)
+    }
+  }
+
   /** The lang-grain selection census both DSIR gates share (q169 lets
     * the doc census pick the plan; q170 forces the 100 TB threshold
     * plan — identical output by construction, identical oracle). */

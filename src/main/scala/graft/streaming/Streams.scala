@@ -959,8 +959,13 @@ object Streams {
     * routed against a THRESHOLD. The threshold replaces the batch
     * query's global top-⌈n/4⌉ rank because a stream has no corpus to
     * rank against — this is exactly the 100 TB deployment SCALE.md
-    * prescribes for the batch side too (read the cut-off once from the
-    * q79 histogram sketch of a scored sample, then gate row-locally).
+    * prescribes for the batch side too. The threshold's ONE producer
+    * is `TrainData3.dsirCut` — the batch selector's own scoring
+    * column and two-step orderCut refinement, so stream and batch
+    * constants share a source of truth by construction (StreamsSpec
+    * pins the streamed set against both forced batch plans); dsirCut
+    * also reports whether a pure `>= T` gate is EXACT (the at-T tie
+    * group lands whole) or admits that one tie group's remainder.
     * ROW-LOCAL and STATELESS; model transport is a plan literal
     * (DsBuckets longs + two scalars). Null-text rows are dropped;
     * a no-bigram doc scores logit 0 (the empty occurrence list).

@@ -536,13 +536,17 @@ class StreamsSpec extends SparkSpec {
     val (weights, shift) = graft.queries.TrainData3.dsModel(docsDf)
     val batch = graft.queries.TrainData3.dsirSelect(docsDf).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
-    // the online gate routes on a threshold, not a rank: any cut
-    // strictly between the u-logits and the t-logits reproduces the
-    // batch selection up to the rank's intra-tie budget — here all
-    // t-docs tie, so take the t-logit itself and check sel ⊇ batch sel
-    val tLogit = batch(0L)._1
+    // the online gate routes on a threshold, not a rank, and the
+    // threshold's one producer is dsirCut — the batch selector's own
+    // scoring + refinement, shared by construction. On this corpus
+    // all 8 t-docs tie at the cut with budget 4, so dsirCut reports
+    // exact=false and the >= T gate admits the WHOLE tie group —
+    // sel ⊇ batch sel, nothing below T.
+    val (tLogit, exact) = graft.queries.TrainData3.dsirCut(docsDf)
+    assert(!exact, "the planted 8-way tie with budget 4 cannot be exact")
     val uLogit = batch(8L)._1
     assert(tLogit > uLogit, s"planted separation missing: $tLogit vs $uLogit")
+    assert(tLogit == batch(0L)._1, "dsirCut must return the boundary t-logit")
     val in = MemoryStream[(Long, Timestamp, String)]
     val q = Streams.dsirScoreFilter(
         in.toDF().toDF("doc_id", "ts", "text"), weights, shift,
@@ -567,6 +571,59 @@ class StreamsSpec extends SparkSpec {
       (8L until 16L).foreach(id => assert(!got(id)._2, s"u-doc $id passed"))
       assert(got(90L)._1 == 0L, s"no-bigram doc logit: ${got(90L)._1}")
       assert(!got.contains(91L), "null-text row must be dropped")
+    } finally q.stop()
+  }
+
+  test("dsirScoreFilter under dsirCut covers the gated corpus' batch selection — both forced plans") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // stream and batch share ONE model (dsModelDir) and ONE threshold
+    // producer (dsirCut — the batch selector's own scoring +
+    // refinement), so on the gated corpus the streamed >= T set must
+    // cover the batch set under BOTH forced batch plans and admit
+    // nothing below T; exact cuts reproduce the set exactly, inexact
+    // cuts over-admit only the boundary tie group.
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val model = graft.queries.TrainData3.dsModelDir(spark, dir)
+    val (t, exact) = graft.queries.TrainData3.dsirCut(docsDf, Some(model))
+    def batchSel(force: String) = graft.queries.TrainData3
+      .dsirSelect(docsDf, Some(force), model = Some(model))
+      .filter(col("sel")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rankSel = batchSel("rank")
+    assert(rankSel == batchSel("threshold"),
+      "forced batch plans must agree before the stream pin means anything")
+    val rows = docsDf.collect().map(r => (r.getLong(0),
+      ts("2024-01-01 10:00:00"), if (r.isNullAt(2)) null else r.getString(2)))
+    // the stream gate ROUTES, so it drops null-text rows (batch scores
+    // them 0) — the pin compares on the non-null-text population
+    val nonNullIds = rows.filter(_._3 != null).map(_._1).toSet
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dsirScoreFilter(
+        in.toDF().toDF("doc_id", "ts", "text"), model._1, model._2,
+        threshold = t)
+      .writeStream.format("memory").queryName("dsirgate")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsirgate").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      val sel = streamed.filter(_._3).map(_._1).toSet
+      val batchNN = rankSel & nonNullIds
+      assert((batchNN -- sel).isEmpty,
+        s"stream dropped batch-selected docs: ${batchNN -- sel}")
+      streamed.foreach { case (id, logit, s) =>
+        assert(s == (logit >= t), s"doc $id: sel=$s at logit $logit, T=$t") }
+      if (exact) assert(sel == batchNN,
+        s"exact cut must reproduce the batch set: ${sel.diff(batchNN)}")
+      else {
+        val byId = streamed.map(r => r._1 -> r._2).toMap
+        (sel -- batchNN).foreach(id => assert(byId(id) == t,
+          s"over-admitted doc $id at logit ${byId(id)} != boundary $t"))
+      }
     } finally q.stop()
   }
 
