@@ -98,20 +98,42 @@ object ScaleProbe {
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val dim = embBase.select(size(col("embedding"))).first().getInt(0)
       val stride = embBase.agg(max("vec_id")).collect()(0).getLong(0) + 1L
-      val vecs = (0 until mult).map(k =>
+      // SPARK_GRAFT_ANN_CORPUS=clustered: pull every vector 90% toward
+      // center (vec_id mod 16) — the FAISS-typical clustered regime the
+      // near-uniform driver embeddings never show. In this mode the
+      // search runs the q181 operating point (nprobe=12) at the FIXED
+      // AdcShortlist budget, demonstrating the fixed arm of the rerank
+      // rule holds its recall ceiling independent of corpus size
+      // (TrainData4Spec pins the same at sf0.1; this leg scales it).
+      val clustered =
+        sys.env.getOrElse("SPARK_GRAFT_ANN_CORPUS", "uniform") == "clustered"
+      val mixCenters = embBase.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      val vecs0 = (0 until mult).map(k =>
           embBase.select((col("vec_id") + lit(k * stride)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
+      val vecs =
+        (if (clustered)
+           graft.queries.TrainData4.clusterMix(vecs0, mixCenters)
+         else vecs0).localCheckpoint(true)
       val nVec = vecs.count()
       val ivfK = 16
       val pqM = 4
       val pqSub = dim / pqM
       require(pqM * pqSub == dim, s"dim $dim not divisible into $pqM subspaces")
-      val seeds = embBase.filter(col("vec_id") < ivfK).orderBy("vec_id")
+      // in clustered mode the models train on the clustered BASE (the
+      // 100 TB story unchanged: fixed-size training sample, applied
+      // everywhere) and the probes come from the clustered space
+      val trainBase =
+        if (clustered)
+          graft.queries.TrainData4.clusterMix(embBase, mixCenters)
+            .localCheckpoint(true)
+        else embBase
+      val seeds = trainBase.filter(col("vec_id") < ivfK).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
-      val cbSeeds = embBase.filter(col("vec_id") < 64).orderBy("vec_id")
+      val cbSeeds = trainBase.filter(col("vec_id") < 64).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       val initCbs = (0 until pqM).map(m =>
         cbSeeds.toSeq.map(s => s.slice(m * pqSub, (m + 1) * pqSub).map(_.toDouble)))
@@ -121,22 +143,53 @@ object ScaleProbe {
       // shipping lifecycle train: the coarse quantizer (IvfFlat.train)
       // and the fine codebooks (PqAdc.trainCodebooks — the round-11
       // path q151/q153 gate)
+      // clustered mode trains and serves the RESIDUAL code family —
+      // direct codes quantize away the within-cluster signal on tight
+      // clusters (measured here: direct 0.80 vs residual ≥0.9 at the
+      // fixed budget), which is exactly why q153/q181 ship the variant
       val ((cents, codebooks), tTrain) = timed {
-        (IvfFlat.train(embBase, seeds, iters = 3),
-          PqAdc.trainCodebooks(embBase, initCbs, pqSub, iters = 2))
+        val c = IvfFlat.train(trainBase, seeds, iters = 3)
+        val cb =
+          if (clustered) {
+            val seedRows = IvfFlat.assign(
+                trainBase.filter(col("vec_id") < 64), c)
+              .orderBy("vec_id").select("embedding", "cluster").collect()
+            val seedResid = seedRows.map { r =>
+              val emb = r.getSeq[Float](0).toArray
+              val cc = c(r.getInt(1) - 1)
+              Array.tabulate(emb.length)(i => emb(i).toDouble - cc(i).toDouble)
+            }.toSeq
+            val initR = (0 until pqM).map(m =>
+              seedResid.map(_.slice(m * pqSub, (m + 1) * pqSub)))
+            PqAdc.trainCodebooksResidual(
+              IvfFlat.assign(trainBase, c), c, initR, pqSub, iters = 2)
+          } else PqAdc.trainCodebooks(trainBase, initCbs, pqSub, iters = 2)
+        (c, cb)
       }
       val ((encoded, _), tEncode) = timed {
-        val e = PqAdc.encode(IvfFlat.assign(vecs, cents), codebooks, pqSub)
+        val a = IvfFlat.assign(vecs, cents)
+        val e = (if (clustered) PqAdc.encodeResidual(a, cents, codebooks, pqSub)
+                 else PqAdc.encode(a, codebooks, pqSub))
           .localCheckpoint(true)
         (e, e.count())
       }
-      val probes = embBase.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      val probes = trainBase.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
         .localCheckpoint(true)
       val topK = 10
+      // uniform mode: the historical 4-probe/4k-shortlist leg.
+      // clustered mode: the q181 operating point at the FIXED budget —
+      // shortlist does NOT scale with mult, which is the demonstration.
+      val (np, sl) =
+        if (clustered) (12, graft.queries.TrainData2.AdcShortlist)
+        else (4, 4 * topK)
       val (adc, tAdc) = timed[Set[(Long, Long)]] {
-        PqAdc.search(encoded, probes, cents, codebooks, pqSub,
-            nprobe = 4, shortlist = 4 * topK, k = topK)
+        (if (clustered)
+           PqAdc.searchResidual(encoded, probes, cents, codebooks, pqSub,
+             nprobe = np, shortlist = sl, k = topK)
+         else
+           PqAdc.search(encoded, probes, cents, codebooks, pqSub,
+             nprobe = np, shortlist = sl, k = topK))
           .select("probe_id", "cand_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
@@ -172,6 +225,9 @@ object ScaleProbe {
         (r.getLong(0), r.getLong(1))
       }
       println(s"""{"probe":"ann","sf":"$sfDir","mult":$mult,"vectors":$nVec,""" +
+        s""""corpus":"${if (clustered) "clustered" else "uniform"}",""" +
+        s""""codes":"${if (clustered) "residual" else "direct"}",""" +
+        s""""nprobe":$np,"shortlist":$sl,""" +
         s""""dim":$dim,"ivf_k":$ivfK,"pq_m":$pqM,""" +
         s""""train_sec":${f"$tTrain%.2f"},"encode_sec":${f"$tEncode%.2f"},""" +
         s""""adc_sec":${f"$tAdc%.2f"},"brute_sec":${f"$tBrute%.2f"},""" +
@@ -279,14 +335,32 @@ object ScaleProbe {
     // mult, and reads out an offset checksum both plans must share.
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "neardup") == "packing") {
       import graft.queries.TrainData
-      val perDoc = (0 until mult).map { k =>
+      // SPARK_GRAFT_PACK_IDS=skewed: fling 1% of doc_ids to negative
+      // far-outliers (unique by construction — dense ids stay ≥ 0), so
+      // 99% of docs crowd <<1% of the id extent. Round-0 fixed-width
+      // bins then put ~the whole corpus in ONE bucket and the probe
+      // measures the r16 recursive re-split actually bounding it
+      // (max_bucket_docs ≤ bucket_cap in the emitted line).
+      val skewed =
+        sys.env.getOrElse("SPARK_GRAFT_PACK_IDS", "dense") == "skewed"
+      val perDoc0 = (0 until mult).map { k =>
         graft.engine.Tables.documents(spark, sfDir)
           .select(col("source"), (col("doc_id") + lit(k * n0)).as("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
       }.reduce(_ unionByName _)
+      val perDoc = (if (skewed)
+          perDoc0.withColumn("doc_id",
+            when(col("doc_id") % 100 =!= 0, col("doc_id"))
+              .otherwise(-(col("doc_id") * lit(1000000L)) - 1L))
+        else perDoc0)
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val nDocs = perDoc.count()
+      val (_, census) = TrainData.packBuckets(perDoc, None)
+      val cap = TrainData.packBucketCap(nDocs)
+      val maxBucket = census.map(_.getLong(2)).max
+      require(maxBucket <= cap,
+        s"packing probe: bucket of $maxBucket docs over the $cap cap")
       def sum(p: String): (Long, Long) = {
         val r = TrainData.packedOffsets(perDoc, Some(p))
           .agg(count(lit(1)), coalesce(
@@ -299,7 +373,10 @@ object ScaleProbe {
       require(nW == nT && ckW == ckT,
         s"packing probe: plans diverged ($nW/$ckW vs $nT/$ckT)")
       println(s"""{"probe":"packing","sf":"$sfDir","mult":$mult,"docs":$nDocs,""" +
-        s""""offset_checksum":$ckW,"window_sec":${f"$tWin%.2f"},""" +
+        s""""ids":"${if (skewed) "skewed" else "dense"}",""" +
+        s""""buckets":${census.size},"max_bucket_docs":$maxBucket,""" +
+        s""""bucket_cap":$cap,"offset_checksum":$ckW,""" +
+        s""""window_sec":${f"$tWin%.2f"},""" +
         s""""twopass_sec":${f"$tTwo%.2f"}}""")
       spark.stop()
       return

@@ -999,7 +999,7 @@ object TrainData {
     * refinement census at O(PackBuckets) non-empty overfull buckets
     * per round (each holds > cap > 2·total/PackBuckets docs, so at
     * most PackBuckets/2 of them exist). */
-  private def packBucketCap(totalDocs: Long): Long =
+  private[graft] def packBucketCap(totalDocs: Long): Long =
     math.max(PackWindowMaxDocs, 2L * (totalDocs / PackBuckets + 1L))
 
   /** Equi-depth doc_id bucketing for the two-pass plan: fixed-width

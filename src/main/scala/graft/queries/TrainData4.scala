@@ -561,6 +561,39 @@ object TrainData4 {
       |ORDER BY variant, probe_id""".stripMargin
   }
 
+  /** Deterministic CLUSTERED-embedding fixture (r15 VERDICT #4): the
+    * driver's synthetic embeddings are near-uniform, so q177/q181
+    * honestly gate the ADC rerank budget CORPUS-RELATIVE — which means
+    * no gated artifact ever demonstrates the FAISS-typical regime
+    * where a FIXED budget reaches the recall ceiling. This transform
+    * manufactures that regime from the real table with zero synthetic
+    * data generation: vector i is pulled 90% toward center (i mod k) —
+    * the centers being real embeddings — yielding k tight clusters
+    * while keeping per-vector diversity from the 10% residue. A
+    * deterministic ±0.002 per-(vector, dim) micro-jitter is then
+    * applied, so id-replicated copies of one base vector become a
+    * TIGHT FAMILY instead of exact duplicates — the two-level
+    * structure real corpora show (macro clusters + local
+    * neighborhoods/near-dup families), which is precisely the regime
+    * where a fixed shortlist contains the true neighbors. Used by the
+    * TrainData4Spec fixed-budget pin and ScaleProbe's
+    * SPARK_GRAFT_ANN_CORPUS=clustered leg (SCALE.md). Row-local
+    * (centers ride as a k×dim plan literal — bounded model state). */
+  private[graft] def clusterMix(vecs: DataFrame,
+                                centers: Seq[Array[Float]]): DataFrame = {
+    val k = centers.size
+    val centArr = array(centers.map(c => typedLit(c.toSeq)): _*)
+    vecs.withColumn("__c",
+        element_at(centArr, (col("vec_id") % k + 1).cast("int")))
+      .withColumn("embedding",
+        zip_with(col("__c"), col("embedding"),
+          (a, b) => (a * lit(0.9f) + b * lit(0.1f)).cast("float")))
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => (x + (pmod(xxhash64(col("vec_id"), i), lit(1001L))
+          .cast("float") - lit(500f)) / lit(250000f)).cast("float")))
+      .drop("__c")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q177_nprobe_pareto", q177, Some(q177Sql)),
     QueryDef("q178_dsir_mixture", q178, Some(q178Sql)),

@@ -150,6 +150,82 @@ class TrainData4Spec extends SparkSpec {
     assert(run("window") == run("twopass"))
   }
 
+  test("ADC at a FIXED shortlist budget reaches the 0.9 ceiling on clustered embeddings") {
+    import graft.operators.{IvfFlat, PqAdc}
+    import graft.queries.{TrainData, TrainData2, TrainData4}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // q181 gates the operating point with a corpus-RELATIVE rerank
+    // budget because the test embeddings are near-uniform (disclosed in
+    // its design note). This pin manufactures the FAISS-typical regime
+    // via clusterMix: 16 macro clusters, ×12 id-replication whose
+    // micro-jitter turns each base vector into a tight 12-member
+    // family (macro clusters + local neighborhoods) — so a cluster
+    // (1500 vectors) far EXCEEDS the fixed shortlist and the true
+    // top-10 is the probe's own family. The pin shows the FIXED arm of
+    // max(AdcShortlist, corpus-relative) is load-bearing there: SL=320
+    // while the corpus-relative arm would grant ~12600, and the
+    // RESIDUAL-coded ADC (the variant built for tight clusters, where
+    // direct codes quantize away the within-cluster signal) still
+    // clears the 0.9 recall ceiling.
+    val dirX = "/root/testdata/sf0.1"
+    val base = graft.engine.Tables.embeddings(spark, dirX)
+      .select(col("vec_id"), col("embedding"))
+    val centers = base.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val stride = base.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) + 1L
+    val rep = (0 until 12).map(r => base.select(
+        (col("vec_id") + org.apache.spark.sql.functions.lit(r * stride))
+          .as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val vecs = TrainData4.clusterMix(rep, centers).localCheckpoint()
+    val trainBase = TrainData4.clusterMix(base, centers).localCheckpoint()
+    val n = vecs.count()
+    val sl = TrainData2.AdcShortlist
+    assert(sl < (84L * n + 159L) / 160L,
+      "fixture too small: the fixed arm would not be the binding one")
+    assert(n / 16 > sl,
+      "fixture clusters must exceed the shortlist or the pin is trivial")
+    val cents = IvfFlat.train(trainBase, centers, iters = 3)
+    val sub = TrainData2.PqSub
+    val m = 64 / sub
+    // residual codebook seeds: the first-64 seed vectors' residuals vs
+    // their own assigned centroid (the frozenCodebooksResidual recipe)
+    val seedRows = IvfFlat.assign(trainBase.filter(col("vec_id") < 64), cents)
+      .orderBy("vec_id").select("embedding", "cluster").collect()
+    val seedResid = seedRows.map { r =>
+      val emb = r.getSeq[Float](0).toArray
+      val c = cents(r.getInt(1) - 1)
+      Array.tabulate(emb.length)(i => emb(i).toDouble - c(i).toDouble)
+    }.toSeq
+    val initR = (0 until m).map(i =>
+      seedResid.map(_.slice(i * sub, (i + 1) * sub)))
+    val cbs = PqAdc.trainCodebooksResidual(
+      IvfFlat.assign(trainBase, cents), cents, initR, sub, iters = 2)
+    val probes = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .localCheckpoint()
+    val enc = PqAdc.encodeResidual(IvfFlat.assign(vecs, cents), cents, cbs, sub)
+    val top = PqAdc.searchResidual(enc, probes, cents, cbs, sub,
+        nprobe = 12, shortlist = sl, k = 10)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wk = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val brute = probes
+      .join(vecs.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", graft.functions.CosineSimilarity(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 10)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 50, s"ground truth incomplete: ${brute.size}")
+    val recall = brute.count(top.contains).toDouble / brute.size
+    assert(recall >= 0.9,
+      f"clustered fixed-budget recall $recall%.3f below the 0.9 ceiling")
+  }
+
   test("packing: skewed doc_id spaces stay bounded — overfull buckets re-split to the cap") {
     import spark.implicits._
     import graft.queries.TrainData
