@@ -103,7 +103,18 @@ private[graft] object FrozenModels {
     * caller passes a plain local dir, and on a cluster whose
     * core-site sets fs.defaultFS=hdfs:// those keys must not silently
     * start resolving remotely. An unreadable subdirectory contributes
-    * a marker instead of aborting the walk (the java.io behavior). */
+    * a marker instead of aborting the walk (the java.io behavior).
+    *
+    * ONE-TIME FORMAT CHANGE (r15 ADVICE, disclosed): the Hadoop
+    * LocalFileSystem is a ChecksumFileSystem, so on local paths this
+    * walk no longer sees the `.crc` sidecar files the old java.io
+    * walk hashed — any fingerprint persisted BEFORE the switch (e.g.
+    * in a ModelRegistry manifest) reads as stale exactly once and
+    * forces one republish. That direction is safe by construction:
+    * the change can only ever be FALSE-STALE (an unnecessary
+    * retrain), never false-fresh (serving a model whose source data
+    * changed), which is why the format was switched in place rather
+    * than kept bug-compatible via rawLocalFileSystem. */
   private[graft] def fingerprint(path: String): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val hasScheme =
