@@ -1067,15 +1067,23 @@ object TrainData3 {
         // otherwise multiply matching rows (a row-count corruption, not
         // just an ordering ambiguity); with distinct, every row of a
         // selected id is selected — the same ≤-grain ambiguity the
-        // doc_id-cut path has at its boundary id.
+        // doc_id-cut path has at its boundary id. The join back is
+        // null-SAFE: the rank plan's (logit desc, doc_id asc) orders
+        // NULL ids FIRST, so they enter the tie budget first — a plain
+        // === would silently deselect every one of them (and distinct
+        // guarantees at most ONE null key, so <=> cannot fan out).
         def atSelBroadcast(): DataFrame = {
           val atSel = sc.filter(col("logit") === t)
             .withColumn("__rn", row_number().over(W.orderBy("doc_id")))
             .filter(col("__rn") <= atBudget)
             .select(col("doc_id").as("__bid")).distinct()
-          sc.join(broadcast(atSel), sc("doc_id") === atSel("__bid"), "left")
-            .withColumn("sel", col("logit") > t || col("__bid").isNotNull)
-            .drop("__bid")
+            // explicit hit flag: a <=> match on the NULL key still
+            // leaves __bid NULL, so presence must not be read off it
+            .withColumn("__hit", lit(true))
+          sc.join(broadcast(atSel), sc("doc_id") <=> atSel("__bid"), "left")
+            .withColumn("sel",
+              col("logit") > t || coalesce(col("__hit"), lit(false)))
+            .drop("__bid", "__hit")
         }
         if (tieMass <= tieRankMax) atSelBroadcast()
         else {

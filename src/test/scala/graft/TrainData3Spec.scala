@@ -299,6 +299,26 @@ class TrainData3Spec extends SparkSpec {
       s"join in the bounded tie path:\n${plan.toString.take(600)}")
   }
 
+  test("dsir: NULL-id boundary ties are selected first — broadcast tie path matches rank") {
+    import spark.implicits._
+    // all logits 0 (empty texts); 4 NULL doc_ids + 796 values. The
+    // rank plan orders (logit desc, doc_id asc NULLS FIRST), so the
+    // null rows consume the tie budget before any value — the
+    // broadcast tie path must keep them (its old === join-back
+    // silently deselected every NULL-id row).
+    val docs = ((0L until 796L).map(i => (Some(i * 2 + 10), "en", "")) ++
+        (0 until 4).map(_ => (Option.empty[Long], "en", "")))
+      .toDF("doc_id", "lang", "text")
+    def sel(force: String) = graft.queries.TrainData3
+      .dsirSelect(docs, Some(force))
+      .filter(col("sel")).select("doc_id").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    val (r, th) = (sel("rank"), sel("threshold"))
+    assert(r == th, s"broadcast tie path diverges on NULL-id rows: $r vs $th")
+    assert(th.count(_ == -1L) == 4, "all four NULL-id rows must be selected")
+    assert(th.size == 200, s"selN should be ⌈800/4⌉: ${th.size}")
+  }
+
   test("nb/dsir: memoized per-dir models equal a fresh retrain; hits serve the cached value") {
     import graft.queries.TrainData3
     val nb1 = TrainData3.nbModelFromCensus(TrainData3.nbCensusDir(spark, dir))
