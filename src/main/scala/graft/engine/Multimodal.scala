@@ -642,7 +642,7 @@ object Multimodal {
       s"near_dup: 4x16 banding guarantees recall only for hamming 1..3, got $maxHamming")
     // one materialization: the banded relation feeds the bucket-size
     // probe, both pair sides and the final attach (q51's rationale)
-    val h = hashed.select(col("media_id"), col("phash")).localCheckpoint()
+    val h = hashed.select(col("media_id"), col("phash")).localCheckpoint(false)
     val bandStructs = (1 to 4).map(band => struct(
       lit(band).as("band"),
       shiftright(col("phash"), 16 * (band - 1)).bitwiseAND(lit(65535L)).as("bk")))

@@ -69,7 +69,7 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val spark = e.sparkSession
 
@@ -151,7 +151,7 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // ── small-star: edges already oriented u > v; m(u) = min(N(u) ∪
       // {u}) over the smaller neighbors; link every smaller neighbor and
@@ -164,7 +164,7 @@ object ConnectedComponents {
         .filter(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val (conv, edgeCount) = starForestProbe(ss)
       converged = conv

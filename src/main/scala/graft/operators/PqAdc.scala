@@ -102,7 +102,7 @@ object PqAdc {
             x => x.cast("double")).as("sv"))
       }: _*)).as("e"))
       .select(col("vsz"), col("e.m").as("m"), col("e.sv").as("sv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the same loud-failure policy as encode/guardProbes: a short
     // vector would otherwise null every distance and NPE at the rollup
     // collect; a long one would silently train on a prefix

@@ -36,7 +36,7 @@ object Wedges {
     * `deg` is localCheckpointed here (consumed by two joins); pass it
     * raw. */
   def orientedTwoHop(adj: DataFrame, deg: DataFrame): DataFrame = {
-    val dc = deg.select(col("a"), col("deg")).localCheckpoint()
+    val dc = deg.select(col("a"), col("deg")).localCheckpoint(false)
     val ori = adj
       .join(dc.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
       .join(dc.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
@@ -46,7 +46,7 @@ object Wedges {
           struct(col("u").as("x"), col("v").as("y")))
           .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
       .select(col("e.x").as("a"), col("e.y").as("b"))
-      .localCheckpoint() // consumed by all three wedge cases
+      .localCheckpoint(false) // consumed by all three wedge cases
     val outOut = ori.join(ori.select(col("a"), col("b").as("c")), Seq("a"))
       .filter(col("b") < col("c"))
       .select(col("b").as("p"), col("c").as("q"))

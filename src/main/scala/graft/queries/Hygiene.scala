@@ -385,7 +385,7 @@ object Hygiene {
     // exact ground truth over the audit slice
     val sh = d
       .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
-      .localCheckpoint() // consumed by probe slice, corpus explode, sizes
+      .localCheckpoint(false) // consumed by probe slice, corpus explode, sizes
     val sizes = sh.select(col("doc_id"), size(col("sg")).as("n_sg"))
     val usePrefix = force.contains("prefix")
     val truth = (if (!usePrefix) {
@@ -437,9 +437,9 @@ object Hygiene {
         .filter(col("n_inter") * 2 >
           size(col("sgp")) + size(col("sgc")) - col("n_inter"))
         .select("p_id", "c_id")
-    }).localCheckpoint() // tiny; consumed by the truth count AND the semi-join
+    }).localCheckpoint(false) // tiny; consumed by the truth count AND the semi-join
     // what the production filter caught
-    val sigs = MinHashLsh.signatures(d).localCheckpoint()
+    val sigs = MinHashLsh.signatures(d).localCheckpoint(false)
     val strong = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
       .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
     val candP = strong
@@ -447,7 +447,7 @@ object Hygiene {
       .filter(isProbe(col("p_id")))
       .unionByName(strong.select(col("doc_b").as("p_id"), col("doc_a").as("c_id"))
         .filter(isProbe(col("p_id"))))
-      .localCheckpoint() // tiny; consumed by the cand count AND the semi-join
+      .localCheckpoint(false) // tiny; consumed by the cand count AND the semi-join
     val nTruth = truth.groupBy("p_id").agg(count(lit(1)).as("n_truth"))
     val nCand = candP.groupBy("p_id").agg(count(lit(1)).as("n_cand"))
     val nFound = truth.join(candP, Seq("p_id", "c_id"), "left_semi")
@@ -521,11 +521,11 @@ object Hygiene {
   private def q99(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConnectedComponents, MinHashLsh}
     val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val pairs = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
       .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
       .select("doc_a", "doc_b")
-      .localCheckpoint() // consumed by the old slice AND the new slice
+      .localCheckpoint(false) // consumed by the old slice AND the new slice
     val oldPairs = pairs
       .filter(col("doc_a") % 4 =!= 0 && col("doc_b") % 4 =!= 0)
     val newPairs = pairs
@@ -566,11 +566,11 @@ object Hygiene {
     import graft.operators.{ConnectedComponents, MinHashLsh}
     val d = Tables.documents(spark, dir)
     val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val pairs = MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
       .filter(col("n_sig_match") >= TrainData.LshStrongMatch)
       .select("doc_a", "doc_b")
-      .localCheckpoint() // consumed by the labels AND the leak audit
+      .localCheckpoint(false) // consumed by the labels AND the leak audit
     val labels = ConnectedComponents(pairs, "doc_a", "doc_b")
     val assigned = d
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -579,7 +579,7 @@ object Hygiene {
       .withColumn("split",
         when(substring(md5(concat(lit("q100:"), col("group_key").cast("string"))),
           1, 1) < "3", "val").otherwise("train"))
-      .localCheckpoint() // consumed by the rollup AND the leak audit
+      .localCheckpoint(false) // consumed by the rollup AND the leak audit
     val leak = pairs
       .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")

@@ -509,7 +509,7 @@ object Relational {
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
           " * CAST(100 - round(l_discount * 100) AS BIGINT)")).as("rev_c4"),
         count(lit(1)).as("n_items"))
-      .localCheckpoint() // supplier-count rows; read by the MAX and the probe
+      .localCheckpoint(false) // supplier-count rows; read by the MAX and the probe
     val mx = rev.agg(max("rev_c4").as("max_c4"))
       .withColumn("__one", one(col("max_c4")))
     rev.withColumn("__one", one(col("l_suppkey")))
@@ -579,7 +579,7 @@ object Relational {
       .groupBy("l_partkey")
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"),
         count(lit(1)).as("n_items"))
-      .localCheckpoint() // part-count rows; read by the total and the probe
+      .localCheckpoint(false) // part-count rows; read by the total and the probe
     val tot = pv.agg(sum("cents").as("total_cents"), count(lit(1)).as("n_parts"))
       .withColumn("__one", one(col("total_cents")))
     pv.withColumn("__one", one(col("l_partkey")))

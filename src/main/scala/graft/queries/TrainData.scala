@@ -59,7 +59,7 @@ object TrainData {
     // NOT persist(): a CacheManager entry with no unpersist outlives the
     // query and grows executor storage without bound across a long job;
     // checkpoint blocks are MEMORY_AND_DISK and GC-scoped.
-    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint(false)
     MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .orderBy(col("doc_a"), col("doc_b"))
       .limit(200)
@@ -200,7 +200,7 @@ object TrainData {
     // by BOTH self-join sides, and without the checkpoint each reference
     // re-runs the tokenize → md5 → 64-way majority-vote aggregation —
     // the most expensive subtree in the query — up to 3× over.
-    val sh = simhashOf(spark, dir).localCheckpoint()
+    val sh = simhashOf(spark, dir).localCheckpoint(false)
     // Single-pass banding: one explode of 4 (band, bk) structs per row.
     // The previous 4-way unionByName scanned the fingerprint relation
     // once per band; the explode is a narrow generate over one scan.
@@ -263,9 +263,9 @@ object TrainData {
     val d = docsParallel(spark, dir)
     // localCheckpoint, not persist: GC-scoped blocks, no CacheManager
     // leak across queries (see q21).
-    val sigs = MinHashLsh.signatures(d).localCheckpoint()
+    val sigs = MinHashLsh.signatures(d).localCheckpoint(false)
     val cand = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
-      .select("doc_a", "doc_b").localCheckpoint()
+      .select("doc_a", "doc_b").localCheckpoint(false)
     // Only docs that appear in some candidate pair matter for the exact
     // re-rank, so semi-join-prune the corpus BEFORE exploding shingles:
     // the exploded table shrinks from every doc's bigrams (~8M rows at
@@ -282,7 +282,7 @@ object TrainData {
     // whole corpus to keep a few hundred rows.
     val pruned = pruneToCandidates(Tables.documents(spark, dir), candDocs)
       .select(col("doc_id"), MinHashLsh.bigrams(col("text")).as("sg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sizes = pruned.select(col("doc_id"), size(col("sg")).as("n_sg"))
     val ex = pruned.select(col("doc_id"), explode(col("sg")).as("s"))
     // |A∩B| per candidate pair: fan A's shingles over the pair list, then
@@ -623,7 +623,7 @@ object TrainData {
   // algorithm is the one that survives 100 TB). ──
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint, not persist — GC-scoped, no cache leak (see q21).
-    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint(false)
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .filter(col("n_sig_match") >= LshStrongMatch)
       .select("doc_a", "doc_b")
@@ -684,7 +684,7 @@ object TrainData {
     // recomputes under different projections)
     val all = base.unionByName(dups)
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val edges = AnnLsh.candidates(all,
         tables = AnnTables, bits = AnnBits, maxBucket = AnnMaxBucket)
       .join(all.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
@@ -1109,10 +1109,10 @@ object TrainData {
     // paths with >1 consumer pay the materialization
     val (pd, useWindow) = force match {
       case Some(f) =>
-        (if (f == "twopass") perDoc.localCheckpoint() else perDoc,
+        (if (f == "twopass") perDoc.localCheckpoint(false) else perDoc,
           f == "window")
       case None =>
-        val cp = perDoc.localCheckpoint()
+        val cp = perDoc.localCheckpoint(false)
         (cp, cp.count() <= PackWindowMaxDocs)
     }
     val shardW = Window.partitionBy("source")
@@ -1392,7 +1392,7 @@ object TrainData {
     // the full corpus word-count shuffle would run twice.
     val counts = d.select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n_occ"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val total = counts.agg(sum("n_occ").cast("long").as("t"))
     val top = counts.orderBy(col("n_occ").desc, col("word")).limit(50)
     val w = Window.orderBy(col("n_occ").desc, col("word"))
@@ -1552,7 +1552,7 @@ object TrainData {
   // stages (signatures, banding, contraction) are unchanged. ──
   private def q66(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint()
+    val sigs = MinHashLsh.signatures(docsParallel(spark, dir)).localCheckpoint(false)
     val pairs = MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
       .filter(col("n_sig_match") >= LshStrongMatch)
       .select("doc_a", "doc_b")
@@ -1955,7 +1955,7 @@ object TrainData {
   private def q73(spark: SparkSession, dir: String): DataFrame = {
     val d = docsParallel(spark, dir)
     val newSigs = MinHashLsh.signatures(d.filter(col("doc_id") % 4 === 0))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val idxSigs = MinHashLsh.signatures(d.filter(col("doc_id") % 4 =!= 0))
     val acrossPairs = MinHashLsh
       .candidatesAcross(newSigs, idxSigs, maxBucket = LshMaxBucket)
@@ -2095,7 +2095,7 @@ object TrainData {
         (col("doc_id") =!= col("__keeper")).as("ex_drop"),
         (qualityScore < 400).as("lowq"))
     // near-dup components over the train slice (q49's shape)
-    val sigs = MinHashLsh.signatures(train).localCheckpoint()
+    val sigs = MinHashLsh.signatures(train).localCheckpoint(false)
     val comps = ConnectedComponents(
       MinHashLsh.candidates(sigs, maxBucket = LshMaxBucket)
         .filter(col("n_sig_match") >= LshStrongMatch).select("doc_a", "doc_b"),

@@ -61,7 +61,7 @@ object TrainData2 {
         .as("is_val"))
     // sigs consumed by both sides of the candidate self-join (q21 pattern)
     val sigs = MinHashLsh.signatures(TrainData.docsParallel(spark, dir))
-      .localCheckpoint()
+      .localCheckpoint(false)
     MinHashLsh.candidates(sigs, maxBucket = TrainData.LshMaxBucket)
       .join(split.select(col("doc_id").as("doc_a"), col("is_val").as("a_val")), "doc_a")
       .join(split.select(col("doc_id").as("doc_b"), col("is_val").as("b_val")), "doc_b")
@@ -348,7 +348,7 @@ object TrainData2 {
       .select(explode(TrainData.tokens(col("text"))).as("w"))
     // the merged sketch: ≤ 4×256 rows — checkpointed, consumed twice
     val cells = graft.operators.CountMin.cells(words, CmsDepth)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // N = total insertions = sum of any one row's cells (1-row scalar)
     val tot = cells.filter(col("j") === 0).agg(sum("cnt").as("n_total"))
     val exact = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
@@ -471,7 +471,7 @@ object TrainData2 {
           |  END,
           |  acc -> acc.out) END""".stripMargin))
       .select(col("w"), col("f"), col("arr"))
-      .localCheckpoint() // vocab-sized; the next round consumes it twice
+      .localCheckpoint(false) // vocab-sized; the next round consumes it twice
   }
 
   /** Top adjacent pair of symbolization `syms(w, f, arr)` by
@@ -482,7 +482,7 @@ object TrainData2 {
     bpePairs(syms).groupBy("L", "R")
       .agg(sum("f").as("weight"), countDistinct("w").as("n_words"))
       .orderBy(col("weight").desc, col("L"), col("R")).limit(1)
-      .localCheckpoint() // 1 row; the match broadcast AND the output
+      .localCheckpoint(false) // 1 row; the match broadcast AND the output
 
   private def bpeRecord(top: DataFrame, round: Int): DataFrame =
     top.select(lit(round).as("round"), col("L").as("left_sym"),
@@ -502,7 +502,7 @@ object TrainData2 {
     val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
         .select(explode(TrainData.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f")))
-      .localCheckpoint() // vocab-sized; round 1 consumes it twice
+      .localCheckpoint(false) // vocab-sized; round 1 consumes it twice
     val (sLast, merges) = (1 to BpeRounds - 1)
       .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
         val (s2, t) = bpeRound(s, k)
@@ -583,7 +583,7 @@ object TrainData2 {
     val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
         .select(explode(TrainData.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f")))
-      .localCheckpoint() // vocab-sized; every round AND tally reads it
+      .localCheckpoint(false) // vocab-sized; every round AND tally reads it
     // total corpus symbols under symbolization `s`: each word carries
     // size(arr) symbols, weighted by its corpus frequency — Σ f·|arr|
     // is exact integer arithmetic, order-independent, and row-local up
@@ -644,7 +644,7 @@ object TrainData2 {
       .select(explode(TrainData.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
     val symsN = (1 to BpeRounds).foldLeft(
-      bpeCharSyms(weights).localCheckpoint())((s, k) => bpeRound(s, k)._1)
+      bpeCharSyms(weights).localCheckpoint(false))((s, k) => bpeRound(s, k)._1)
     val vlen = symsN.select(col("w"), size(col("arr")).cast("long").as("n_sym"))
     docs.select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
       .join(broadcast(vlen), "w")
@@ -684,7 +684,7 @@ object TrainData2 {
       val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
           .select(explode(TrainData.tokens(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       (1 to BpeRounds).foldLeft(
           (syms0, Seq.empty[Seq[(String, String)]])) { case ((s, acc), k) =>
         val (s2, rec) = bpeRound(s, k)
@@ -846,14 +846,14 @@ object TrainData2 {
       .orderBy(col("weight").desc, col("L"), col("R")).limit(BpeBatchWindow)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("weight").desc, col("L"), col("R"))))
-      .localCheckpoint() // ≤C rows; both sides of the dominance anti-join
+      .localCheckpoint(false) // ≤C rows; both sides of the dominance anti-join
     cand.as("p").join(cand.as("q"),
         col("q.rnk") < col("p.rnk") &&
           (col("q.L") === col("p.L") || col("q.L") === col("p.R") ||
             col("q.R") === col("p.L") || col("q.R") === col("p.R")),
         "left_anti")
       .orderBy("rnk").limit(m)
-      .localCheckpoint() // ≤M rows; match broadcast AND merge record
+      .localCheckpoint(false) // ≤M rows; match broadcast AND merge record
   }
 
   private def bpeBatchRecord(sel: DataFrame, round: Int): DataFrame =
@@ -877,7 +877,7 @@ object TrainData2 {
     val syms0 = bpeCharSyms(TrainData.docsParallel(spark, dir)
         .select(explode(TrainData.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f")))
-      .localCheckpoint() // vocab-sized; round 1 consumes it twice
+      .localCheckpoint(false) // vocab-sized; round 1 consumes it twice
     val (sLast, merges) = (1 to BpeBatchRounds - 1)
       .foldLeft((syms0, Seq.empty[DataFrame])) { case ((s, acc), k) =>
         val (s2, t) = bpeBatchRound(s, k)
@@ -1013,7 +1013,7 @@ object TrainData2 {
       .head.getAs[Array[Byte]](0)
     val probed = batch
       .withColumn("__hit", BloomPrune.mightContain(lit(bf), col("h")))
-      .localCheckpoint() // consumed by both branches below
+      .localCheckpoint(false) // consumed by both branches below
     val definiteNew = probed.filter(!col("__hit"))
       .select(col("doc_id"), lit(false).as("is_dup"))
     val resolved = probed.filter(col("__hit"))
@@ -1538,7 +1538,7 @@ object TrainData2 {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = TrainData.embParallel(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = TrainData.trainedCentroids(spark, dir)
-    val assigned = IvfFlat.assign(corpus, cents).localCheckpoint()
+    val assigned = IvfFlat.assign(corpus, cents).localCheckpoint(false)
     // Lloyd-trained residual codebooks: same PqIters refinement as
     // q151's, but over (vector − assigned centroid) — train and encode
     // see identical residual doubles by construction (the frozen model
@@ -1872,7 +1872,7 @@ object TrainData2 {
     val toks = d.select(col("doc_id"), col("source"),
       explode(TrainData.tokens(col("text"))).as("word"))
     val counts = toks.groupBy("word").agg(count(lit(1)).as("n_occ"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def one(c: Column): Column = pmod(hash(c), lit(1))
     val total = counts.agg(sum("n_occ").cast("long").as("t"))
       .withColumn("__k", one(col("t")))
@@ -1969,7 +1969,7 @@ object TrainData2 {
   private[graft] def prefixJoinPairs(d: DataFrame): (DataFrame, DataFrame) = {
     val sets = d.select(col("doc_id"),
         array_distinct(graft.functions.WordNgrams(col("text"), 5)).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tok = sets.select(col("doc_id"), size(col("s")).as("n"),
       explode(col("s")).as("w"))
     val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -1978,7 +1978,7 @@ object TrainData2 {
         Window.partitionBy("doc_id").orderBy("df", "w")))
       .filter(col("rn") <= expr(s"n - (($JacTauNum*n+9) div 10) + 1"))
       .select("doc_id", "w", "n", "rn")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cand = pref.select(col("doc_id").as("doc_a"), col("w"),
         col("n").as("na"), col("rn").as("ra"))
       .join(pref.select(col("doc_id").as("doc_b"), col("w"),
@@ -1992,7 +1992,7 @@ object TrainData2 {
         (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")))
           * (10 + JacTauNum) >= (col("na") + col("nb")) * JacTauNum)
       .select("doc_a", "doc_b").distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
@@ -2003,7 +2003,7 @@ object TrainData2 {
         (col("size_a") + col("size_b") - col("inter")) * JacTauNum)
       .withColumn("jac_pct", expr("inter * 100 div (size_a + size_b - inter)"))
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_pct")
-      .localCheckpoint()
+      .localCheckpoint(false)
     (cand, verified)
   }
 
@@ -2126,7 +2126,7 @@ object TrainData2 {
         terms.zipWithIndex.map { case (w, i) =>
           size(filter(toks, x => x === lit(w))).cast("long").as(s"tf_$i")
         }: _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     def one(c: Column): Column = pmod(hash(c), lit(1))
     val tot = wide.agg(
         sum("dl").cast("long").as("t"),
@@ -2330,7 +2330,7 @@ object TrainData2 {
   /** The q161 rebuild over a (doc_id, text) frame — shared with the
     * TrainData2Spec planted-duplicate pin. */
   private[graft] def cutApplyPlan(d: DataFrame): DataFrame = {
-    val spans = mergedCutSpans(d).localCheckpoint() // census runs ONCE;
+    val spans = mergedCutSpans(d).localCheckpoint(false) // census runs ONCE;
       // consumed by the cut-doc prune, the anti-range probe AND the plan
     val toks = d.select(col("doc_id"),
         posexplode(TrainData.tokens(col("text"))).as(Seq("p", "w")))
@@ -2427,7 +2427,7 @@ object TrainData2 {
       (col("vec_id") + lit(offset)).as("vec_id"),
       transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
         .as("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tagged = corpus.withColumn("is_delta", lit(false))
       .unionByName(delta.withColumn("is_delta", lit(true)))
     PqAdc.encode(IvfFlat.assign(tagged, cents), codebooks, PqSub)

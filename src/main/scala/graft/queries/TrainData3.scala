@@ -162,7 +162,7 @@ object TrainData3 {
   private[graft] def uniModel(spark: SparkSession, dir: String): (Map[String, Long], Long) =
     FrozenModels.memoGen(s"unigram-model|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
-      uniModelFromWords(uniWords(spark, dir).localCheckpoint())
+      uniModelFromWords(uniWords(spark, dir).localCheckpoint(false))
     }
 
   /** Cost model from a use-count census: +1-smoothed fixed-point
@@ -190,7 +190,7 @@ object TrainData3 {
     val cnt0 = words
       .select(col("f"), explode(uniAllPieces(col("w"))).as("piece"))
       .groupBy("piece").agg(sum("f").as("cnt"))
-      .localCheckpoint() // consumed twice (singles + top-multi cut)
+      .localCheckpoint(false) // consumed twice (singles + top-multi cut)
     val singles = cnt0.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val multi = cnt0.filter(length(col("piece")) >= 2)
@@ -257,7 +257,7 @@ object TrainData3 {
   private[graft] def uniModelPruned(spark: SparkSession, dir: String): (Map[String, Long], Long) =
     FrozenModels.memoGen(s"unigram-pruned|$dir",
         FrozenModels.fingerprint(s"$dir/documents.parquet")) {
-      uniModelPrunedFromWords(uniWords(spark, dir).localCheckpoint())
+      uniModelPrunedFromWords(uniWords(spark, dir).localCheckpoint(false))
     }
 
   // ── q164: unigram-LM tokenizer TRAINING census — the final vocab's
@@ -853,7 +853,7 @@ object TrainData3 {
         (col("vec_id") + lit(offset)).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.01)).cast("float"))
           .as("embedding"))
-        .localCheckpoint() // materialized delta batch (q162's rule)
+        .localCheckpoint(false) // materialized delta batch (q162's rule)
       reg.publish("ivfadc", 2, fp, Map(
         "codes" -> PqAdc.encode(IvfFlat.assign(delta, rCents), rCbs,
             TrainData2.PqSub)
@@ -1055,7 +1055,7 @@ object TrainData3 {
           .orderBy(col("logit").desc, col("doc_id"))) <= selN)
     else {
       val W = org.apache.spark.sql.expressions.Window
-      val sc = scored.localCheckpoint() // consumers: extent, bins, refine, sel
+      val sc = scored.localCheckpoint(false) // consumers: extent, bins, refine, sel
       if (sc.take(1).isEmpty) sc.withColumn("sel", lit(false)) // empty corpus
       else {
         val (t, aboveT, tieMass) = orderCut(sc, "logit", selN, desc = true)
@@ -1173,7 +1173,7 @@ object TrainData3 {
     val (weights, shift) = model.getOrElse(dsModel(docs))
     val scored = docs.withColumn("logit",
         coalesce(dsLogitCol(col("text"), weights, shift), lit(0L)))
-      .select("logit").localCheckpoint() // consumers: count + orderCut
+      .select("logit").localCheckpoint(false) // consumers: count + orderCut
     val n = scored.count()
     if (n == 0) (Long.MinValue, true)
     else {

@@ -345,7 +345,7 @@ object TrainData4 {
     val cbR = TrainData2.frozenCodebooksResidualK(spark, dir, ParetoK)
     val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val assigned = IvfFlat.assign(corpus, cents).localCheckpoint()
+    val assigned = IvfFlat.assign(corpus, cents).localCheckpoint(false)
     val sl = opShortlist(assigned.count())
     val encD = PqAdc.encode(assigned, cbD, TrainData2.PqSub)
     val encR = PqAdc.encodeResidual(assigned, cents, cbR, TrainData2.PqSub)
@@ -385,7 +385,7 @@ object TrainData4 {
             .as("recall_at_k"))
     val out = leg(topD, "direct").unionByName(leg(topR, "residual"))
       .orderBy("variant", "probe_id")
-      .localCheckpoint() // 10 rows; reused by the gate below and the result
+      .localCheckpoint(false) // 10 rows; reused by the gate below and the result
     // the self-enforcing operating-point contract: aggregate recall@10
     // must clear 0.9 for BOTH variants (bounded collect — 2 rows)
     out.groupBy("variant").agg(sum("n_hits").as("h")).collect().foreach { r =>

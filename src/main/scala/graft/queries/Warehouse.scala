@@ -135,9 +135,9 @@ object Warehouse {
   private def q120(spark: SparkSession, dir: String): DataFrame = {
     val aw = Tables.orders(spark, dir).select(col("o_custkey").cast("string").as("w"))
     val bw = Tables.customer(spark, dir).select(col("c_custkey").cast("string").as("w"))
-    val ca = CountMin.cells(aw).localCheckpoint() // ≤1024 rows; read twice
+    val ca = CountMin.cells(aw).localCheckpoint(false) // ≤1024 rows; read twice
     val cb = CountMin.cells(bw)
-      .withColumnRenamed("cnt", "cnt_b").localCheckpoint()
+      .withColumnRenamed("cnt", "cnt_b").localCheckpoint(false)
     val est = ca.join(cb, Seq("j", "cell"))
       .groupBy("j").agg(sum(col("cnt") * col("cnt_b")).as("ip"))
       .agg(min("ip").as("est_rows"))
@@ -242,7 +242,7 @@ object Warehouse {
       .select(col("l_partkey"), col("l_suppkey"))
     val mx = li.agg(max("l_partkey").as("kp"), max("l_suppkey").as("ks"))
       .withColumn("__one", one(col("kp")))
-      .localCheckpoint() // 1 row; consumed by the coord pass and the audit
+      .localCheckpoint(false) // 1 row; consumed by the coord pass and the audit
     val coords = li.withColumn("__one", one(col("l_partkey")))
       .join(broadcast(mx), Seq("__one"))
       .withColumn("px", expr("(l_partkey * 256) div (kp + 1)"))
@@ -334,7 +334,7 @@ object Warehouse {
       .select(col("event_type"), col("med_cents"),
         abs(col("cents") - col("med_cents")).as("adev"))
     val h2 = dev.groupBy("event_type", "med_cents", "adev").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // histogram grain (≤ type×distinct-cents rows); read twice
+      .localCheckpoint(false) // histogram grain (≤ type×distinct-cents rows); read twice
     val mad = histMedian(h2, "adev", "mad_cents")
     h2.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
@@ -635,7 +635,7 @@ object Warehouse {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-      .localCheckpoint() // consumed by degrees, orientation and the counts
+      .localCheckpoint(false) // consumed by degrees, orientation and the counts
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -648,11 +648,11 @@ object Warehouse {
           struct(col("u").as("x"), col("v").as("y")))
           .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
       .select(col("e.x").as("a"), col("e.y").as("b"))
-      .localCheckpoint() // consumed by both wedge sides and the closure probe
+      .localCheckpoint(false) // consumed by both wedge sides and the closure probe
     val wedges = oriented
       .join(oriented.select(col("a"), col("b").as("c")), Seq("a"))
       .filter(col("b") =!= col("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tri = wedges.join(
       oriented.select(col("a").as("b"), col("b").as("c")),
       Seq("b", "c"), "left_semi")
@@ -904,7 +904,7 @@ object Warehouse {
     val uh = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
       .distinct()
-      .localCheckpoint() // (user, hour) grain; fan-out + report-hour spine
+      .localCheckpoint(false) // (user, hour) grain; fan-out + report-hour spine
     val hours = uh.select(col("h").as("rh")).distinct()
     uh.select(col("user_id"), col("h"),
         explode(sequence(col("h"), col("h") + 23)).as("rh"))
@@ -967,10 +967,10 @@ object Warehouse {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-      .localCheckpoint() // symmetric closure feeds hop-1 and the mid join
+      .localCheckpoint(false) // symmetric closure feeds hop-1 and the mid join
     val sym = adj.select(col("u").as("a"), col("v").as("b"))
       .unionAll(adj.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     // the q131-style pre-flight: Σdeg² prices the naive join BEFORE it
     // runs — by-need, so a spec-pinned `forceOriented` never pays the
@@ -1289,7 +1289,7 @@ object Warehouse {
     val days = Tables.events(spark, dir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
       .distinct()
-      .localCheckpoint() // day grain; feeds bounds + the anti-join
+      .localCheckpoint(false) // day grain; feeds bounds + the anti-join
     val spine = days.groupBy("event_type")
       .agg(min("d").as("d0"), max("d").as("d1"))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
