@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Dev profiling tool (round 16): per-query job/stage/task/shuffle census.
+  *
+  * The bench total at test scale is dominated by per-query FIXED costs —
+  * job submissions, stage boundaries (= shuffles + checkpoints), task
+  * dispatch — not by data volume, and exactly those costs are the 100 TB
+  * scale levers (guide §1.2: the distributed algorithm first). This main
+  * runs every query once under the SAME session config as [[Bench]] and
+  * prints, per query: wall seconds, Spark job count, stage count, task
+  * count, shuffle-read/write bytes and records. Sorted by wall seconds.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *   sbt "runMain graft.JobProfile [namePrefix ...]"
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val shufR = new AtomicLong(0L)
+    val shufW = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+        shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val only = args.toSeq
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    // warmup (same as Bench): codegen/JIT/footers at sf0.001
+    selected.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => } }
+    spark.catalog.clearCache()
+
+    case class Prof(name: String, sec: Double, jobs: Int, stages: Int,
+                    tasks: Int, shufR: Long, shufW: Long)
+    def drain(): Unit = {
+      // listenerBus is private[spark]; a short sleep lets queued events
+      // flush so counters attribute to the right query (profiling-grade)
+      Thread.sleep(150)
+    }
+    val rows = selected.map { case (name, fn) =>
+      drain()
+      jobs.set(0); stages.set(0); tasks.set(0); shufR.set(0L); shufW.set(0L)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      spark.catalog.clearCache()
+      Prof(name, sec, jobs.get, stages.get, tasks.get, shufR.get, shufW.get)
+    }
+    println(f"${"query"}%-32s ${"sec"}%7s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"shR_kb"}%8s ${"shW_kb"}%8s")
+    rows.sortBy(-_.sec).foreach { p =>
+      println(f"${p.name}%-32s ${p.sec}%7.2f ${p.jobs}%5d ${p.stages}%5d ${p.tasks}%6d ${p.shufR / 1024}%8d ${p.shufW / 1024}%8d")
+    }
+    println(f"TOTAL sec=${rows.map(_.sec).sum}%.2f jobs=${rows.map(_.jobs).sum} stages=${rows.map(_.stages).sum} tasks=${rows.map(_.tasks).sum}")
+    spark.stop()
+  }
+}

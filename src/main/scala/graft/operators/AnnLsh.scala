@@ -39,13 +39,18 @@ object AnnLsh {
   }
 
   /** One (`idCol`, tbl, bucket) row per hash table — the sign-bucket
-    * keying shared by the self-join and cross-set paths. */
+    * keying shared by the self-join and cross-set paths. Single-pass:
+    * one explode of `tables` (tbl, bucket) structs per row — a narrow
+    * generate over ONE scan of `df`, where the union-of-`tables`
+    * formulation read the (often checkpointed) embedding relation once
+    * per table (the same fix [[MinHashLsh]] applied to its bands). */
   private def keyedBuckets(df: DataFrame, idCol: String, vecCol: String,
                            tables: Int, bits: Int): DataFrame =
-    (0 until tables).map { t =>
-      df.select(col(idCol), lit(t).as("tbl"),
-        signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
-    }.reduce(_ unionByName _)
+    df.select(col(idCol), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
   /** Drops rows in over-`maxBucket` (tbl, bucket) hubs — the shared
     * fan-out bound; the size probe is a map-side-partial groupBy count

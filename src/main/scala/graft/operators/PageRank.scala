@@ -38,21 +38,26 @@ object PageRank {
             dampNum: Long = 85L, baseU: Long = 150000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint() // node-sized, reused every iteration
+      .localCheckpoint(false) // node-sized, reused every iteration
     var r = nodes.select(col("node"), lit(1000000L).as("rank"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     (1 to iters).foreach { _ =>
+      // rank div outdeg is a per-NODE value: computing it on the
+      // node-sized (rank ⋈ outdeg) relation first means the edge-sized
+      // relation crosses ONE join, not two — the previous shape pushed
+      // the edge-sized (e ⋈ r) intermediate through a second join with
+      // outdeg (same integer result, one full edge-width pass more)
+      val rates = r.join(outdeg, r("node") === outdeg("src"))
+        .select(col("src"), expr("rank div outdeg").as("c"))
       val contrib = e
-        .join(r, e("src") === r("node"))
-        .join(outdeg, "src")
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .join(rates, "src")
         .groupBy("dst").agg(sum("c").as("s"))
       r = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(baseU) + expr(s"($dampNum * coalesce(s, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     r
   }
