@@ -287,6 +287,95 @@ object PqAdc {
       idCol, vecCol, probeIdCol, probeVecCol)
   }
 
+  /** DUAL-variant IVFADC search — direct and residual codes served from
+    * ONE candidate fetch. [[search]] + [[searchResidual]] run the same
+    * coarse prune over the same corpus, so calling them side by side
+    * (the q181 operating-point gate) pays the broadcast candidate join
+    * twice; here the probe side carries BOTH lookup-table sets (direct
+    * per probe, residual per probed cluster — each bounded by
+    * P×nprobe×M×K longs), both integer ADC totals are computed in the
+    * single fetch pass, and the fetched relation is checkpointed once
+    * for the two shortlist/re-rank tails plus the caller's candidate
+    * cost census. Every expression is the one [[search]] /
+    * [[searchResidual]] evaluate — same folds, same e9 quantization,
+    * same tie-breaks — so each returned leg is row-identical to its
+    * single-variant twin (spec-pinned).
+    *
+    * `assigned` must carry `idCol`, `vecCol`, `cluster` and BOTH code
+    * columns (`codesDCol` from [[encode]], `codesRCol` from
+    * [[encodeResidual]], built with cbD/cbR respectively). Returns
+    * (direct top-k, residual top-k, fetched candidates) — the third
+    * relation is (probeIdCol, idCol, cluster) at candidate grain, for
+    * cost accounting without a third fetch. */
+  def searchDual(assigned: DataFrame, probes: DataFrame,
+                 centroids: Seq[Array[Float]],
+                 cbD: Seq[Seq[Array[Double]]], cbR: Seq[Seq[Array[Double]]],
+                 subDim: Int, nprobe: Int, shortlist: Int, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 probeIdCol: String = "probe_id", probeVecCol: String = "pv",
+                 codesDCol: String = "codes_d", codesRCol: String = "codes_r")
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(nprobe >= 1 && nprobe <= centroids.size, s"pq_adc: nprobe=$nprobe out of range")
+    require(shortlist >= k, s"pq_adc: shortlist=$shortlist must cover k=$k")
+    require(cbD.size == cbR.size,
+      s"pq_adc: direct (${cbD.size}) and residual (${cbR.size}) subspace counts differ")
+    val m = cbD.size
+    require(centroids.forall(_.length == m * subDim),
+      s"pq_adc: every centroid must have ${m * subDim} dims (M*subDim)")
+    val guarded = guardProbes(probes, probeVecCol, m * subDim)
+    val centRank = Window.partitionBy(probeIdCol)
+      .orderBy(col("__pc_cos").desc, col("__cent_id"))
+    val lutsD = cbD.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(probeVecCol), mi * subDim + 1, subDim)
+      array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lutD$mi")
+    }
+    val lutsR = cbR.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("__presid"), mi * subDim + 1, subDim)
+      array(cb.map(cw => round(d2(sub, cw) * 1e9).cast("long")): _*).as(s"__lutR$mi")
+    }
+    val probeClusters = guarded
+      .select(Seq(col(probeIdCol), col(probeVecCol),
+        posexplode(typedLit(centroids.toArray)).as(Seq("__pos", "__cv"))) ++ lutsD: _*)
+      .select(Seq(col(probeIdCol), col(probeVecCol),
+        (col("__pos") + 1).cast("int").as("__cent_id"),
+        CosineSimilarity(col(probeVecCol), col("__cv")).as("__pc_cos"),
+        residualOf(col(probeVecCol), col("__cv")).as("__presid")) ++
+        (0 until m).map(mi => col(s"__lutD$mi")): _*)
+      .withColumn("__cr", row_number().over(centRank))
+      .filter(col("__cr") <= nprobe)
+      .select(Seq(col(probeIdCol), col(probeVecCol), col("__cent_id")) ++
+        (0 until m).map(mi => col(s"__lutD$mi")) ++ lutsR: _*)
+    def adcOf(lutPrefix: String, codesCol: String) = (0 until m)
+      .map(mi => element_at(col(s"$lutPrefix$mi"), element_at(col(codesCol), mi + 1)))
+      .reduce(_ + _)
+    // ONE fetch: both ADC totals ride the join pass; the checkpoint is
+    // consumed by the two tails and the caller's cost census
+    val cand = assigned
+      .join(broadcast(probeClusters), col("cluster") === col("__cent_id"))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .withColumn("__adc_d", adcOf("__lutD", codesDCol))
+      .withColumn("__adc_r", adcOf("__lutR", codesRCol))
+      .select(col(probeIdCol), col(probeVecCol), col(idCol), col(vecCol),
+        col("cluster"), col("__adc_d"), col("__adc_r"))
+      .localCheckpoint(false)
+    def tail(adcCol: String): DataFrame = {
+      val sRank = Window.partitionBy(probeIdCol)
+        .orderBy(col(adcCol).asc, col(idCol))
+      val kRank = Window.partitionBy(probeIdCol)
+        .orderBy(col("cosine").desc, col(idCol))
+      cand
+        .withColumn("__sr", row_number().over(sRank))
+        .filter(col("__sr") <= shortlist)
+        .withColumn("cosine", CosineSimilarity(col(probeVecCol), col(vecCol)))
+        .withColumn("rk", row_number().over(kRank).cast("int"))
+        .filter(col("rk") <= k)
+        .select(col(probeIdCol), col(idCol).as("cand_id"), col("cluster"),
+          col(adcCol).as("adc_e9"), col("cosine"), col("rk"))
+    }
+    (tail("__adc_d"), tail("__adc_r"),
+      cand.select(col(probeIdCol), col(idCol), col("cluster")))
+  }
+
   /** IVFADC search over RESIDUAL codes: identical pruning and tail, but
     * the lookup table is computed PER PROBED CLUSTER from the probe's
     * residual against that cluster's centroid — the asymmetric twin of

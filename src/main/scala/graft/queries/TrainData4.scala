@@ -347,21 +347,28 @@ object TrainData4 {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val assigned = IvfFlat.assign(corpus, cents).localCheckpoint(false)
     val sl = opShortlist(assigned.count())
-    val encD = PqAdc.encode(assigned, cbD, TrainData2.PqSub)
-    val encR = PqAdc.encodeResidual(assigned, cents, cbR, TrainData2.PqSub)
-    val topD = PqAdc.search(encD, probes, cents, cbD, TrainData2.PqSub,
-        nprobe = OpNprobe, shortlist = sl, k = TrainData.IvfTopK)
-      .select(col("probe_id"), col("cand_id"))
-    val topR = PqAdc.searchResidual(encR, probes, cents, cbR, TrainData2.PqSub,
-        nprobe = OpNprobe, shortlist = sl, k = TrainData.IvfTopK)
-      .select(col("probe_id"), col("cand_id"))
-    // candidate cost, shared by both variants — derived from the SAME
-    // coarse-prune contract the searches execute (IvfFlat.probedClusters)
-    val probed = IvfFlat.probedClusters(probes, cents, maxRank = OpNprobe)
-      .select(col("probe_id"), col("__cent_id"))
-    val cost = assigned
-      .join(broadcast(probed), col("cluster") === col("__cent_id"))
-      .filter(col("vec_id") =!= col("probe_id"))
+    // both code sets ride ONE row-local projection of the assignment,
+    // and both variants (plus the cost census below) are served from
+    // PqAdc.searchDual's single candidate fetch — the r16 rewire of the
+    // previous shape, which fetched the same candidates three times
+    // (direct search, residual search, probedClusters cost join); every
+    // ADC/re-rank expression is unchanged, so the gated rows are
+    // identical (PqAdcSpec-pinned leg-for-leg vs the single-variant
+    // searches)
+    val encBoth = PqAdc.encodeResidual(
+        PqAdc.encode(assigned, cbD, TrainData2.PqSub)
+          .withColumnRenamed("codes", "codes_d"),
+        cents, cbR, TrainData2.PqSub)
+      .withColumnRenamed("codes", "codes_r")
+    val (topD0, topR0, candRel) = PqAdc.searchDual(encBoth, probes, cents,
+      cbD, cbR, TrainData2.PqSub,
+      nprobe = OpNprobe, shortlist = sl, k = TrainData.IvfTopK)
+    val topD = topD0.select(col("probe_id"), col("cand_id"))
+    val topR = topR0.select(col("probe_id"), col("cand_id"))
+    // candidate cost, shared by both variants — counted off the very
+    // fetch the searches consumed (same coarse-prune ranking as
+    // IvfFlat.probedClusters, stated once in PqAdc.searchDual)
+    val cost = candRel
       .groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
     val wk = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("cand_id"))

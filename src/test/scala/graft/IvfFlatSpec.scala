@@ -277,6 +277,55 @@ class IvfFlatSpec extends SparkSpec {
     assert(adc == flat, s"adc=$adc\nflat=$flat")
   }
 
+  test("searchDual legs are row-identical to search/searchResidual; fetch matches probedClusters") {
+    // the r16 one-fetch rewire (q181): both variants and the candidate
+    // census must be EXACTLY what the single-variant searches produce
+    val subDim = 4
+    val cbD = (0 until dim / subDim).map(m =>
+      cents.take(4).map(c => c.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)).toSeq)
+    val cbR = (0 until dim / subDim).map { m =>
+      cents.take(4).map { c =>
+        val cl = bruteAssign(c) - 1
+        Array.tabulate(subDim)(i =>
+          c(m * subDim + i).toDouble - cents(cl)(m * subDim + i).toDouble)
+      }.toSeq
+    }
+    val assigned = IvfFlat.assign(corpusDf, cents)
+    val encD = graft.operators.PqAdc.encode(assigned, cbD, subDim)
+    val encR = graft.operators.PqAdc.encodeResidual(assigned, cents, cbR, subDim)
+    val encBoth = graft.operators.PqAdc.encodeResidual(
+        graft.operators.PqAdc.encode(assigned, cbD, subDim)
+          .withColumnRenamed("codes", "codes_d"),
+        cents, cbR, subDim)
+      .withColumnRenamed("codes", "codes_r")
+    val probes = corpusDf.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val (np, sl, k) = (3, 7, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "cand_id", "cluster", "adc_e9", "cosine", "rk")
+      .as[(Long, Long, Int, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val (dualD, dualR, cand) = graft.operators.PqAdc.searchDual(
+      encBoth, probes, cents, cbD, cbR, subDim, np, sl, k)
+    assert(rows(dualD) ==
+      rows(graft.operators.PqAdc.search(encD, probes, cents, cbD, subDim, np, sl, k)))
+    assert(rows(dualR) ==
+      rows(graft.operators.PqAdc.searchResidual(encR, probes, cents, cbR, subDim, np, sl, k)))
+    // the cost relation = the probedClusters-derived fetch q181 used to
+    // pay a third broadcast join for
+    val probed = IvfFlat.probedClusters(probes, cents, maxRank = np)
+      .select(col("probe_id"), col("__cent_id"))
+    val expected = assigned
+      .join(org.apache.spark.sql.functions.broadcast(probed),
+        col("cluster") === col("__cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id", "cluster")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(cand.select("probe_id", "vec_id", "cluster")
+      .as[(Long, Long, Int)].collect().sorted.toSeq == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("PQ encode fails loudly on dim-mismatched vectors") {
     val subDim = 4
     val codebooks = (0 until dim / subDim).map(m =>
