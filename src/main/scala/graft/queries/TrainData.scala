@@ -2075,7 +2075,14 @@ object TrainData {
     * every train-slice doc with its first-firing drop stage —
     * `(doc_id, source, n_tok, stage)`. */
   private[graft] def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    // ONE materialized base for the four consumers below (flags,
+    // exact-dup keepers, near-dup signatures, contamination grams):
+    // un-checkpointed, each consumer re-ran the scan AND the round-robin
+    // spread exchange — the r16 steady-state census showed 4 corpus
+    // scans behind 3 separate RoundRobin exchanges in this one query
     val d = docsParallel(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(false)
     val train = d.filter(col("doc_id") % 10 =!= 7)
     // exact-dup keeper via groupBy-and-join-back, NOT a window over
     // partitionBy(hash): the window form has no partial aggregation, so

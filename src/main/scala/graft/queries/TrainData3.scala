@@ -747,7 +747,13 @@ object TrainData3 {
     Writers.withTempDir("graft_q168_") { lake =>
       val sp = spark
       import sp.implicits._
-      val corpus = TrainData.embParallel(spark, dir)
+      // scan-given parallelism, NOT embParallel: the encode here is a
+      // trivial row-local projection feeding a WRITE, so the round-robin
+      // spread exchange bought nothing and its 32 near-empty partitions
+      // landed as 32 tiny files per codes leg (32 task commits at write,
+      // 32 footers at every reload — guide §6 small-file debt); at scale
+      // the scan's own splits carry the parallelism
+      val corpus = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val cents = TrainData.trainedCentroids(spark, dir)
       val codebooks = TrainData2.frozenCodebooks(spark, dir)
@@ -817,7 +823,10 @@ object TrainData3 {
     Writers.withTempDir("graft_q172_") { lake =>
       val sp = spark
       import sp.implicits._
-      val corpus = TrainData.embParallel(spark, dir)
+      // scan-given parallelism for the same reason as q168: both codes
+      // legs (gen 1 + the delta gen 2) are write-bound, and the spread
+      // exchange's 32 near-empty partitions doubled as 32-file writes
+      val corpus = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val cents = TrainData.trainedCentroids(spark, dir)
       val codebooks = TrainData2.frozenCodebooks(spark, dir)
