@@ -61,25 +61,19 @@ object Bench {
   private def repTicks(): Option[(Long, Long, Long, Long)] =
     hostCpuTicks().map { case (u, s, _, w, st) => (u, s, w, st) }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // reps (default 3), min taken: rep 1 pays JIT compilation of the hot
-    // codegen loops (the sf0.001 warmup is too small to trigger C2), the
-    // later reps are the steady state a long-running cluster job sees.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // Comma-separated query-name prefixes; empty = whole suite. Profiling
-    // aid only — the driver never sets it, so official artifacts always
-    // cover every query.
-    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
-      .split(",").map(_.trim).filter(_.nonEmpty)
+  /** The bench's Spark session, factored so [[JobProfile]] provably runs
+    * the SAME engine configuration it claims to profile (r16 ADVICE: the
+    * config block was copy-pasted and could drift silently). All the
+    * perf-relevant knobs — shuffle partitions, split sizing, the AQE
+    * coalesce policy — live HERE and only here. */
+  private[graft] def benchSession(cpus: String): SparkSession = {
     val maxPartitionBytes = "8m"
     // Overridable for A/B profiling of the AQE coalesce policy (see the
     // comment below); the committed defaults are the measured winners.
     val sizeFirstCoalesce =
       sys.env.getOrElse("SPARK_GRAFT_AQE_SIZE_FIRST", "true").toBoolean
     val advisoryBytes = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -100,6 +94,26 @@ object Bench {
         (!sizeFirstCoalesce).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes)
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // reps (default 3), min taken: rep 1 pays JIT compilation of the hot
+    // codegen loops (the sf0.001 warmup is too small to trigger C2), the
+    // later reps are the steady state a long-running cluster job sees.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Comma-separated query-name prefixes; empty = whole suite. Profiling
+    // aid only — the driver never sets it, so official artifacts always
+    // cover every query.
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    // artifact self-description (must match benchSession's values)
+    val maxPartitionBytes = "8m"
+    val sizeFirstCoalesce =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_SIZE_FIRST", "true").toBoolean
+    val advisoryBytes = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m")
+    val spark = benchSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest scale factor: compiles every query's
     // codegen and primes JIT/parquet-footer caches, so timed runs measure

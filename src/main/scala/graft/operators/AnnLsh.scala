@@ -45,12 +45,17 @@ object AnnLsh {
     * formulation read the (often checkpointed) embedding relation once
     * per table (the same fix [[MinHashLsh]] applied to its bands). */
   private def keyedBuckets(df: DataFrame, idCol: String, vecCol: String,
-                           tables: Int, bits: Int): DataFrame =
+                           tables: Int, bits: Int): DataFrame = {
+    // tables=0 would explode an empty array into an EMPTY relation — a
+    // misconfigured caller would get zero candidates silently where the
+    // old union-of-tables formulation threw (same guard style as PqAdc)
+    require(tables >= 1, s"ann_lsh: tables must be >= 1, got $tables")
     df.select(col(idCol), explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           signBucket(col(vecCol), t * bits + 1, bits).as("bucket"))
       }: _*)).as("tb"))
       .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
 
   /** Drops rows in over-`maxBucket` (tbl, bucket) hubs — the shared
     * fan-out bound; the size probe is a map-side-partial groupBy count

@@ -37,6 +37,12 @@ object PageRank {
   def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
             dampNum: Long = 85L, baseU: Long = 150000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // LAZY checkpoints here and per iteration below: no action runs inside
+    // the loop, so the final job materializes each iteration's RDD as it
+    // is first computed. Lineage DEPTH therefore grows with `iters` until
+    // that first action — fine for the small fixed iteration counts this
+    // engine uses (≤ ~10); a caller looping hundreds of iterations should
+    // eagerly checkpoint every N rounds to bound scheduler/lineage cost.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false) // node-sized, reused every iteration
     var r = nodes.select(col("node"), lit(1000000L).as("rank"))

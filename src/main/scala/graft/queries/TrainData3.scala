@@ -105,15 +105,37 @@ object TrainData3 {
           l => w.substr(s, l)))))
 
   /** Viterbi segmentation of one word under piece-cost map `vocab`
-    * (piece → integer cost) as a row-local `aggregate` fold: the
-    * accumulator is the array of best DP states for positions 0..i,
-    * each a struct(key, seg). Single chars are ALWAYS usable — an
+    * (piece → integer cost). Single chars are ALWAYS usable — an
     * out-of-vocabulary char costs `oovCost` (= lg2e10(total+1), i.e.
     * count 0 under +1 smoothing) — so the DP is total for any word.
     * Words longer than UniMaxW fall back to single-char pieces, and the
-    * empty word segments to [] (both rules mirrored by the oracle). */
+    * empty word segments to [] (both rules mirrored by the oracle).
+    *
+    * Served by the native codegen'd [[graft.functions.UniSeg]] kernel:
+    * the relational `aggregate` fold below ([[uniSegColRelational]],
+    * kept as the oracle-shaped reference and spec-pinned value-equal by
+    * UniSegSpec) is interpreted per element and re-copies its
+    * array-of-structs accumulator per DP step — measured ~19 JVM-CPU
+    * seconds per rep across the vocab-sized word list of each unigram
+    * query at sf0.1 (q164/q171 cpuw ≈ 19); the kernel is the identical
+    * packed-key DP as one compiled linear pass (the [[graft.functions
+    * .BpeTokLen]] discipline applied to the second tokenizer family). */
   private[graft] def uniSegCol(w: Column, vocab: Map[String, Long],
                                oovCost: Long): Column = {
+    require(vocab.nonEmpty, "unigram: empty vocabulary")
+    graft.functions.UniSeg(w, vocab, oovCost, UniMaxPiece, UniMaxW,
+      KeyCost, KeyPiece)
+  }
+
+  /** The DP as a row-local relational `aggregate` fold — the original
+    * formulation [[uniSegCol]]'s kernel replaced in the hot path; the
+    * accumulator is the array of best DP states for positions 0..i,
+    * each a struct(key, seg), minimized by `array_min`'s struct order.
+    * Kept because it IS the executable mirror of the oracle's CTE
+    * unroll (uniDpCtes) and the reference UniSegSpec pins the kernel
+    * against. */
+  private[graft] def uniSegColRelational(w: Column, vocab: Map[String, Long],
+                                         oovCost: Long): Column = {
     require(vocab.nonEmpty, "unigram: empty vocabulary")
     val vlit = typedLit(vocab)
     val pow2 = typedLit((0 to UniMaxW).map(p => 1L << p))
