@@ -55,6 +55,25 @@ object Multimodal {
     StructField("decoded_duration_ms", LongType),
     StructField("feature", ArrayType(FloatType))))
 
+  /** Cheap magic-byte gate mirroring the JDK image readers' own
+    * `canDecodeInput` checks: every SPI the standard JVM registers (PNG,
+    * JPEG, GIF, BMP, TIFF, WBMP) rejects a stream whose leading bytes
+    * fail these tests, so a payload failing ALL of them can never decode
+    * — but discovering that through ImageIO costs a full reader sweep
+    * per row, which dominated featurize on non-media payloads (text
+    * bytes at every gated SF). Accepting is NOT deciding: a matching
+    * payload still goes through the real reader, so decode results are
+    * unchanged by construction. A deployment registering exotic SPIs
+    * would add their magics here. */
+  private def mayBeImage(b: Array[Byte]): Boolean =
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                     // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||       // GIF
+      (b(0) == 'B' && b(1) == 'M') ||                                     // BMP
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2A && b(3) == 0) ||        // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2A) ||        // TIFF BE
+      (b(0) == 0 && b(1) == 0)                                            // WBMP
+
   /** REAL codec — pure-JVM image decode via javax.imageio (PNG, JPEG,
     * BMP, GIF — whatever readers the JVM registers). None ⇔ no reader
     * understood the bytes; that is a data condition (text/audio payloads,
@@ -63,7 +82,7 @@ object Multimodal {
     * the BYTES, never the caller's `media_type` label — a mislabeled
     * image still decodes, a corrupt "image" still reports null dims. */
   private[engine] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (content == null || content.length < 8) None
+    if (content == null || content.length < 8 || !mayBeImage(content)) None
     else {
       // Memory-cached stream, NOT ImageIO.read(InputStream): the default
       // ImageIO disk cache spools every decode through an executor-local
@@ -139,8 +158,19 @@ object Multimodal {
     * stub skipped. The spend is row-local (scales linearly, no shuffle
     * impact) and is the price of real rate/duration/RMS/peak/zero-cross
     * features instead of byte statistics. */
+  /** The [[mayBeImage]] gate for the JDK's registered audio containers
+    * (WaveFileReader "RIFF", AiffFileReader "FORM", AuFileReader ".snd")
+    * — AudioSystem signals "no reader" by THROWING, so the probe cost an
+    * exception construction per non-audio row on top of the provider
+    * sweep. Same contract: matching payloads still go through the real
+    * reader; decode results unchanged by construction. */
+  private def mayBeAudio(b: Array[Byte]): Boolean =
+    (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||  // WAVE
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // AIFF/AIFC
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')    // AU
+
   private[engine] def decodeAudio(content: Array[Byte]): Option[AudioDecode] =
-    if (content == null || content.length < 12) None
+    if (content == null || content.length < 12 || !mayBeAudio(content)) None
     else {
       import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
       var raw: AudioInputStream = null

@@ -791,11 +791,20 @@ object TrainData2 {
     import graft.operators.PageRank
     val d = TrainData.docsParallel(spark, dir).select(col("doc_id"))
     val n = Tables.documents(spark, dir).count()
+    // materialized ONCE (lazy checkpoint): five consumers re-derive this
+    // lineage otherwise — outdeg, nIn, and one equi-join per PageRank
+    // iteration — and each re-derivation re-pays the scan + round-robin
+    // spread + explode (r17 measurement: ~26 JVM-CPU-s/rep, mostly these
+    // re-derivations). Caching the edge relation for an iterative graph
+    // algorithm is the standard shape (GraphX pins the graph the same
+    // way); the per-join exchange it does NOT remove is what a
+    // bucketBy(src) edge layout removes at 100 TB (operator scaladoc).
     val edges = d.select(col("doc_id").as("src"),
         explode(array(lit(1), lit(2), lit(3))).as("j"))
       .select(col("src"),
         ((col("src") * col("src") * 31 + col("j") * 97) % n).as("dst"))
       .filter(col("dst") =!= col("src"))
+      .localCheckpoint(false)
     val nodes = d.select(col("doc_id").as("node"))
     val nIn = edges.groupBy("dst").agg(count(lit(1)).as("n_in"))
     PageRank.ranks(edges, nodes, iters = PrIters)

@@ -150,7 +150,12 @@ final class ModelRegistry(spark: SparkSession, root: String) {
     import sp.implicits._
     newRows.toDF("family", "generation", "table_name", "fingerprint", "path")
       .coalesce(1).write.mode("append").parquet(manifestPath)
-    cachedRows = None
+    // keep the driver-side cache COHERENT instead of invalidating it:
+    // this instance just appended exactly `newRows`, so the post-publish
+    // manifest is (cached ∪ newRows) by construction — re-reading it
+    // cost one parquet read+collect job per publish (external writers
+    // racing this instance are out of contract either way, see rows())
+    cachedRows = cachedRows.map(_ ++ newRows)
   }
 
   /** Published generations of a family, ascending. */
