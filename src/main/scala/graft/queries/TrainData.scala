@@ -2080,8 +2080,13 @@ object TrainData {
     // un-checkpointed, each consumer re-ran the scan AND the round-robin
     // spread exchange — the r16 steady-state census showed 4 corpus
     // scans behind 3 separate RoundRobin exchanges in this one query
+    // the exact-dup hash rides IN the materialized base: keepers and
+    // flags each referenced the sha2 expression, so every train row was
+    // hashed twice per execution; hashed once here, both consumers read
+    // the stored column (NULL text → sentinel, see the keeper note below)
     val d = docsParallel(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        coalesce(sha2(col("text"), 256), lit("__null_text__")).as("__h"))
       .localCheckpoint(false)
     val train = d.filter(col("doc_id") % 10 =!= 7)
     // exact-dup keeper via groupBy-and-join-back, NOT a window over
@@ -2093,9 +2098,8 @@ object TrainData {
     // the 100 TB-safe shape. NULL text hashes to a sentinel (not a hex
     // string, collision-free) so the join keeps the window form's
     // "all NULLs share one keeper" semantics instead of null-key-dropping.
-    val h = coalesce(sha2(col("text"), 256), lit("__null_text__"))
-    val keepers = train.groupBy(h.as("__h")).agg(min("doc_id").as("__keeper"))
-    val flags = train.withColumn("__h", h)
+    val keepers = train.groupBy(col("__h")).agg(min("doc_id").as("__keeper"))
+    val flags = train
       .join(keepers, Seq("__h"))
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
